@@ -1,0 +1,53 @@
+"""Table catalog over the driver's parquet testdata.
+
+The reference stores bronze/silver/gold layers in MongoDB collections
+(reddit_raw, stock_raw, reddit_features_15m, training_daily_features —
+reference build_training_dataset.py:21-48, README.md:446-451). Here the
+storage layer is columnar parquet; tables are registered as Spark temp views
+so both the DataFrame and SQL APIs reach them, and Catalyst gets filter
+pushdown + column pruning into the scans for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar parquet scan; schema is self-describing (SURVEY §1.3)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every testdata table as a temp view (idempotent)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

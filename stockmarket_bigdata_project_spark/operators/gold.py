@@ -1,0 +1,200 @@
+"""Gold-table (medallion) builders — the flagship query.
+
+Reproduces the semantics of the reference's batch gold build
+(reference: data_processing/build_training_dataset.py:30-64):
+
+  1. a per-key daily OHLCV re-aggregation of a fact table (A2 in SURVEY §2.4;
+     reference groupBy(ticker,date).agg(first(open), max(high), min(low),
+     last(close), sum(volume)))
+  2. a daily rollup of an activity table (A3; reference reddit_daily)
+  3. a LEFT OUTER join of 1⟕2 with null→0 fill (J2/P7; reference
+     build_training_dataset.py:62-63) — here joined on date only, the
+     deliberate date-fanout semantic of the reference notebooks (J3,
+     06_XGBoost_model.ipynb cell 5: subreddit-level features fan out to
+     every ticker trading that date)
+  4. global orderBy (O1; build_training_dataset.py:64)
+
+Mapped onto testdata: `lineitem` plays the per-(ticker=l_suppkey) price facts,
+`orders` plays the daily activity stream.
+
+Determinism note (SURVEY §7.2c): the reference's first()/last() open/close are
+order-nondeterministic in Spark. We make them deterministic with window
+first_value/last_value ordered by (l_shipdate, l_orderkey, l_linenumber), and
+the DuckDB oracle declares the identical window — this is the engine's
+documented improvement over the reference, not a semantic drift.
+
+Scale: both aggregations are partial+final hash aggregates (map-side combine);
+the daily rollup side is tiny (one row per distinct date) so Catalyst/AQE
+broadcasts it — no shuffle of the big fact side for the join.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import load_table
+
+
+def supplier_daily_ohlcv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: deterministic OHLCV re-aggregation per (l_suppkey, ship day)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey", "trade_date").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        li.select(
+            "l_suppkey",
+            F.to_date("l_shipdate").alias("trade_date"),
+            "l_extendedprice",
+            "l_quantity",
+            "l_orderkey",
+            "l_linenumber",
+            "l_shipdate",
+        )
+        .withColumn("open_px", F.first("l_extendedprice").over(w))
+        .withColumn("close_px", F.last("l_extendedprice").over(w_full))
+        .groupBy("l_suppkey", "trade_date")
+        .agg(
+            F.max("open_px").alias("open_px"),
+            F.max("l_extendedprice").alias("high_px"),
+            F.min("l_extendedprice").alias("low_px"),
+            F.max("close_px").alias("close_px"),
+            F.sum("l_quantity").alias("volume"),
+        )
+    )
+
+
+def orders_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3-shaped daily activity rollup of orders (the 'reddit_daily' analog)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn("trade_date", F.to_date("o_orderdate"))
+        .groupBy("trade_date")
+        .agg(
+            F.count("*").alias("order_count"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_order_price"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_order_price"),
+            F.max("o_totalprice").alias("max_order_price"),
+        )
+    )
+
+
+def gold_daily_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: daily fact agg ⟕ daily activity rollup, fillna(0), ordered.
+
+    reference build_training_dataset.py:62-64 (join + fillna + orderBy) with
+    the J3 date-only fanout join of the notebooks.
+    """
+    stock = supplier_daily_ohlcv(spark, sf_dir)
+    activity = orders_daily_rollup(spark, sf_dir)
+    return (
+        stock.join(F.broadcast(activity), on="trade_date", how="left")
+        .na.fill(
+            {
+                "order_count": 0,
+                "avg_order_price": 0.0,
+                "total_order_price": 0.0,
+                "max_order_price": 0.0,
+            }
+        )
+        .select(
+            "l_suppkey",
+            "trade_date",
+            "open_px",
+            "high_px",
+            "low_px",
+            "close_px",
+            "volume",
+            "order_count",
+            "avg_order_price",
+            "total_order_price",
+            "max_order_price",
+        )
+        .orderBy("l_suppkey", "trade_date")
+    )
+
+
+GOLD_ORACLE_SQL = """
+WITH base AS (
+  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS trade_date,
+         l_extendedprice, l_quantity, l_orderkey, l_linenumber, l_shipdate
+  FROM lineitem
+), win AS (
+  SELECT l_suppkey, trade_date, l_extendedprice, l_quantity,
+         first_value(l_extendedprice) OVER w AS open_px,
+         last_value(l_extendedprice) OVER (
+            PARTITION BY l_suppkey, trade_date
+            ORDER BY l_shipdate, l_orderkey, l_linenumber
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close_px
+  FROM base
+  WINDOW w AS (PARTITION BY l_suppkey, trade_date
+               ORDER BY l_shipdate, l_orderkey, l_linenumber)
+), stock AS (
+  SELECT l_suppkey, trade_date,
+         max(open_px) AS open_px,
+         max(l_extendedprice) AS high_px,
+         min(l_extendedprice) AS low_px,
+         max(close_px) AS close_px,
+         sum(l_quantity) AS volume
+  FROM win GROUP BY l_suppkey, trade_date
+), activity AS (
+  SELECT CAST(o_orderdate AS DATE) AS trade_date,
+         count(*) AS order_count,
+         round(avg(o_totalprice), 2) AS avg_order_price,
+         round(sum(o_totalprice), 2) AS total_order_price,
+         max(o_totalprice) AS max_order_price
+  FROM orders GROUP BY 1
+)
+SELECT s.l_suppkey, s.trade_date, s.open_px, s.high_px, s.low_px, s.close_px,
+       s.volume,
+       coalesce(a.order_count, 0) AS order_count,
+       coalesce(a.avg_order_price, 0.0) AS avg_order_price,
+       coalesce(a.total_order_price, 0.0) AS total_order_price,
+       coalesce(a.max_order_price, 0.0) AS max_order_price
+FROM stock s LEFT JOIN activity a USING (trade_date)
+ORDER BY s.l_suppkey, s.trade_date
+"""
+
+QUERIES = {
+    "gold_daily_features": gold_daily_features,
+    "supplier_daily_ohlcv": supplier_daily_ohlcv,
+    "orders_daily_rollup": orders_daily_rollup,
+}
+
+ORACLE = {
+    "gold_daily_features": GOLD_ORACLE_SQL,
+    "supplier_daily_ohlcv": """
+WITH base AS (
+  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS trade_date,
+         l_extendedprice, l_quantity, l_orderkey, l_linenumber, l_shipdate
+  FROM lineitem
+), win AS (
+  SELECT l_suppkey, trade_date, l_extendedprice, l_quantity,
+         first_value(l_extendedprice) OVER w AS open_px,
+         last_value(l_extendedprice) OVER (
+            PARTITION BY l_suppkey, trade_date
+            ORDER BY l_shipdate, l_orderkey, l_linenumber
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close_px
+  FROM base
+  WINDOW w AS (PARTITION BY l_suppkey, trade_date
+               ORDER BY l_shipdate, l_orderkey, l_linenumber)
+)
+SELECT l_suppkey, trade_date,
+       max(open_px) AS open_px,
+       max(l_extendedprice) AS high_px,
+       min(l_extendedprice) AS low_px,
+       max(close_px) AS close_px,
+       sum(l_quantity) AS volume
+FROM win GROUP BY l_suppkey, trade_date
+""",
+    "orders_daily_rollup": """
+SELECT CAST(o_orderdate AS DATE) AS trade_date,
+       count(*) AS order_count,
+       round(avg(o_totalprice), 2) AS avg_order_price,
+       round(sum(o_totalprice), 2) AS total_order_price,
+       max(o_totalprice) AS max_order_price
+FROM orders GROUP BY 1
+""",
+}
