@@ -35,10 +35,21 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Columnar parquet scan; schema is self-describing (SURVEY §1.3)."""
+    """Columnar parquet scan; schema is self-describing (SURVEY §1.3).
+
+    ``events.ts`` is stored as TIMESTAMP(NANOS), which Spark's parquet reader
+    does not support natively; with spark.sql.legacy.parquet.nanosAsLong it
+    arrives as a long which we truncate to microseconds (identical to DuckDB's
+    ns→µs truncation, keeping oracle parity).
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    return spark.read.parquet(table_path(sf_dir, name))
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

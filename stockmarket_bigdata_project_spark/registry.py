@@ -19,6 +19,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # a broken module must break the harness, not silently drop its queries.
 _MODULE_PATHS = [
     "operators.gold",
+    "operators.relational",
+    "operators.aggregates",
 ]
 
 

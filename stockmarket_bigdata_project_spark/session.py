@@ -44,6 +44,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # --- determinism / oracle parity ---------------------------------
         .config("spark.sql.session.timeZone", "UTC")
+        # testdata events.parquet stores TIMESTAMP(NANOS) which the vectorized
+        # reader rejects; read as long and convert in catalog.load_table
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # --- sizing -------------------------------------------------------
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.files.maxPartitionBytes", "128m")
