@@ -1,0 +1,225 @@
+"""Scalar function surface: string / datetime / math / conditional / JSON /
+cast semantics (SURVEY §2.8).
+
+Everything is a built-in Catalyst expression — whole-stage codegen, no Python.
+The reference's only scalar UDF (ticker extraction) is replaced by native
+regexp expressions in functions/text.py.
+
+Reference parity cites (into /root/reference):
+  string     spark_consumer.py:35-38 (upper/concat), stock_pipeline.py:184
+  datetime   spark_consumer.py:78,100-101; stock_pipeline.py:87,159-164;
+             producer_training_data.py:32-44 (unix-seconds normalize)
+  math       reddit_pipeline.py:184,187 (round); stock_pipeline.py:233-237
+             (pct-error); app.py:411-415 (abs/sign); 06_..ipynb cell 11
+             (greatest(0.5, 1-|err|) confidence)
+  condition  predictor_service.py:67-85 (threshold rule chain → when/otherwise)
+  JSON       spark_consumer.py:75 (from_json); producer side json.dumps
+  cast       app.py:82-84 (pd.to_numeric errors=coerce → try_cast)
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+
+
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("segment_lower"),
+        F.concat_ws(" ", "c_name", "c_mktsegment").alias("name_seg"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.trim(F.lit("  pad  ")).alias("trimmed"),
+        F.regexp_replace("c_name", "[0-9]+", "#").alias("name_masked"),
+    )
+
+
+def datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        d.alias("order_date"),
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.dayofmonth(d).alias("dom"),
+        F.date_add(d, 30).alias("due_date"),
+        F.date_sub(d, 7).alias("week_before"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.lit("1999-01-01").cast("date"), d).alias("days_to_1999"),
+        F.unix_timestamp(d.cast("timestamp")).alias("epoch_s"),
+    )
+
+
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 0).alias("price_round"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.pow("l_quantity", 2), 2).alias("qty_sq"),
+        F.greatest(F.lit(0.5), F.round(1 - F.col("l_discount"), 2)).alias("conf"),
+        F.least(F.col("l_tax"), F.col("l_discount")).alias("min_rate"),
+    )
+
+
+def conditional_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The predictor's rule dispatch (momentum / mean-reversion / random-walk,
+    predictor_service.py:67-85) as a pure when/otherwise expression over the
+    gold analog columns."""
+    from ..operators.gold import gold_daily_features
+
+    g = gold_daily_features(spark, sf_dir)
+    rule = (
+        F.when(
+            (F.col("order_count") > 5) & (F.col("close_px") > 1000), "momentum"
+        )
+        .when(F.col("order_count") > 5, "mean_reversion")
+        .otherwise("random_walk")
+    )
+    predicted = (
+        F.when(rule == "momentum", F.round(F.col("close_px") * 1.02, 4))
+        .when(rule == "mean_reversion", F.round(F.col("close_px") * 0.99, 4))
+        .otherwise(F.col("close_px"))
+    )
+    return g.select(
+        "l_suppkey",
+        "trade_date",
+        "close_px",
+        rule.alias("rule"),
+        predicted.alias("predicted_close"),
+    )
+
+
+def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json/get_json_object over the events.props JSON payload —
+    the Kafka-payload decode surface (S3) against parquet-held JSON."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k INT")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_path"),
+        parsed.getField("k").alias("k_schema"),
+    )
+
+
+def cast_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.col("event_id").cast("string").alias("id_str"),
+        F.col("value").cast("int").alias("value_int"),
+        F.expr("try_cast(event_type AS int)").alias("bad_cast_null"),
+        F.expr("try_cast(get_json_object(props, '$.k') AS int)").alias("k_coerced"),
+    )
+
+
+QUERIES = {
+    "string_functions": string_functions,
+    "datetime_functions": datetime_functions,
+    "math_functions": math_functions,
+    "conditional_rules": conditional_rules,
+    "json_functions": json_functions,
+    "cast_functions": cast_functions,
+}
+
+_GOLD_FOR_RULES = """
+WITH base AS (
+  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS trade_date,
+         l_extendedprice, l_quantity, l_orderkey, l_linenumber, l_shipdate
+  FROM lineitem
+), win AS (
+  SELECT l_suppkey, trade_date, l_extendedprice,
+         first_value(l_extendedprice) OVER w AS open_px,
+         last_value(l_extendedprice) OVER (
+            PARTITION BY l_suppkey, trade_date
+            ORDER BY l_shipdate, l_orderkey, l_linenumber
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close_px
+  FROM base
+  WINDOW w AS (PARTITION BY l_suppkey, trade_date
+               ORDER BY l_shipdate, l_orderkey, l_linenumber)
+), stock AS (
+  SELECT l_suppkey, trade_date, max(close_px) AS close_px
+  FROM win GROUP BY l_suppkey, trade_date
+), activity AS (
+  SELECT CAST(o_orderdate AS DATE) AS trade_date, count(*) AS order_count
+  FROM orders GROUP BY 1
+)
+SELECT s.l_suppkey, s.trade_date, s.close_px,
+       coalesce(a.order_count, 0) AS order_count
+FROM stock s LEFT JOIN activity a USING (trade_date)
+"""
+
+ORACLE = {
+    "string_functions": """
+SELECT c_custkey,
+       upper(c_name) AS name_upper,
+       lower(c_mktsegment) AS segment_lower,
+       concat_ws(' ', c_name, c_mktsegment) AS name_seg,
+       length(c_name) AS name_len,
+       substring(c_name, 1, 8) AS name_prefix,
+       trim('  pad  ') AS trimmed,
+       regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_masked
+FROM customer
+""",
+    "datetime_functions": """
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       CAST(year(o_orderdate) AS INTEGER) AS yr,
+       CAST(month(o_orderdate) AS INTEGER) AS mo,
+       CAST(day(o_orderdate) AS INTEGER) AS dom,
+       CAST(o_orderdate AS DATE) + 30 AS due_date,
+       CAST(o_orderdate AS DATE) - 7 AS week_before,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS INTEGER)
+         AS days_to_1999,
+       CAST(epoch(CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)) AS BIGINT) AS epoch_s
+FROM orders
+""",
+    "math_functions": """
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice, 0) AS price_round,
+       abs(l_discount - 0.05) AS disc_dev,
+       CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+       round(sqrt(l_quantity), 6) AS qty_sqrt,
+       round(ln(l_extendedprice), 6) AS price_ln,
+       round(pow(l_quantity, 2), 2) AS qty_sq,
+       greatest(0.5, round(1 - l_discount, 2)) AS conf,
+       least(l_tax, l_discount) AS min_rate
+FROM lineitem
+""",
+    "conditional_rules": f"""
+WITH gold AS ({_GOLD_FOR_RULES})
+SELECT l_suppkey, trade_date, close_px,
+       CASE WHEN order_count > 5 AND close_px > 1000 THEN 'momentum'
+            WHEN order_count > 5 THEN 'mean_reversion'
+            ELSE 'random_walk' END AS rule,
+       CASE WHEN order_count > 5 AND close_px > 1000 THEN round(close_px * 1.02, 4)
+            WHEN order_count > 5 THEN round(close_px * 0.99, 4)
+            ELSE close_px END AS predicted_close
+FROM gold
+""",
+    "json_functions": """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_path,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_schema
+FROM events
+""",
+    "cast_functions": """
+SELECT event_id,
+       CAST(event_id AS VARCHAR) AS id_str,
+       CAST(trunc(value) AS INTEGER) AS value_int,  -- Spark casts truncate; DuckDB rounds
+       TRY_CAST(event_type AS INTEGER) AS bad_cast_null,
+       TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_coerced
+FROM events
+""",
+}

@@ -163,9 +163,9 @@ QUERIES = {
     "orders_daily_rollup": orders_daily_rollup,
 }
 
-ORACLE = {
-    "gold_daily_features": GOLD_ORACLE_SQL,
-    "supplier_daily_ohlcv": """
+# Reusable oracle body for the deterministic supplier-daily table; embedded as
+# a CTE by the time-series oracle queries.
+SUPPLIER_DAILY_SQL = """
 WITH base AS (
   SELECT l_suppkey, CAST(l_shipdate AS DATE) AS trade_date,
          l_extendedprice, l_quantity, l_orderkey, l_linenumber, l_shipdate
@@ -188,7 +188,11 @@ SELECT l_suppkey, trade_date,
        max(close_px) AS close_px,
        sum(l_quantity) AS volume
 FROM win GROUP BY l_suppkey, trade_date
-""",
+"""
+
+ORACLE = {
+    "gold_daily_features": GOLD_ORACLE_SQL,
+    "supplier_daily_ohlcv": SUPPLIER_DAILY_SQL,
     "orders_daily_rollup": """
 SELECT CAST(o_orderdate AS DATE) AS trade_date,
        count(*) AS order_count,

@@ -1,0 +1,300 @@
+"""Join operators: equi / left / semi / anti / cross, stream-static shape,
+interval (range) join, as-of join.
+
+Reference parity cites (into /root/reference):
+  J1 stream-static 2-key equi-join     spark_consumer.py:111-115
+  J2 left outer + fillna               build_training_dataset.py:62-63
+  J4 inner join on date                app.py:360-362
+  J5 ±24h interval join                stock_pipeline.py:155-179 — the reference
+     does this row-at-a-time with one MongoClient + one range query PER ROW
+     (its worst anti-pattern, SURVEY §4.3). Here it is one set-based join.
+  J6 as-of (latest prior record)       predictor_service.py:38-66
+  J7 union-as-concat                   download_finance_stooq.py:81 (relational.py)
+
+Scale notes:
+  * interval_join_48h uses the date-bucket expansion trick (SURVEY §4.2):
+    Spark executes a pure range predicate as a broadcast-nested-loop join
+    (O(n·m)); exploding each anchor into its covered date buckets turns it
+    into an EQUI-join on (key, bucket) + residual range filter — shuffle
+    hash/sort-merge, linear at 100 TB.
+  * the small dimension sides are broadcast explicitly; at real scale AQE
+    makes the same decision from runtime stats.
+  * asof_join uses applyInPandas(merge_asof) per key group — the Arrow-batched
+    escape hatch for an operator Spark lacks natively (guide: as-of pattern).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from .gold import SUPPLIER_DAILY_SQL, orders_daily_rollup, supplier_daily_ohlcv
+
+
+# --- J1: 2-key conjunctive equi-join (stream-static shape) ------------------
+def join_enrich_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrich each lineitem with its (supplier, day) OHLCV context — the
+    stream-static join shape: big fact side ⋈ derived daily dimension."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = supplier_daily_ohlcv(spark, sf_dir)
+    fact = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        F.to_date("l_shipdate").alias("trade_date"),
+        "l_extendedprice",
+    )
+    return fact.join(daily, on=["l_suppkey", "trade_date"], how="inner").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        "trade_date",
+        "l_extendedprice",
+        "high_px",
+        "low_px",
+        "volume",
+    )
+
+
+# --- J2: left outer + fillna -------------------------------------------------
+def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+    )
+    return (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+        .na.fill({"n_orders": 0, "total_spent": 0.0})
+        .select("c_custkey", "c_name", "c_mktsegment", "n_orders", "total_spent")
+    )
+
+
+# --- J4: inner join on date (dashboard correlation merge) -------------------
+def join_daily_market_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = supplier_daily_ohlcv(spark, sf_dir)
+    a = orders_daily_rollup(spark, sf_dir)
+    return s.join(F.broadcast(a), on="trade_date", how="inner").select(
+        "trade_date", "l_suppkey", "close_px", "order_count", "avg_order_price"
+    )
+
+
+# --- semi / anti joins -------------------------------------------------------
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    recent = o.filter(F.col("o_orderdate") >= "1998-01-01")
+    return c.join(
+        recent, c.c_custkey == recent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+def anti_join_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# --- cross join --------------------------------------------------------------
+def cross_join_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        r.select(F.col("r_name").alias("region_name"))
+        .crossJoin(n.select(F.col("n_name").alias("nation_name")))
+    )
+
+
+# --- broadcast dimension join + agg (star-schema pattern) -------------------
+def revenue_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ broadcast(part) → agg: the canonical star-schema probe.
+    The 100 TB fact side never shuffles for the join — only the final tiny
+    agg shuffles partials."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# --- J5: interval join (±24 h window), set-based ----------------------------
+def interval_join_48h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each (user_id, day) anchor: aggregate that user's events with
+    ts ∈ [day − 1 day, day + 1 day) — the reference's 'reddit_posts_24h'
+    feature, which actually spans 48 h (stock_pipeline.py:159-168,207;
+    SURVEY §7.3-2), done as ONE equi-join instead of a per-row lookup.
+
+    Bucket expansion: an event at date d can only serve anchors d and d+1,
+    so emit two (user_id, anchor_bucket) copies of each event and equi-join —
+    no BNLJ, plain shuffle join, linear at scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    anchors = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    expanded = ev.select(
+        "user_id",
+        "ts",
+        "value",
+        F.explode(
+            F.array(F.to_date("ts"), F.date_add(F.to_date("ts"), 1))
+        ).alias("day"),
+    )
+    joined = anchors.join(expanded, on=["user_id", "day"], how="inner").filter(
+        (F.col("ts") >= F.date_sub(F.col("day"), 1).cast("timestamp"))
+        & (F.col("ts") < F.date_add(F.col("day"), 1).cast("timestamp"))
+    )
+    return joined.groupBy("user_id", "day").agg(
+        F.count("*").alias("events_48h"),
+        F.round(F.avg("value"), 6).alias("avg_value_48h"),
+        F.round(F.sum("value"), 2).alias("total_value_48h"),
+    )
+
+
+# --- J6: as-of join (generic, applyInPandas merge_asof) ---------------------
+def asof_join_prev_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each order: the customer's most recent STRICTLY earlier order day
+    total. Pandas merge_asof per customer group (Arrow-batched); oracle uses
+    DuckDB's native ASOF JOIN. Right side pre-aggregated to one row per
+    (custkey, day) so the match is deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    left = o.select("o_orderkey", "o_custkey", F.to_date("o_orderdate").alias("day"))
+    right = (
+        o.groupBy("o_custkey", F.to_date("o_orderdate").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("day_total"))
+        .withColumnRenamed("o_custkey", "r_custkey")
+        .withColumnRenamed("day", "r_day")
+    )
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        l = pdf[pdf["side"] == "L"][["o_orderkey", "o_custkey", "day"]].copy()
+        r = pdf[pdf["side"] == "R"][["day", "day_total"]].copy()
+        # merge_asof needs a sortable datetime64 'on' column (DateType arrives
+        # as python date objects)
+        l["day"] = pd.to_datetime(l["day"])
+        r["day"] = pd.to_datetime(r["day"])
+        l = l.sort_values("day", kind="mergesort")
+        r = r.sort_values("day", kind="mergesort")
+        m = pd.merge_asof(
+            l, r, on="day", direction="backward", allow_exact_matches=False
+        )
+        m["prev_day_total"] = m["day_total"]
+        m["day"] = m["day"].dt.date
+        return m[["o_orderkey", "o_custkey", "day", "prev_day_total"]]
+
+    lu = left.withColumn("side", F.lit("L")).withColumn(
+        "day_total", F.lit(None).cast("double")
+    )
+    ru = right.select(
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.col("r_custkey").alias("o_custkey"),
+        F.col("r_day").alias("day"),
+        F.lit("R").alias("side"),
+        "day_total",
+    )
+    both = lu.select("o_orderkey", "o_custkey", "day", "side", "day_total").unionByName(
+        ru
+    )
+    out_schema = "o_orderkey long, o_custkey long, day date, prev_day_total double"
+    return both.groupBy("o_custkey").applyInPandas(merge_group, out_schema)
+
+
+QUERIES = {
+    "join_enrich_daily": join_enrich_daily,
+    "customer_order_stats": customer_order_stats,
+    "join_daily_market_activity": join_daily_market_activity,
+    "semi_join_active_customers": semi_join_active_customers,
+    "anti_join_inactive_customers": anti_join_inactive_customers,
+    "cross_join_region_nation": cross_join_region_nation,
+    "revenue_by_brand": revenue_by_brand,
+    "interval_join_48h": interval_join_48h,
+    "asof_join_prev_order": asof_join_prev_order,
+}
+
+ORACLE = {
+    "join_enrich_daily": f"""
+WITH stock AS ({SUPPLIER_DAILY_SQL})
+SELECT f.l_orderkey, f.l_linenumber, f.l_suppkey, f.trade_date,
+       f.l_extendedprice, s.high_px, s.low_px, s.volume
+FROM (SELECT l_orderkey, l_linenumber, l_suppkey,
+             CAST(l_shipdate AS DATE) AS trade_date, l_extendedprice
+      FROM lineitem) f
+JOIN stock s USING (l_suppkey, trade_date)
+""",
+    "customer_order_stats": """
+WITH per_cust AS (
+  SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_spent
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, c_mktsegment,
+       coalesce(n_orders, 0) AS n_orders,
+       coalesce(total_spent, 0.0) AS total_spent
+FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+""",
+    "join_daily_market_activity": f"""
+WITH stock AS ({SUPPLIER_DAILY_SQL}),
+activity AS (
+  SELECT CAST(o_orderdate AS DATE) AS trade_date, count(*) AS order_count,
+         round(avg(o_totalprice), 2) AS avg_order_price
+  FROM orders GROUP BY 1
+)
+SELECT s.trade_date, s.l_suppkey, s.close_px, a.order_count, a.avg_order_price
+FROM stock s JOIN activity a USING (trade_date)
+""",
+    "semi_join_active_customers": """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderdate >= '1998-01-01')
+""",
+    "anti_join_inactive_customers": """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+""",
+    "cross_join_region_nation": """
+SELECT r_name AS region_name, n_name AS nation_name FROM region CROSS JOIN nation
+""",
+    "revenue_by_brand": """
+SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""",
+    "interval_join_48h": """
+WITH anchors AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+)
+SELECT a.user_id, a.day,
+       count(*) AS events_48h,
+       round(avg(e.value), 6) AS avg_value_48h,
+       round(sum(e.value), 2) AS total_value_48h
+FROM anchors a
+JOIN events e
+  ON e.user_id = a.user_id
+ AND e.ts >= CAST(a.day AS TIMESTAMP) - INTERVAL 1 DAY
+ AND e.ts <  CAST(a.day AS TIMESTAMP) + INTERVAL 1 DAY
+GROUP BY a.user_id, a.day
+""",
+    "asof_join_prev_order": """
+WITH daily AS (
+  SELECT o_custkey AS r_custkey, CAST(o_orderdate AS DATE) AS r_day,
+         round(sum(o_totalprice), 2) AS day_total
+  FROM orders GROUP BY 1, 2
+)
+SELECT o.o_orderkey, o.o_custkey, CAST(o.o_orderdate AS DATE) AS day,
+       d.day_total AS prev_day_total
+FROM orders o
+ASOF LEFT JOIN daily d
+  ON o.o_custkey = d.r_custkey AND CAST(o.o_orderdate AS DATE) > d.r_day
+""",
+}

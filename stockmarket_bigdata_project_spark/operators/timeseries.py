@@ -1,0 +1,336 @@
+"""Time-series / window operators over the (key, date)-partitioned pattern.
+
+The reference does all of these in pandas (notebooks); the engine makes the
+time series keyed by (ticker, date) a first-class Spark pattern:
+``Window.partitionBy(key).orderBy(date)`` (SURVEY §1.1, §2.5). Window
+functions execute inside whole-stage codegen after a single shuffle on the
+partition key — at 100 TB every per-key series lands on one executor once and
+all window ops reuse that partitioning.
+
+Reference parity cites (into /root/reference):
+  W1 lead (next-day close)   02_train_baseline_model.ipynb cell 2 (shift(-1))
+  W2 lag features            02_..ipynb cell 2 (shift(1))
+  W3 percent change          app.py:86,349; 06_..ipynb cell 4 (pct_change)
+  W4 3-day rolling mean      02_..ipynb cell 2 (rolling(3).mean())
+  W5 sign-of-diff direction  app.py:411-415 (np.sign(diff))
+  W6 sliding sequence (LSTM) 03_LSTM.ipynb cell 3 (SEQ_LEN window assembly)
+  W7 day-floor bucketing     05_..ipynb cell 2 (dt.floor("D"))
+  W8 greatest-n-per-group    predictor_service.py:38-42 (sort desc, limit 1)
+  direction quirk            01_..ipynb cell 2: strict > ; ties → 0 (SURVEY §7.3-7)
+Extensions: rank/dense_rank/ntile, top-k per group, running totals,
+sessionization (gap > threshold) — absent in the reference, standard for the
+capability surface.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import load_table
+from .gold import SUPPLIER_DAILY_SQL, supplier_daily_ohlcv
+
+# canonical per-key time-series window
+def _w():
+    return Window.partitionBy("l_suppkey").orderBy("trade_date")
+
+
+def _stock_cte(select_sql: str) -> str:
+    return f"WITH stock AS ({SUPPLIER_DAILY_SQL})\n{select_sql}"
+
+
+# --- W1: lead (next-day close target) + strict-> direction -------------------
+def lead_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = supplier_daily_ohlcv(spark, sf_dir)
+    close_next = F.lead("close_px", 1).over(_w())
+    return s.select(
+        "l_suppkey",
+        "trade_date",
+        "close_px",
+        close_next.alias("close_next"),
+        F.when(close_next > F.col("close_px"), 1)
+        .when(close_next.isNull(), None)
+        .otherwise(0)
+        .alias("direction"),
+    )
+
+
+# --- W2: lag features --------------------------------------------------------
+def lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = supplier_daily_ohlcv(spark, sf_dir)
+    w = _w()
+    return s.select(
+        "l_suppkey",
+        "trade_date",
+        "close_px",
+        F.lag("close_px", 1).over(w).alias("prev_close"),
+        F.lag("volume", 1).over(w).alias("prev_volume"),
+        F.lag("high_px", 2).over(w).alias("high_2d_ago"),
+    )
+
+
+# --- W3: percent change (returns) -------------------------------------------
+def pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = supplier_daily_ohlcv(spark, sf_dir)
+    w = _w()
+    prev = F.lag("close_px", 1).over(w)
+    nxt = F.lead("close_px", 1).over(w)
+    return s.select(
+        "l_suppkey",
+        "trade_date",
+        F.round(F.col("close_px") / prev - 1, 6).alias("ret"),
+        F.round(nxt / F.col("close_px") - 1, 6).alias("next_ret"),
+        F.round((F.col("close_px") - F.col("open_px")) / F.col("open_px"), 6).alias(
+            "intraday_ret"
+        ),
+    )
+
+
+# --- W4: rolling mean (3-row, min_periods=1 semantics) ----------------------
+def rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = supplier_daily_ohlcv(spark, sf_dir)
+    w3 = _w().rowsBetween(-2, 0)
+    return s.select(
+        "l_suppkey",
+        "trade_date",
+        F.round(F.avg("close_px").over(w3), 6).alias("rolling_avg_close"),
+        F.round(F.avg("volume").over(w3), 6).alias("rolling_avg_volume"),
+    )
+
+
+# --- W5: sign-of-diff direction ---------------------------------------------
+def direction_sign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = supplier_daily_ohlcv(spark, sf_dir)
+    diff = F.col("close_px") - F.lag("close_px", 1).over(_w())
+    return s.select(
+        "l_suppkey",
+        "trade_date",
+        F.signum(diff).cast("int").alias("direction"),
+    )
+
+
+# --- W6: sliding sequence assembly (LSTM input windows) ---------------------
+def sequence_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list over a bounded preceding frame — the set-based form of the
+    reference's per-row python loop building SEQ_LEN=5 feature sequences."""
+    s = supplier_daily_ohlcv(spark, sf_dir)
+    wseq = _w().rowsBetween(-5, -1)
+    seq = F.collect_list("close_px").over(wseq)
+    return (
+        s.select("l_suppkey", "trade_date", seq.alias("seq"))
+        .filter(F.size("seq") == 5)
+        .select(
+            "l_suppkey",
+            "trade_date",
+            "seq",
+            F.size("seq").alias("seq_len"),
+            F.round(F.aggregate("seq", F.lit(0.0), lambda a, x: a + x), 2).alias(
+                "seq_sum"
+            ),
+        )
+    )
+
+
+# --- W7: day-floor bucketing -------------------------------------------------
+def daily_event_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("day_value"))
+    )
+
+
+# --- W8: greatest-n-per-group (latest row per key) --------------------------
+def latest_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = supplier_daily_ohlcv(spark, sf_dir)
+    w = Window.partitionBy("l_suppkey").orderBy(F.desc("trade_date"))
+    return (
+        s.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_suppkey", "trade_date", "close_px")
+    )
+
+
+# --- [extension] ranking functions ------------------------------------------
+def rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    wp = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"))
+    wd = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.rank().over(wp).alias("rnk"),
+        F.dense_rank().over(wp).alias("drnk"),
+        F.ntile(4).over(wd).alias("quartile"),
+    )
+
+
+# --- [extension] top-k per group --------------------------------------------
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+# --- [extension] running total ----------------------------------------------
+def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = supplier_daily_ohlcv(spark, sf_dir)
+    wcum = _w().rowsBetween(Window.unboundedPreceding, 0)
+    return s.select(
+        "l_suppkey",
+        "trade_date",
+        F.round(F.sum("volume").over(wcum), 2).alias("cum_volume"),
+    )
+
+
+# --- [extension] sessionization ---------------------------------------------
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: new session when the per-user gap > 30 min.
+    lag + boolean cumsum — one shuffle on user_id, then pure window ops."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact gap (unix_timestamp truncates seconds and would
+    # disagree with the oracle at window boundaries)
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts", 1).over(w))
+    with_sess = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0),
+    ).withColumn(
+        "session_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return with_sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+QUERIES = {
+    "lead_target": lead_target,
+    "lag_features": lag_features,
+    "pct_change": pct_change,
+    "rolling_mean": rolling_mean,
+    "direction_sign": direction_sign,
+    "sequence_assembly": sequence_assembly,
+    "daily_event_activity": daily_event_activity,
+    "latest_per_group": latest_per_group,
+    "rank_orders": rank_orders,
+    "topk_per_group": topk_per_group,
+    "running_total": running_total,
+    "sessionize_events": sessionize_events,
+}
+
+ORACLE = {
+    "lead_target": _stock_cte("""
+SELECT l_suppkey, trade_date, close_px,
+       lead(close_px, 1) OVER w AS close_next,
+       CASE WHEN lead(close_px, 1) OVER w > close_px THEN 1
+            WHEN lead(close_px, 1) OVER w IS NULL THEN NULL
+            ELSE 0 END AS direction
+FROM stock WINDOW w AS (PARTITION BY l_suppkey ORDER BY trade_date)
+"""),
+    "lag_features": _stock_cte("""
+SELECT l_suppkey, trade_date, close_px,
+       lag(close_px, 1) OVER w AS prev_close,
+       lag(volume, 1) OVER w AS prev_volume,
+       lag(high_px, 2) OVER w AS high_2d_ago
+FROM stock WINDOW w AS (PARTITION BY l_suppkey ORDER BY trade_date)
+"""),
+    "pct_change": _stock_cte("""
+SELECT l_suppkey, trade_date,
+       round(close_px / lag(close_px, 1) OVER w - 1, 6) AS ret,
+       round(lead(close_px, 1) OVER w / close_px - 1, 6) AS next_ret,
+       round((close_px - open_px) / open_px, 6) AS intraday_ret
+FROM stock WINDOW w AS (PARTITION BY l_suppkey ORDER BY trade_date)
+"""),
+    "rolling_mean": _stock_cte("""
+SELECT l_suppkey, trade_date,
+       round(avg(close_px) OVER w3, 6) AS rolling_avg_close,
+       round(avg(volume) OVER w3, 6) AS rolling_avg_volume
+FROM stock WINDOW w3 AS (PARTITION BY l_suppkey ORDER BY trade_date
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""),
+    "direction_sign": _stock_cte("""
+SELECT l_suppkey, trade_date,
+       CAST(sign(close_px - lag(close_px, 1) OVER w) AS INTEGER) AS direction
+FROM stock WINDOW w AS (PARTITION BY l_suppkey ORDER BY trade_date)
+"""),
+    "sequence_assembly": f"""
+WITH stock AS ({SUPPLIER_DAILY_SQL}),
+seqs AS (
+  SELECT l_suppkey, trade_date,
+         list(close_px) OVER (PARTITION BY l_suppkey ORDER BY trade_date
+                              ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS seq
+  FROM stock
+)
+SELECT l_suppkey, trade_date, seq,
+       CAST(len(seq) AS INTEGER) AS seq_len,
+       round(list_sum(seq), 2) AS seq_sum
+FROM seqs WHERE len(seq) = 5
+""",
+    "daily_event_activity": """
+SELECT CAST(ts AS DATE) AS day, count(*) AS n, round(sum(value), 2) AS day_value
+FROM events GROUP BY 1
+""",
+    "latest_per_group": _stock_cte("""
+SELECT l_suppkey, trade_date, close_px FROM (
+  SELECT l_suppkey, trade_date, close_px,
+         row_number() OVER (PARTITION BY l_suppkey ORDER BY trade_date DESC) AS rn
+  FROM stock
+) WHERE rn = 1
+"""),
+    "rank_orders": """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       CAST(rank() OVER wp AS INTEGER) AS rnk,
+       CAST(dense_rank() OVER wp AS INTEGER) AS drnk,
+       CAST(ntile(4) OVER wd AS INTEGER) AS quartile
+FROM orders
+WINDOW wp AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC),
+       wd AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)
+""",
+    "topk_per_group": """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+    "running_total": _stock_cte("""
+SELECT l_suppkey, trade_date,
+       round(sum(volume) OVER (PARTITION BY l_suppkey ORDER BY trade_date
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+       AS cum_volume
+FROM stock
+"""),
+    "sessionize_events": """
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, value,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_id
+  FROM g
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       round(sum(value), 2) AS session_value
+FROM s GROUP BY user_id, session_id
+""",
+}

@@ -21,6 +21,10 @@ _MODULE_PATHS = [
     "operators.gold",
     "operators.relational",
     "operators.aggregates",
+    "operators.timeseries",
+    "operators.joins",
+    "functions.scalar",
+    "functions.text",
 ]
 
 
