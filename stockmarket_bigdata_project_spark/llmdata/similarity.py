@@ -1,0 +1,217 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Baseline: brute-force cosine top-k — CORRECT by construction, quadratic;
+this is what verifies the approximate paths. Scale path: IVF-style coarse
+quantization — assign every vector to its nearest centroid bucket (one pass),
+probe only the query's nearest `nprobe` buckets (candidate set ∝ n/k·nprobe).
+At 100 TB the bucket assignment is a broadcast-join + argmin (linear, no
+shuffle of the big side beyond the final bucket grouping).
+
+Dot products use F.aggregate over zipped arrays (sequential left fold in
+doubles) — the same accumulation order DuckDB's list_cosine_similarity uses,
+so cosine values are bit-comparable and the ranking is oracle-stable with a
+(rounded-cos, vec_id) tie-break.
+
+All in built-in higher-order functions — no Python UDF in the hot path.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import load_table
+
+N_QUERIES = 10  # vec_id < 10 serve as the query set
+TOP_K = 5
+N_CENTROIDS = 8
+NPROBE = 4
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(_dot(a, a))
+
+
+def _cosine(a, b) -> F.Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector (vec_id < N_QUERIES).
+    Ranking key = (round(cos, 9) DESC, candidate id ASC): rounding absorbs any
+    last-ulp engine difference, id breaks true ties deterministically."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    c = e.select(F.col("vec_id").alias("cand_id"), F.col("vec").alias("cvec"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(_cosine(F.col("qvec"), F.col("cvec")), 9).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", F.round("cos", 6).alias("cosine"), "rank")
+    )
+
+
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN: centroids = first N_CENTROIDS vectors (deterministic
+    stand-in for k-means — the bucketing mechanics, not the training, are the
+    operator). Each vector → nearest centroid; each query probes its NPROBE
+    nearest buckets. Rows-only check (approximate recall < 1 by design);
+    tests verify recall against knn_bruteforce."""
+    e = _emb(spark, sf_dir)
+    cent = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("vec").alias("cvec")
+    )
+    # assign: argmin over centroids of negative cosine (broadcast, linear)
+    assign_w = Window.partitionBy("vec_id").orderBy(
+        F.desc("ccos"), F.asc("centroid_id")
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "vec",
+            "centroid_id",
+            F.round(_cosine(F.col("vec"), F.col("cvec")), 9).alias("ccos"),
+        )
+        .withColumn("rn", F.row_number().over(assign_w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "vec", F.col("centroid_id").alias("bucket"))
+    )
+    # queries probe their NPROBE nearest centroid buckets
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("ccos"), F.asc("centroid_id")
+    )
+    probes = (
+        assigned.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "qvec",
+            "centroid_id",
+            F.round(_cosine(F.col("qvec"), F.col("cvec")), 9).alias("ccos"),
+        )
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= NPROBE)
+        .select("query_id", "qvec", F.col("centroid_id").alias("bucket"))
+    )
+    # candidates = vectors in probed buckets only
+    cands = probes.join(assigned, "bucket").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        cands.select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(_cosine(F.col("qvec"), F.col("vec")), 9).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", F.round("cos", 6).alias("cosine"), "rank")
+    )
+
+
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold tuned to testdata's
+    max inter-vector cosine ~0.51 so the query has signal)."""
+    e = _emb(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
+    cos = _cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= 0.40)
+    )
+
+
+def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-vector (centroid) per label + each vector's cosine to its own
+    label centroid — the 'cluster cohesion' diagnostic of an embedding table."""
+    e = _emb(spark, sf_dir)
+    dims = 64
+    sums = e.groupBy("label").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.element_at("vec", d + 1)).alias(f"s{d}")
+            for d in range(dims)
+        ],
+    )
+    centroid = sums.select(
+        "label",
+        F.array(*[(F.col(f"s{d}") / F.col("n")) for d in range(dims)]).alias(
+            "centroid"
+        ),
+    )
+    joined = e.join(F.broadcast(centroid), "label")
+    return (
+        joined.select(
+            "label",
+            "vec_id",
+            F.round(_cosine(F.col("vec"), F.col("centroid")), 6).alias(
+                "cos_to_centroid"
+            ),
+        )
+    )
+
+
+QUERIES = {
+    "knn_bruteforce": knn_bruteforce,
+    "knn_ivf": knn_ivf,
+    "embedding_near_dup_pairs": embedding_near_dup_pairs,
+    "label_centroid_similarity": label_centroid_similarity,
+}
+
+_COS_SQL = "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+
+ORACLE = {
+    "knn_bruteforce": f"""
+WITH scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+         round({_COS_SQL}, 9) AS cos
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < {N_QUERIES}
+), ranked AS (
+  SELECT query_id, cand_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, cand_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, round(cos, 6) AS cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+""",
+    "embedding_near_dup_pairs": f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_COS_SQL}, 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round({_COS_SQL}, 6) >= 0.40
+""",
+}

@@ -1,0 +1,197 @@
+"""Text analysis operators for training-data curation (north-star extension):
+language-ID heuristic, quality scoring, token counting, document
+fingerprinting. All pure Catalyst expressions over the documents table —
+per-row, embarrassingly parallel, no shuffle at all until a final aggregate.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+
+# marker vocabularies for the n-gram/keyword language heuristic (the operator
+# under test is the scoring mechanics, not real-world lang-ID accuracy)
+LANG_MARKERS = {
+    "en": ["the", "a", "data"],
+    "es": ["query", "table", "row"],
+    "de": ["join", "group", "sort"],
+}
+STOPWORDS = ["the", "a", "of", "and"]
+FP_MOD = 1_000_000_007
+FP_BASE = 31
+
+
+def _tok() -> F.Column:
+    return F.split(F.col("text"), " ")
+
+
+def _count_in(words: list[str]) -> F.Column:
+    return F.size(F.filter(_tok(), lambda t: t.isin(*[F.lit(w) for w in words])))
+
+
+def lang_id_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-count score per language + argmax detection (alphabetical
+    tie-break) — the deterministic skeleton of n-gram language ID."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = {
+        lang: _count_in(words).alias(f"score_{lang}")
+        for lang, words in LANG_MARKERS.items()
+    }
+    scored = docs.select("doc_id", "lang", *scores.values())
+    s_en, s_es, s_de = (F.col(f"score_{l}") for l in ("en", "es", "de"))
+    detected = (
+        F.when((s_de >= s_en) & (s_de >= s_es), "de")
+        .when((s_en >= s_es), "en")
+        .otherwise("es")
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "score_en",
+        "score_es",
+        "score_de",
+        detected.alias("detected_lang"),
+    )
+
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / token-shape / stopword-ratio quality features + a composite
+    score — the C4/Gopher-style heuristic-filter shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tok()
+    n_tokens = F.size(toks)
+    n_chars = F.length("text")
+    avg_tok_len = (n_chars - (n_tokens - 1)) / n_tokens  # chars minus spaces
+    stop = F.size(F.filter(toks, lambda t: t.isin(*[F.lit(w) for w in STOPWORDS])))
+    stop_ratio = stop / n_tokens
+    score = (
+        F.when(n_tokens < 10, 0.0)
+        .otherwise(
+            F.round(
+                0.5 * F.least(F.lit(1.0), n_tokens / F.lit(200.0))
+                + 0.3 * (1 - stop_ratio)
+                + 0.2 * F.least(F.lit(1.0), avg_tok_len / F.lit(8.0)),
+                6,
+            )
+        )
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_chars.cast("long").alias("n_chars_actual"),
+        F.round(avg_tok_len, 6).alias("avg_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + BPE-ish subword estimate (regex word/number/punct
+    pieces) + per-source aggregate — the 'how many tokens is this corpus'
+    query every training pipeline runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.size(_tok())
+    bpe_ish = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"[a-z]{1,4}|[0-9]+|[^a-z0-9 ]"), 0)
+    )
+    per_doc = docs.select(
+        "doc_id", "source", ws.alias("ws_tokens"), bpe_ish.alias("bpe_tokens")
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws_tokens").alias("total_ws_tokens"),
+        F.sum("bpe_tokens").alias("total_bpe_tokens"),
+        F.round(F.avg("bpe_tokens"), 6).alias("avg_bpe_tokens"),
+    )
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling hash over the token stream (mod 1e9+7, base 31;
+    token contribution = ascii(first char) + 7·length) — an order-sensitive
+    content fingerprint (reordered words ⇒ different print, unlike a bag
+    hash). Pure fold — F.aggregate / DuckDB list_reduce."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tok()
+    tok_val = lambda t: (F.ascii(t) + F.length(t) * 7).cast("long")  # noqa: E731
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * FP_BASE + tok_val(t)) % FP_MOD,
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+QUERIES = {
+    "lang_id_scores": lang_id_scores,
+    "quality_scores": quality_scores,
+    "token_counts": token_counts,
+    "doc_fingerprints": doc_fingerprints,
+}
+
+_MARK = {
+    lang: "', '".join(words) for lang, words in LANG_MARKERS.items()
+}
+_STOP_SQL = "', '".join(STOPWORDS)
+
+ORACLE = {
+    "lang_id_scores": f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(text, ' '), t -> t IN ('{_MARK["en"]}'))) AS score_en,
+         len(list_filter(string_split(text, ' '), t -> t IN ('{_MARK["es"]}'))) AS score_es,
+         len(list_filter(string_split(text, ' '), t -> t IN ('{_MARK["de"]}'))) AS score_de
+  FROM documents
+)
+SELECT doc_id, lang,
+       CAST(score_en AS INTEGER) AS score_en,
+       CAST(score_es AS INTEGER) AS score_es,
+       CAST(score_de AS INTEGER) AS score_de,
+       CASE WHEN score_de >= score_en AND score_de >= score_es THEN 'de'
+            WHEN score_en >= score_es THEN 'en'
+            ELSE 'es' END AS detected_lang
+FROM scored
+""",
+    "quality_scores": f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         length(text) AS n_chars_actual,
+         len(list_filter(string_split(text, ' '), t -> t IN ('{_STOP_SQL}'))) AS stop
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_chars_actual,
+       round((n_chars_actual - (n_tokens - 1)) * 1.0 / n_tokens, 6) AS avg_token_len,
+       round(stop * 1.0 / n_tokens, 6) AS stopword_ratio,
+       CASE WHEN n_tokens < 10 THEN 0.0
+            ELSE round(0.5 * least(1.0, n_tokens / 200.0)
+                     + 0.3 * (1 - stop * 1.0 / n_tokens)
+                     + 0.2 * least(1.0, ((n_chars_actual - (n_tokens - 1)) * 1.0 / n_tokens) / 8.0), 6)
+       END AS quality_score
+FROM t
+""",
+    "token_counts": """
+WITH per_doc AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' ')) AS ws_tokens,
+         len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       sum(ws_tokens) AS total_ws_tokens,
+       sum(bpe_tokens) AS total_bpe_tokens,
+       round(avg(bpe_tokens), 6) AS avg_bpe_tokens
+FROM per_doc GROUP BY source
+""",
+    "doc_fingerprints": f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(text, ' '),
+                          t -> CAST(ascii(t) + length(t) * 7 AS BIGINT))),
+         (acc, v) -> (acc * {FP_BASE} + v) % {FP_MOD}
+       ) AS fingerprint
+FROM documents
+""",
+}

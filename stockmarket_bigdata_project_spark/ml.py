@@ -1,0 +1,299 @@
+"""ML-adjacent dataflow operators (SURVEY §2.10): scaling, sequential splits,
+vectorized model inference, evaluation metrics, prediction-document assembly.
+
+Model *fitting* stays outside the engine (as in the reference — sklearn/XGBoost
+notebooks); everything data-shaped is Spark:
+
+  M3 scaler fit+transform      01_preprocess.ipynb cell 6 — agg stats + projection
+  M4 sequential split          02_..ipynb cell 3 (shuffle=False 70%) — row_number/count
+  M5 per-row inference         stock_pipeline.py:218-219 — pandas_udf (Arrow), the
+                               engine's replacement for the reference's driver loop;
+                               deterministic linear model so the oracle can replicate
+  M6 evaluation                stock_pipeline.py:233-237; app.py:410-416 — aggregates
+  M8 prediction documents      stock_pipeline.py:227-253 — nested struct assembly
+  quirk: prediction_pct_error compares predicted NEXT-day price to CURRENT close
+         (stock_pipeline.py:233-237; SURVEY §7.3-8) — reproduced as-is.
+  quirk: confidence = greatest(0.5, 1 − |err|/actual) (deterministic notebook form,
+         06_XGBoost_model.ipynb cell 11; the streaming uniform(0.6,0.9) variant is
+         not oracle-checkable and is omitted, SURVEY §7.3-4).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.functions import pandas_udf
+
+from .catalog import load_table
+from .operators.gold import SUPPLIER_DAILY_SQL, supplier_daily_ohlcv
+
+_W = lambda: Window.partitionBy("l_suppkey").orderBy("trade_date")  # noqa: E731
+_WP = lambda: Window.partitionBy("l_suppkey")  # noqa: E731
+
+
+# --- M3: standard + minmax scaling ------------------------------------------
+def scale_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scaler 'fit' = per-key agg stats; 'transform' = projection. One shuffle."""
+    s = supplier_daily_ohlcv(spark, sf_dir)
+    mean_c = F.avg("close_px").over(_WP())
+    std_c = F.stddev("close_px").over(_WP())
+    min_v = F.min("volume").over(_WP())
+    max_v = F.max("volume").over(_WP())
+    return s.select(
+        "l_suppkey",
+        "trade_date",
+        F.round((F.col("close_px") - mean_c) / std_c, 6).alias("close_z"),
+        F.round((F.col("volume") - min_v) / (max_v - min_v), 6).alias("volume_mm"),
+    )
+
+
+# --- M4: sequential (no-shuffle) train/test split ---------------------------
+def sequential_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = supplier_daily_ohlcv(spark, sf_dir)
+    rn = F.row_number().over(_W())
+    n = F.count("*").over(_WP())
+    return s.select(
+        "l_suppkey",
+        "trade_date",
+        F.when(rn <= F.floor(n * 0.7), "train").otherwise("test").alias("split"),
+    )
+
+
+# --- M5: vectorized inference (deterministic linear model) ------------------
+# fixed coefficients — a stand-in for a trained model; linear so DuckDB can
+# replicate the arithmetic exactly
+_COEF_PREV_RET = 0.3
+_COEF_MOMENTUM = -0.1
+_INTERCEPT = 0.001
+
+
+def _linear_predict_udf():
+    """Arrow-batched inference: one Python call per batch, not per row —
+    this is where a real model.predict(features) would run. Built lazily:
+    pandas_udf type resolution needs an active SparkSession."""
+
+    @pandas_udf("double")
+    def _predict(prev_ret: pd.Series, momentum: pd.Series) -> pd.Series:
+        return _COEF_PREV_RET * prev_ret + _COEF_MOMENTUM * momentum + _INTERCEPT
+
+    return _predict
+
+
+def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = supplier_daily_ohlcv(spark, sf_dir)
+    w = _W()
+    prev = F.lag("close_px", 1).over(w)
+    roll3 = F.avg("close_px").over(w.rowsBetween(-2, 0))
+    return s.select(
+        "l_suppkey",
+        "trade_date",
+        "close_px",
+        "volume",
+        (F.col("close_px") / prev - 1).alias("prev_ret"),
+        (F.col("close_px") / roll3 - 1).alias("momentum"),
+    ).na.drop(subset=["prev_ret"])
+
+
+def predict_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = _features(spark, sf_dir)
+    pred = _linear_predict_udf()(F.col("prev_ret"), F.col("momentum"))
+    return f.select(
+        "l_suppkey",
+        "trade_date",
+        "close_px",
+        F.round(pred, 6).alias("pred_return"),
+        F.round(F.col("close_px") * (1 + pred), 4).alias("predicted_price"),
+    )
+
+
+# --- M6: evaluation metrics --------------------------------------------------
+def eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAE / RMSE / MAPE / direction accuracy of the naive previous-close
+    forecast, per key (direction accuracy = app.py:411-415 semantics)."""
+    s = supplier_daily_ohlcv(spark, sf_dir)
+    w = _W()
+    pred = F.lag("close_px", 1).over(w)  # naive forecast
+    prev2 = F.lag("close_px", 2).over(w)
+    base = s.select(
+        "l_suppkey",
+        "close_px",
+        pred.alias("pred"),
+        (F.col("close_px") - pred).alias("err"),
+        F.signum(F.col("close_px") - pred).alias("dir_actual"),
+        F.signum(pred - prev2).alias("dir_pred"),
+    ).na.drop(subset=["pred"])
+    return base.groupBy("l_suppkey").agg(
+        F.round(F.avg(F.abs("err")), 6).alias("mae"),
+        F.round(F.sqrt(F.avg(F.col("err") * F.col("err"))), 6).alias("rmse"),
+        F.round(F.avg(F.abs(F.col("err") / F.col("close_px"))), 6).alias("mape"),
+        F.round(
+            F.avg((F.col("dir_actual") == F.col("dir_pred")).cast("int")), 6
+        ).alias("direction_accuracy"),
+        F.count("*").alias("n"),
+    )
+
+
+def confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direction confusion matrix = groupBy(actual, predicted).count()."""
+    s = supplier_daily_ohlcv(spark, sf_dir)
+    w = _W()
+    nxt = F.lead("close_px", 1).over(w)
+    prev = F.lag("close_px", 1).over(w)
+    base = s.select(
+        (nxt > F.col("close_px")).cast("int").alias("dir_actual"),
+        (F.col("close_px") > prev).cast("int").alias("dir_pred"),
+    ).na.drop()
+    return base.groupBy("dir_actual", "dir_pred").agg(F.count("*").alias("n"))
+
+
+# --- M8 + FIXTURES §5: prediction-document assembly -------------------------
+def prediction_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The predictions table (flat form — oracle-checked). Reproduces the
+    reference's pct-error-vs-current-close quirk as-is."""
+    p = predict_returns(spark, sf_dir)
+    err = F.col("predicted_price") - F.col("close_px")
+    return p.select(
+        F.col("l_suppkey").alias("ticker"),
+        F.col("trade_date").cast("timestamp").alias("timestamp"),
+        F.date_add("trade_date", 1).cast("timestamp").alias("prediction_date"),
+        "predicted_price",
+        F.col("close_px").alias("actual_price"),
+        F.round(err, 4).alias("prediction_error"),
+        F.round(err / F.col("close_px") * 100, 6).alias("prediction_pct_error"),
+        F.lit("linear_momentum_v1").alias("model_type"),
+        F.round(
+            F.greatest(F.lit(0.5), 1 - F.abs(err / F.col("close_px"))), 6
+        ).alias("confidence"),
+    )
+
+
+def prediction_documents_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-struct form (features_used struct — stock_pipeline.py:239-249).
+    Rows-only check: struct value-hashing is driver-dependent."""
+    f = _features(spark, sf_dir)
+    pred = F.round(_linear_predict_udf()(F.col("prev_ret"), F.col("momentum")), 6)
+    return f.select(
+        F.col("l_suppkey").alias("ticker"),
+        F.col("trade_date").cast("timestamp").alias("timestamp"),
+        F.round(F.col("close_px") * (1 + pred), 4).alias("predicted_price"),
+        F.struct(
+            F.col("close_px").alias("close"),
+            F.col("volume").alias("volume"),
+            F.round("prev_ret", 6).alias("prev_ret"),
+            F.round("momentum", 6).alias("momentum"),
+        ).alias("features_used"),
+        F.lit("linear_momentum_v1").alias("model_type"),
+    )
+
+
+QUERIES = {
+    "scale_features": scale_features,
+    "sequential_split": sequential_split,
+    "predict_returns": predict_returns,
+    "eval_metrics": eval_metrics,
+    "confusion_matrix": confusion_matrix,
+    "prediction_documents": prediction_documents,
+    "prediction_documents_nested": prediction_documents_nested,
+}
+
+_FEATURES_SQL = f"""
+WITH stock AS ({SUPPLIER_DAILY_SQL}),
+feat AS (
+  SELECT l_suppkey, trade_date, close_px, volume,
+         close_px / lag(close_px, 1) OVER w - 1 AS prev_ret,
+         close_px / avg(close_px) OVER (PARTITION BY l_suppkey ORDER BY trade_date
+                                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) - 1
+           AS momentum
+  FROM stock
+  WINDOW w AS (PARTITION BY l_suppkey ORDER BY trade_date)
+)
+SELECT * FROM feat WHERE prev_ret IS NOT NULL
+"""
+
+_PRED_SQL = f"""
+WITH feat AS ({_FEATURES_SQL})
+SELECT l_suppkey, trade_date, close_px,
+       {_COEF_PREV_RET} * prev_ret + {_COEF_MOMENTUM} * momentum + {_INTERCEPT} AS pred
+FROM feat
+"""
+
+ORACLE = {
+    "scale_features": f"""
+WITH stock AS ({SUPPLIER_DAILY_SQL})
+SELECT l_suppkey, trade_date,
+       round((close_px - avg(close_px) OVER wp) / stddev_samp(close_px) OVER wp, 6)
+         AS close_z,
+       round((volume - min(volume) OVER wp) / (max(volume) OVER wp - min(volume) OVER wp), 6)
+         AS volume_mm
+FROM stock WINDOW wp AS (PARTITION BY l_suppkey)
+""",
+    "sequential_split": f"""
+WITH stock AS ({SUPPLIER_DAILY_SQL})
+SELECT l_suppkey, trade_date,
+       CASE WHEN row_number() OVER (PARTITION BY l_suppkey ORDER BY trade_date)
+                 <= floor(count(*) OVER (PARTITION BY l_suppkey) * 0.7)
+            THEN 'train' ELSE 'test' END AS split
+FROM stock
+""",
+    "predict_returns": f"""
+WITH p AS ({_PRED_SQL})
+SELECT l_suppkey, trade_date, close_px,
+       round(pred, 6) AS pred_return,
+       round(close_px * (1 + pred), 4) AS predicted_price
+FROM p
+""",
+    "eval_metrics": f"""
+WITH stock AS ({SUPPLIER_DAILY_SQL}),
+base AS (
+  SELECT l_suppkey, close_px,
+         lag(close_px, 1) OVER w AS pred,
+         close_px - lag(close_px, 1) OVER w AS err,
+         sign(close_px - lag(close_px, 1) OVER w) AS dir_actual,
+         sign(lag(close_px, 1) OVER w - lag(close_px, 2) OVER w) AS dir_pred
+  FROM stock WINDOW w AS (PARTITION BY l_suppkey ORDER BY trade_date)
+)
+SELECT l_suppkey,
+       round(avg(abs(err)), 6) AS mae,
+       round(sqrt(avg(err * err)), 6) AS rmse,
+       round(avg(abs(err / close_px)), 6) AS mape,
+       -- NULL dir_pred (2nd row/group) must stay NULL so avg() skips it,
+       -- matching Spark's (NULL == x) → NULL semantics
+       round(avg(CASE WHEN dir_pred IS NULL OR dir_actual IS NULL THEN NULL
+                      WHEN dir_actual = dir_pred THEN 1 ELSE 0 END), 6)
+         AS direction_accuracy,
+       count(*) AS n
+FROM base WHERE pred IS NOT NULL GROUP BY l_suppkey
+""",
+    "confusion_matrix": f"""
+WITH stock AS ({SUPPLIER_DAILY_SQL}),
+base AS (
+  SELECT CASE WHEN lead(close_px, 1) OVER w > close_px THEN 1 ELSE 0 END AS dir_actual,
+         CASE WHEN close_px > lag(close_px, 1) OVER w THEN 1 ELSE 0 END AS dir_pred,
+         lead(close_px, 1) OVER w AS nxt, lag(close_px, 1) OVER w AS prv
+  FROM stock WINDOW w AS (PARTITION BY l_suppkey ORDER BY trade_date)
+)
+SELECT dir_actual, dir_pred, count(*) AS n
+FROM base WHERE nxt IS NOT NULL AND prv IS NOT NULL
+GROUP BY dir_actual, dir_pred
+""",
+    "prediction_documents": f"""
+WITH p AS ({_PRED_SQL}),
+d AS (
+  SELECT l_suppkey, trade_date, close_px,
+         round(close_px * (1 + pred), 4) AS predicted_price
+  FROM p
+)
+SELECT l_suppkey AS ticker,
+       CAST(trade_date AS TIMESTAMP) AS "timestamp",
+       CAST(trade_date + 1 AS TIMESTAMP) AS prediction_date,
+       predicted_price,
+       close_px AS actual_price,
+       round(predicted_price - close_px, 4) AS prediction_error,
+       round((predicted_price - close_px) / close_px * 100, 6) AS prediction_pct_error,
+       'linear_momentum_v1' AS model_type,
+       round(greatest(0.5, 1 - abs((predicted_price - close_px) / close_px)), 6)
+         AS confidence
+FROM d
+""",
+}

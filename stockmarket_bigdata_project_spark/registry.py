@@ -25,6 +25,10 @@ _MODULE_PATHS = [
     "operators.joins",
     "functions.scalar",
     "functions.text",
+    "ml",
+    "llmdata.dedup",
+    "llmdata.similarity",
+    "llmdata.textstats",
 ]
 
 
