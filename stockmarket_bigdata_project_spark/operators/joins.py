@@ -19,15 +19,17 @@ Scale notes:
     hash/sort-merge, linear at 100 TB.
   * the small dimension sides are broadcast explicitly; at real scale AQE
     makes the same decision from runtime stats.
-  * asof_join uses applyInPandas(merge_asof) per key group — the Arrow-batched
-    escape hatch for an operator Spark lacks natively (guide: as-of pattern).
+  * as-of join ships two forms: the union-asof window form (one shuffle +
+    partition-local sort, codegen — the scale path) and an
+    applyInPandas(merge_asof) form — the Arrow-batched escape hatch template
+    for per-group logic Spark genuinely can't express.
 """
 
 from __future__ import annotations
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import load_table
 from .gold import SUPPLIER_DAILY_SQL, orders_daily_rollup, supplier_daily_ohlcv
@@ -163,12 +165,8 @@ def interval_join_48h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- J6: as-of join (generic, applyInPandas merge_asof) ---------------------
-def asof_join_prev_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """For each order: the customer's most recent STRICTLY earlier order day
-    total. Pandas merge_asof per customer group (Arrow-batched); oracle uses
-    DuckDB's native ASOF JOIN. Right side pre-aggregated to one row per
-    (custkey, day) so the match is deterministic."""
+# --- J6: as-of join ----------------------------------------------------------
+def _asof_sides(spark: SparkSession, sf_dir: str):
     o = load_table(spark, sf_dir, "orders")
     left = o.select("o_orderkey", "o_custkey", F.to_date("o_orderdate").alias("day"))
     right = (
@@ -177,6 +175,54 @@ def asof_join_prev_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("o_custkey", "r_custkey")
         .withColumnRenamed("day", "r_day")
     )
+    return left, right
+
+
+def asof_join_prev_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each order: the customer's most recent STRICTLY earlier order day
+    total. Union-asof: tag left rows side=0 and right rows side=1, sort each
+    customer by (day, side), and take ``last(day_total, ignorenulls)`` over
+    the strictly-preceding frame — right rows on the SAME day sort after the
+    left row, so exact-day matches are excluded (strict inequality), and left
+    rows carry null day_total so they never match each other. One shuffle +
+    one partition-local sort, fully codegen — at 100 TB this is a single
+    exchange on the join key, vs. the per-group pandas alternative below
+    (kept as asof_join_merge_pandas) which pays a Python round-trip.
+    Oracle: DuckDB's native ASOF LEFT JOIN."""
+    left, right = _asof_sides(spark, sf_dir)
+    lu = left.select(
+        "o_orderkey",
+        "o_custkey",
+        "day",
+        F.lit(0).alias("side"),
+        F.lit(None).cast("double").alias("day_total"),
+    )
+    ru = right.select(
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.col("r_custkey").alias("o_custkey"),
+        F.col("r_day").alias("day"),
+        F.lit(1).alias("side"),
+        "day_total",
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day", "side")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        lu.unionByName(ru)
+        .withColumn("prev_day_total", F.last("day_total", ignorenulls=True).over(w))
+        .filter(F.col("side") == 0)
+        .select("o_orderkey", "o_custkey", "day", "prev_day_total")
+    )
+
+
+def asof_join_merge_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same as-of semantics via applyInPandas(merge_asof) per customer group —
+    the Arrow-batched escape hatch for operators Spark lacks natively. Slower
+    than the union-asof window form (per-group pandas overhead) but kept as
+    the template for genuinely non-window-expressible per-group logic."""
+    left, right = _asof_sides(spark, sf_dir)
 
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
         l = pdf[pdf["side"] == "L"][["o_orderkey", "o_custkey", "day"]].copy()
@@ -221,6 +267,7 @@ QUERIES = {
     "revenue_by_brand": revenue_by_brand,
     "interval_join_48h": interval_join_48h,
     "asof_join_prev_order": asof_join_prev_order,
+    "asof_join_merge_pandas": asof_join_merge_pandas,
 }
 
 ORACLE = {
@@ -286,6 +333,18 @@ JOIN events e
 GROUP BY a.user_id, a.day
 """,
     "asof_join_prev_order": """
+WITH daily AS (
+  SELECT o_custkey AS r_custkey, CAST(o_orderdate AS DATE) AS r_day,
+         round(sum(o_totalprice), 2) AS day_total
+  FROM orders GROUP BY 1, 2
+)
+SELECT o.o_orderkey, o.o_custkey, CAST(o.o_orderdate AS DATE) AS day,
+       d.day_total AS prev_day_total
+FROM orders o
+ASOF LEFT JOIN daily d
+  ON o.o_custkey = d.r_custkey AND CAST(o.o_orderdate AS DATE) > d.r_day
+""",
+    "asof_join_merge_pandas": """
 WITH daily AS (
   SELECT o_custkey AS r_custkey, CAST(o_orderdate AS DATE) AS r_day,
          round(sum(o_totalprice), 2) AS day_total
