@@ -26,6 +26,7 @@ _MODULE_PATHS = [
     "functions.scalar",
     "functions.text",
     "ml",
+    "streaming.pipelines",
     "llmdata.dedup",
     "llmdata.similarity",
     "llmdata.textstats",

@@ -1,0 +1,334 @@
+"""Structured Streaming pipelines (SURVEY §2.9).
+
+Reference parity cites (into /root/reference):
+  T1 event-time watermark        reddit_pipeline.py:170
+  T2 tumbling window agg         reddit_pipeline.py:169-181
+  T3 triggers                    reddit_pipeline.py:149,226; stock_pipeline.py:129
+  T4 foreachBatch sink           reddit_pipeline.py:110-151,193-228
+  T5 checkpointing               reddit_pipeline.py:15-16,148,225
+  T11 replay/simulation source   relayer_simulator.py (CSV → Kafka pacing)
+  J1 stream-static join          spark_consumer.py:111-115
+
+The reference replays historical CSVs through Kafka; here the replay source is
+a directory of time-ordered parquet slices consumed by the file source with
+``maxFilesPerTrigger=1`` (one slice per micro-batch — the file-source analog of
+``maxOffsetsPerTrigger`` backpressure, T6). Kafka would be a one-line source
+swap; the transformation DAG is identical.
+
+Every query runs with ``trigger(availableNow=True)`` to completion and returns
+the materialized result as a batch DataFrame, which makes streaming semantics
+oracle-checkable:
+
+  * availableNow runs a final no-data micro-batch (verified empirically —
+    spark.sql.streaming.noDataMicroBatches.enabled default), so the final
+    watermark is ``max(event_ts) - delay`` and an append-mode windowed agg
+    emits exactly the windows with ``window_end <= max_ts - delay``. That
+    predicate is plain SQL, so even watermark-eviction semantics get a full
+    DuckDB oracle, not a rows-only check.
+  * complete-mode aggs equal their batch groupBy — checked both here (oracle)
+    and in tests/test_streaming.py (stream/batch consistency, SURVEY §5.2(3)).
+
+Scale notes (100 TB): the streaming state store only ever holds open windows
+(watermark evicts), so state is bounded by (windows in delay horizon ×
+group cardinality), not by stream length; foreachBatch parquet appends are
+partitioned writes, one file per executor task, no driver collect.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import threading
+import time
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+
+WATERMARK = "10 minutes"
+WINDOW = "15 minutes"
+SLIDE_WINDOW = "30 minutes"
+SESSION_GAP = "30 minutes"
+N_SLICES = 4
+
+_replay_cache: dict[tuple[str, int], str] = {}
+_lock = threading.Lock()
+_uniq = iter(range(10**9))
+
+
+def replay_dir(spark: SparkSession, sf_dir: str, n_slices: int = N_SLICES) -> str:
+    """Write `events` as n_slices time-ordered parquet files (T11 replay
+    source). Slices are written sequentially so file modification times — the
+    file source's processing order — follow event time, like the reference's
+    paced Kafka replay. Cached per sf_dir: every streaming query replays the
+    same corpus."""
+    with _lock:
+        key = (sf_dir, n_slices)
+        if key in _replay_cache:
+            return _replay_cache[key]
+        ev = load_table(spark, sf_dir, "events")
+        lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+        span = (hi - lo) / n_slices
+        out = tempfile.mkdtemp(prefix="spark_graft_replay_")
+        for i in range(n_slices):
+            start = lo + span * i
+            end = hi if i == n_slices - 1 else lo + span * (i + 1)
+            cond = (F.col("ts") >= F.lit(start)) & (
+                (F.col("ts") <= F.lit(end)) if i == n_slices - 1 else (F.col("ts") < F.lit(end))
+            )
+            ev.filter(cond).coalesce(1).write.mode("append").parquet(out)
+            time.sleep(1.05)  # distinct mtimes → deterministic arrival order
+        _replay_cache[key] = out
+        return out
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev_schema = load_table(spark, sf_dir, "events").schema
+    return (
+        spark.readStream.schema(ev_schema)
+        .option("maxFilesPerTrigger", 1)  # T6 backpressure, one slice per batch
+        .parquet(replay_dir(spark, sf_dir))
+    )
+
+
+def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
+    """Run a streaming DF to completion into a memory sink; return the result
+    as a batch DF. Fresh checkpoint + query name per invocation (T5)."""
+    spark = stream_df.sparkSession
+    name = f"q{next(_uniq)}_{os.getpid()}"
+    chk = tempfile.mkdtemp(prefix="spark_graft_chk_")
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# --- T1+T2: tumbling window agg with watermark, append mode -----------------
+def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's silver feature agg (reddit_pipeline.py:169-181):
+    15-min tumbling windows per event_type, 10-min watermark, append mode.
+    Emits exactly the watermark-expired windows (see module docstring)."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", WINDOW), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    out = _run_to_memory(agg, "append")
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "event_type",
+        "n_events",
+        "avg_value",
+        "total_value",
+        "max_value",
+    )
+
+
+# --- T2 (complete mode): stream == batch equivalence -------------------------
+def streaming_window_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same window agg in complete mode — no watermark eviction, the final
+    result table equals the batch groupBy(window) exactly."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", WINDOW), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+# --- T2 extension: sliding window --------------------------------------------
+def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-min windows sliding every 15 min (each event lands in 2 windows),
+    complete mode."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", SLIDE_WINDOW, WINDOW), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "event_type",
+        "n_events",
+    )
+
+
+# --- T2 extension: session window -------------------------------------------
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-min inactivity gap — the streaming
+    twin of the batch gaps-and-islands `sessionize_events`. Append mode: a
+    session's window end is last_event + gap, and it is emitted once the
+    watermark passes that point (nothing can merge anymore):
+    ``last_event + gap <= max_ts - delay`` — verified empirically and encoded
+    in the oracle, so even session eviction is fully DuckDB-checked."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", WATERMARK)
+        .groupBy(F.session_window("ts", SESSION_GAP), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+    )
+    out = _run_to_memory(agg, "append")
+    return out.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        "n_events",
+        "session_value",
+    )
+
+
+# --- J1: stream-static join + T4 foreachBatch parquet sink ------------------
+def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming events ⋈ broadcast static customer dim (spark_consumer.py:
+    111-115 shape), persisted per micro-batch via foreachBatch parquet append
+    (the reference's Mongo append sink S8, re-expressed columnar). The static
+    side is loaded once and cached (§4.1) — each micro-batch probes the same
+    broadcast table."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
+        )
+        .cache()
+    )
+    joined = (
+        _events_stream(spark, sf_dir)
+        .select("event_id", "user_id", "ts", "event_type", "value")
+        .join(F.broadcast(cust), "user_id")
+    )
+    sink = tempfile.mkdtemp(prefix="spark_graft_sink_")
+    chk = tempfile.mkdtemp(prefix="spark_graft_chk_")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # isEmpty() not count(): count() is a full extra job (SURVEY §4.1)
+        if not batch_df.isEmpty():
+            batch_df.write.mode("append").parquet(sink)
+
+    q = (
+        joined.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink).select(
+        "event_id", "user_id", "ts", "event_type", "value", "c_name", "c_mktsegment"
+    )
+
+
+# --- extension: streaming dedup within watermark -----------------------------
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark on event_id — the streaming exactly-once
+    dedup the reference approximates with Mongo upserts (S12). event_ids are
+    unique in testdata, so the oracle is the identity projection; the operator
+    still exercises the dedup state store."""
+    dedup = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", WATERMARK)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    return _run_to_memory(dedup, "append")
+
+
+QUERIES = {
+    "streaming_window_counts": streaming_window_counts,
+    "streaming_window_complete": streaming_window_complete,
+    "streaming_sliding_window": streaming_sliding_window,
+    "streaming_session_window": streaming_session_window,
+    "streaming_static_join": streaming_static_join,
+    "streaming_dedup": streaming_dedup,
+}
+
+_TUMBLING_SQL = f"""
+SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+       time_bucket(INTERVAL '15 minutes', ts) + INTERVAL '15 minutes' AS window_end,
+       event_type,
+       count(*) AS n_events,
+       round(avg(value), 6) AS avg_value,
+       round(sum(value), 2) AS total_value,
+       max(value) AS max_value
+FROM events GROUP BY 1, 2, 3
+"""
+
+ORACLE = {
+    # append mode: exactly the windows expired by the final watermark
+    "streaming_window_counts": f"""
+WITH agg AS ({_TUMBLING_SQL})
+SELECT * FROM agg
+WHERE window_end <= (SELECT max(ts) FROM events) - INTERVAL '10 minutes'
+""",
+    # complete mode: plain batch equivalence
+    "streaming_window_complete": """
+SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+       time_bucket(INTERVAL '15 minutes', ts) + INTERVAL '15 minutes' AS window_end,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2, 3
+""",
+    # each event covers the two 30-min windows starting at bucket and bucket-15m
+    "streaming_sliding_window": """
+SELECT ws AS window_start,
+       ws + INTERVAL '30 minutes' AS window_end,
+       event_type,
+       count(*) AS n_events
+FROM (
+  SELECT unnest([time_bucket(INTERVAL '15 minutes', ts),
+                 time_bucket(INTERVAL '15 minutes', ts) - INTERVAL '15 minutes']) AS ws,
+         event_type
+  FROM events
+) GROUP BY 1, 2, 3
+""",
+    # session emitted iff watermark passed last_event + gap (see docstring)
+    "streaming_session_window": """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                   OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start,
+       count(*) AS n_events, round(sum(value), 2) AS session_value
+FROM sess GROUP BY user_id, sid
+HAVING max(ts) + INTERVAL '30 minutes'
+       <= (SELECT max(ts) FROM events) - INTERVAL '10 minutes'
+""",
+    "streaming_static_join": """
+SELECT e.event_id, e.user_id, e.ts, e.event_type, e.value, c.c_name, c.c_mktsegment
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+""",
+    "streaming_dedup": """
+SELECT event_id, user_id, event_type, value FROM events
+""",
+}
