@@ -23,6 +23,8 @@ _MODULE_PATHS = [
     "operators.aggregates",
     "operators.timeseries",
     "operators.joins",
+    "sources.readers",
+    "sources.sinks",
     "functions.scalar",
     "functions.text",
     "ml",

@@ -1,0 +1,125 @@
+"""Sinks (SURVEY §2.1): partitioned medallion writes, overwrite/append,
+single-file export, upsert-as-merge.
+
+Reference parity cites (into /root/reference):
+  S8  append sink per micro-batch   reddit_pipeline.py:110-131 (Mongo append)
+  S9  overwrite sink (gold)         build_training_dataset.py:70-72
+  S10 single-file CSV export        build_training_dataset.py:77-79
+  S12 upsert                        predictor_service.py:124-126
+      (update_one(..., upsert=True)) — no Spark-native upsert without a
+      table format; re-expressed as merge = new-keys ∪ (old anti new)
+
+Scale notes (100 TB): the gold table is written partitionBy(trade_date) so
+date-range queries prune partitions at the file listing (the manual Mongo
+find() pushdown of app.py:71 becomes free); the merge rewrites only the
+union of touched partitions in a real deployment (here: whole-table, the
+testdata is one day-partitioned toy); coalesce(1) is kept ONLY as the
+documented single-file export — it serializes the write through one task
+and must never be used on large outputs.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import threading
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..operators.gold import GOLD_ORACLE_SQL, SUPPLIER_DAILY_SQL, gold_daily_features
+
+_lock = threading.Lock()
+
+
+# --- S9 + partition pruning: partitioned gold write, pruned read ------------
+def partitioned_gold_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the gold table partitioned by trade_date, read it back with a
+    date filter — the filter must prune partitions (directory-level skip),
+    which .explain() shows as PartitionFilters. Returns the pruned slice."""
+    gold = gold_daily_features(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="spark_graft_gold_")
+    with _lock:
+        gold.write.mode("overwrite").partitionBy("trade_date").parquet(out)
+    back = spark.read.parquet(out)
+    return back.filter(
+        (F.col("trade_date") >= "1998-08-01") & (F.col("trade_date") <= "1998-08-07")
+    ).select(
+        "trade_date",
+        "l_suppkey",
+        "open_px",
+        "close_px",
+        "volume",
+        "order_count",
+    )
+
+
+# --- S12: upsert as merge ----------------------------------------------------
+def upsert_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge semantics without a table format: updates = recomputed rows for
+    the last 7 days (the reference's predictor upserts current-day docs);
+    result = updates ∪ (base ⟻anti updates). Keyed by (l_suppkey,
+    trade_date). At scale this is dynamic-partition-overwrite of touched
+    dates only."""
+    base = gold_daily_features(spark, sf_dir).select(
+        "l_suppkey", "trade_date", "close_px", "volume"
+    )
+    cutoff = "1998-11-24"
+    updates = base.filter(F.col("trade_date") > cutoff).withColumn(
+        "close_px", F.round(F.col("close_px") * 1.01, 2)
+    )
+    keep = base.filter(F.col("trade_date") <= cutoff)
+    return keep.unionByName(updates).withColumn(
+        "updated", (F.col("trade_date") > cutoff).cast("int")
+    )
+
+
+# --- S10: single-file export -------------------------------------------------
+def single_file_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coalesce(1) CSV export of a small aggregate (API parity with the
+    reference's gold CSV dump). Returns the re-read file so the roundtrip is
+    checked. Documented driver-bottleneck: one task writes the file."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("day_total"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="spark_graft_csv1_")
+    with _lock:
+        daily.coalesce(1).write.mode("overwrite").option("header", True).csv(out)
+    return (
+        spark.read.option("header", True)
+        .schema("day date, n_orders bigint, day_total double")
+        .csv(out)
+    )
+
+
+QUERIES = {
+    "partitioned_gold_write": partitioned_gold_write,
+    "upsert_merge_daily": upsert_merge_daily,
+    "single_file_export": single_file_export,
+}
+
+ORACLE = {
+    "partitioned_gold_write": f"""
+SELECT trade_date, l_suppkey, open_px, close_px, volume, order_count
+FROM ({GOLD_ORACLE_SQL})
+WHERE trade_date BETWEEN DATE '1998-08-01' AND DATE '1998-08-07'
+""",
+    "upsert_merge_daily": f"""
+SELECT l_suppkey, trade_date,
+       CASE WHEN trade_date > DATE '1998-11-24'
+            THEN round(close_px * 1.01, 2) ELSE close_px END AS close_px,
+       volume,
+       CASE WHEN trade_date > DATE '1998-11-24' THEN 1 ELSE 0 END AS updated
+FROM ({SUPPLIER_DAILY_SQL})
+""",
+    "single_file_export": """
+SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS day_total
+FROM orders GROUP BY 1
+""",
+}
