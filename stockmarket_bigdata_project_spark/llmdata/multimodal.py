@@ -1,0 +1,251 @@
+"""Multimodal columns (north-star extension): image/audio/video as opaque
+``binary`` columns with typed metadata, processed by Arrow-batched Pandas
+UDFs.
+
+The reference has no media handling; this layer is the driver-mandated
+extension (BASELINE.json north star) shaped the way a 100 TB training-data
+pipeline stores media: one parquet row per asset, a ``payload binary``
+column, a typed metadata struct, and decode / feature-extract / resize /
+frame-sample as ``mapInPandas`` stages.
+
+The container has no image/audio libraries, so the REAL decoders are stubbed
+behind import-guards (``decode_image_real`` raises NotImplementedError with
+the intended implementation documented); the *Spark plumbing* — schema,
+partitioning, UDF signature, Arrow batch shape — is real and tested, and the
+deterministic fake decode makes everything verifiable:
+
+  * payload bytes are ASCII md5-hex chains derived from `documents.text`, so
+    DuckDB can recompute byte-exact expectations on the STRING domain while
+    Spark operates on the BINARY domain — even the frame-slicing and
+    payload-hash queries get full value-level oracles.
+
+Scale notes (100 TB): media rows are large and skew-prone — repartition by
+media_id before Python stages so Arrow batches are balanced;
+spark.sql.execution.arrow.maxRecordsPerBatch bounds decoder memory (payloads
+arrive batch-at-a-time, not table-at-a-time); metadata-only queries
+(media_catalog) never touch the payload column thanks to parquet column
+pruning — check ReadSchema in .explain().
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+
+N_FRAMES = 8
+FRAME_LEN = 32  # bytes per frame = one md5 hex string
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The staged media table: (media_id, kind, meta struct, payload binary).
+
+    payload = utf-8 bytes of 8 chained md5 hexes of the source text (256
+    ASCII bytes) — opaque to the engine, deterministic for the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload_hex = F.concat(
+        *[F.md5(F.concat(F.col("text"), F.lit(str(i)))) for i in range(N_FRAMES)]
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.struct(
+            (F.lit(16) + F.col("doc_id") % 64).cast("int").alias("width"),
+            (F.lit(16) + F.col("n_chars") % 64).cast("int").alias("height"),
+            F.lit(N_FRAMES).cast("int").alias("n_frames"),
+            (F.lit(8000) + (F.col("doc_id") % 4) * 4000).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+        F.encode(payload_hex, "utf-8").alias("payload"),
+    )
+
+
+# --- real decoder stubs (the gated slow path) --------------------------------
+def decode_image_real(payload: bytes, width: int, height: int):
+    """Decode a real image payload. STUB: the container ships no imaging
+    libraries. Intended implementation: PIL.Image.open(io.BytesIO(payload))
+    → np.asarray, inside the same mapInPandas batch loop used by
+    image_features below (identical signature and batch shape)."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "real image decode requires PIL; the Spark plumbing is exercised "
+            "by the deterministic fake path (image_features)"
+        ) from exc
+    raise NotImplementedError("wire PIL decode here when the library ships")
+
+
+# --- metadata catalog (column pruning: payload only touched for hash/len) ---
+def media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = media_table(spark, sf_dir)
+    return m.select(
+        "media_id",
+        "kind",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.sample_rate").alias("sample_rate"),
+        F.length("payload").alias("payload_len"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+# --- video: frame sampling (binary slicing, no Python) ----------------------
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample every frame of each 'video': binary substring slicing — stays
+    in codegen; at scale this is the cheap pre-filter before a Python
+    decoder sees any bytes."""
+    m = media_table(spark, sf_dir).filter(F.col("kind") == "video")
+    frames = m.select(
+        "media_id",
+        F.posexplode(F.sequence(F.lit(0), F.lit(N_FRAMES - 1))).alias("frame_idx", "_"),
+        "payload",
+    )
+    frame_bytes = F.expr(f"substring(payload, frame_idx * {FRAME_LEN} + 1, {FRAME_LEN})")
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.md5(frame_bytes).alias("frame_md5"),
+        F.length(frame_bytes).alias("frame_len"),
+    )
+
+
+# --- image: deterministic fake decode → feature vector (mapInPandas) --------
+def image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched fake 'decode': mean byte value per FRAME_LEN-wide bucket,
+    8 features per image. The real decoder drops into the same loop (see
+    decode_image_real). Repartition by media_id → balanced Arrow batches."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                buf = bytes(payload)
+                rows.append(
+                    [mid]
+                    + [
+                        round(
+                            sum(buf[b * FRAME_LEN : (b + 1) * FRAME_LEN])
+                            / FRAME_LEN,
+                            6,
+                        )
+                        for b in range(N_FRAMES)
+                    ]
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id"] + [f"f{b}" for b in range(N_FRAMES)]
+            )
+
+    m = media_table(spark, sf_dir).filter(F.col("kind") == "image")
+    schema = "media_id long, " + ", ".join(f"f{b} double" for b in range(N_FRAMES))
+    return (
+        m.select("media_id", "payload").repartition(32, "media_id").mapInPandas(feats, schema)
+    )
+
+
+# --- audio: windowed RMS over byte chunks (mapInPandas) ----------------------
+def audio_chunk_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fake DSP: RMS of byte values per FRAME_LEN chunk — the shape of a real
+    feature extractor (librosa etc.) without the library. One output row per
+    (media_id, chunk)."""
+
+    def rms(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, chunks, vals = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                buf = bytes(payload)
+                for c in range(len(buf) // FRAME_LEN):
+                    w = buf[c * FRAME_LEN : (c + 1) * FRAME_LEN]
+                    ids.append(mid)
+                    chunks.append(c)
+                    vals.append(round((sum(x * x for x in w) / len(w)) ** 0.5, 6))
+            yield pd.DataFrame({"media_id": ids, "chunk": chunks, "rms": vals})
+
+    m = media_table(spark, sf_dir).filter(F.col("kind") == "audio")
+    return (
+        m.select("media_id", "payload")
+        .repartition(32, "media_id")
+        .mapInPandas(rms, "media_id long, chunk int, rms double")
+    )
+
+
+# --- resize (metadata + payload truncation, no Python) -----------------------
+def image_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Resize' the opaque payload: halve the typed dimensions and truncate
+    the payload proportionally — the metadata/byte plumbing of a resize
+    stage; a real resampler plugs into the image_features loop."""
+    m = media_table(spark, sf_dir).filter(F.col("kind") == "image")
+    half = F.expr("substring(payload, 1, cast(length(payload) / 2 AS INT))")
+    return m.select(
+        "media_id",
+        (F.col("meta.width") / 2).cast("int").alias("width"),
+        (F.col("meta.height") / 2).cast("int").alias("height"),
+        F.length(half).alias("payload_len"),
+        F.md5(half).alias("payload_md5"),
+    )
+
+
+QUERIES = {
+    "media_catalog": media_catalog,
+    "video_frame_sample": video_frame_sample,
+    "image_features": image_features,
+    "audio_chunk_rms": audio_chunk_rms,
+    "image_resize_meta": image_resize_meta,
+}
+
+# payload reconstructed on the STRING domain (ASCII ⇒ char==byte)
+_PAYLOAD_SQL = " || ".join(f"md5(text || '{i}')" for i in range(N_FRAMES))
+_MEDIA_SQL = f"""
+media AS (
+  SELECT doc_id AS media_id,
+         ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
+         (16 + doc_id % 64)::INT AS width,
+         (16 + n_chars % 64)::INT AS height,
+         (8000 + (doc_id % 4) * 4000)::INT AS sample_rate,
+         {_PAYLOAD_SQL} AS payload_hex
+  FROM documents
+)
+"""
+
+ORACLE = {
+    "media_catalog": f"""
+WITH {_MEDIA_SQL}
+SELECT media_id, kind, width, height, sample_rate,
+       length(payload_hex) AS payload_len,
+       md5(payload_hex) AS payload_md5
+FROM media
+""",
+    "video_frame_sample": f"""
+WITH {_MEDIA_SQL}
+SELECT media_id, frame_idx::INT AS frame_idx,
+       md5(substring(payload_hex, frame_idx * {FRAME_LEN} + 1, {FRAME_LEN})) AS frame_md5,
+       {FRAME_LEN} AS frame_len
+FROM media, generate_series(0, {N_FRAMES - 1}) AS t(frame_idx)
+WHERE kind = 'video'
+""",
+    # byte buckets of ASCII hex == avg of character codes per slice
+    "image_features": f"""
+WITH {_MEDIA_SQL}
+SELECT media_id,
+       {", ".join(
+           f"round(list_aggregate(list_transform(string_split_regex("
+           f"substring(payload_hex, {b * FRAME_LEN + 1}, {FRAME_LEN}), ''), "
+           f"c -> ascii(c)), 'sum') / {FRAME_LEN}.0, 6) AS f{b}"
+           for b in range(N_FRAMES)
+       )}
+FROM media WHERE kind = 'image'
+""",
+    "image_resize_meta": f"""
+WITH {_MEDIA_SQL}
+SELECT media_id, (width // 2)::INT AS width, (height // 2)::INT AS height,
+       length(payload_hex) // 2 AS payload_len,
+       md5(substring(payload_hex, 1, length(payload_hex) // 2)) AS payload_md5
+FROM media WHERE kind = 'image'
+""",
+}

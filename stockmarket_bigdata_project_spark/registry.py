@@ -32,6 +32,7 @@ _MODULE_PATHS = [
     "llmdata.dedup",
     "llmdata.similarity",
     "llmdata.textstats",
+    "llmdata.multimodal",
 ]
 
 
