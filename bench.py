@@ -36,6 +36,10 @@ HEADLINE = [
     "predict_returns",
     "minhash_lsh_pairs",
     "knn_bruteforce",
+    "dedup_exact",
+    "lang_id_scores",
+    "media_catalog",
+    "image_features",
 ]
 
 
