@@ -29,6 +29,7 @@ _MODULE_PATHS = [
     "functions.text",
     "ml",
     "streaming.pipelines",
+    "streaming.lifecycle",
     "llmdata.dedup",
     "llmdata.similarity",
     "llmdata.textstats",

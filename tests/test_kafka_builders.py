@@ -1,0 +1,54 @@
+"""Kafka builders are plan-construction-only in this container (no broker,
+no connector JAR): verify option wiring and the decode contract against a
+local JSON fixture instead of a topic."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from stockmarket_bigdata_project_spark.sources.kafka import (
+    DEFAULTS,
+    kafka_sink,
+    kafka_stream_options,
+    kafka_stream_reader,
+)
+
+
+def test_stream_reader_options(spark):
+    opts = kafka_stream_options("broker:9092", "events")
+    assert opts["subscribe"] == "events"
+    assert opts["maxOffsetsPerTrigger"] == "10000"
+    for k, v in DEFAULTS.items():
+        assert opts[k] == v
+    schema = StructType([StructField("x", LongType())])
+    reader, _ = kafka_stream_reader(spark, "broker:9092", "events", schema)
+    assert reader is not None  # configured, never load()ed (no broker)
+
+
+def test_decode_matches_reference_convention(spark):
+    """decode == from_json(value.cast string, schema).select(d.*) — applied
+    to a local frame shaped like Kafka output (value binary)."""
+    schema = StructType(
+        [StructField("x", LongType()), StructField("s", StringType())]
+    )
+    raw = spark.createDataFrame(
+        [(bytearray(b'{"x": 7, "s": "ok"}'),), (bytearray(b"not json"),)],
+        "value binary",
+    )
+    _, decode = kafka_stream_reader(spark, "b:9092", "t", schema)
+    rows = decode(raw).collect()
+    assert ({(r.x, r.s) for r in rows}) == {(7, "ok"), (None, None)}
+
+
+def test_sink_payload_convention(spark):
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    writer = kafka_sink(df, "b:9092", "out", key_col="id")
+    # the writer is configured but never started (no broker); check the
+    # payload projection feeding it instead
+    payload = df.select(
+        F.col("id").cast("string").alias("key"),
+        F.to_json(F.struct("id", "name")).alias("value"),
+    ).first()
+    assert payload.key == "1" and '"name":"a"' in payload.value
+    assert writer is not None

@@ -1,0 +1,28 @@
+"""T9 multi-query lifecycle mechanics: concurrent queries, listener events,
+bronze/source parity (the oracle harness covers the silver values)."""
+
+from __future__ import annotations
+
+import time
+
+from stockmarket_bigdata_project_spark.catalog import load_table
+from stockmarket_bigdata_project_spark.streaming.lifecycle import (
+    run_concurrent_bronze_silver,
+)
+
+
+def test_concurrent_queries_and_listener(spark, sf_dir):
+    bronze, silver, listener = run_concurrent_bronze_silver(spark, sf_dir)
+    # bronze raw append preserved every source row exactly once
+    assert bronze.count() == load_table(spark, sf_dir, "events").count()
+    assert silver.count() > 0
+    # listener saw both queries start and progress (push-based monitor, T9)
+    assert "bronze_raw" in listener.started
+    assert "silver_agg_t9" in listener.started
+    names_progressed = {n for n, _ in listener.progressed}
+    assert {"bronze_raw", "silver_agg_t9"} <= names_progressed
+    # termination events are delivered asynchronously
+    deadline = time.time() + 15
+    while len(listener.terminated) < 2 and time.time() < deadline:
+        time.sleep(0.2)
+    assert len(listener.terminated) >= 2
