@@ -23,6 +23,7 @@ _MODULE_PATHS = [
     "operators.aggregates",
     "operators.timeseries",
     "operators.joins",
+    "operators.skew",
     "sources.readers",
     "sources.sinks",
     "functions.scalar",

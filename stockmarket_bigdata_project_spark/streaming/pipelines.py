@@ -240,6 +240,46 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- extension: stream-stream join (absent from the reference) --------------
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join: 'click' events matched to the
+    same user's 'purchase' events within the following hour. Both sides carry
+    watermarks and the join condition time-bounds the buffered state
+    (Spark's requirement for state cleanup in stream-stream joins). With a
+    full availableNow replay every qualifying pair is eventually emitted, so
+    the oracle is the plain SQL range join — streaming buffering semantics
+    checked value-level."""
+    left = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", WATERMARK)
+    )
+    right = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", WATERMARK)
+    )
+    joined = left.join(
+        right,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts", "purchase_value")
+    return _run_to_memory(joined, "append")
+
+
 # --- extension: streaming dedup within watermark -----------------------------
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicatesWithinWatermark on event_id — the streaming exactly-once
@@ -261,6 +301,7 @@ QUERIES = {
     "streaming_sliding_window": streaming_sliding_window,
     "streaming_session_window": streaming_session_window,
     "streaming_static_join": streaming_static_join,
+    "streaming_stream_stream_join": streaming_stream_stream_join,
     "streaming_dedup": streaming_dedup,
 }
 
@@ -327,6 +368,18 @@ HAVING max(ts) + INTERVAL '30 minutes'
     "streaming_static_join": """
 SELECT e.event_id, e.user_id, e.ts, e.event_type, e.value, c.c_name, c.c_mktsegment
 FROM events e JOIN customer c ON c.c_custkey = e.user_id
+""",
+    # inner stream-stream join over a full replay emits every qualifying
+    # pair (watermarks only bound buffered state; time-ordered slices keep
+    # cross-batch matches inside the 1h horizon alive) → plain range join
+    "streaming_stream_stream_join": """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+       c.ts AS click_ts, p.ts AS purchase_ts, p.value AS purchase_value
+FROM events c
+JOIN events p
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL '1 hour'
 """,
     "streaming_dedup": """
 SELECT event_id, user_id, event_type, value FROM events

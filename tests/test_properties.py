@@ -1,0 +1,95 @@
+"""Property checks (SURVEY §5.2(5)) + promised cross-query invariants.
+
+These pin relationships BETWEEN queries that the per-query oracle can't see:
+approximate paths vs their exact baselines, algebraic row-count laws, and
+checkpoint-recovery exactly-once.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pyspark.sql.functions as F
+
+from stockmarket_bigdata_project_spark.catalog import load_table
+from stockmarket_bigdata_project_spark.llmdata import dedup as D
+from stockmarket_bigdata_project_spark.llmdata import similarity as S
+
+
+def test_ivf_recall_against_bruteforce(spark, sf_dir):
+    """IVF with nprobe=4 of 8 buckets must recover most of the exact top-k
+    (it's approximate by design — the floor pins quality regressions)."""
+    exact = {
+        (r.query_id, r.cand_id) for r in S.knn_bruteforce(spark, sf_dir).collect()
+    }
+    approx = {(r.query_id, r.cand_id) for r in S.knn_ivf(spark, sf_dir).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall collapsed: {recall:.2f}"
+
+
+def test_lsh_candidates_superset_of_high_jaccard(spark, sf_dir):
+    """Every pair the brute-force path scores above threshold must also be
+    caught by the LSH path when it shares a full band (the planted near-dups
+    in testdata are near-identical, so band collision is certain)."""
+    brute = {
+        (r.doc_a, r.doc_b)
+        for r in D.ngram_jaccard_pairs(spark, sf_dir).filter("jaccard >= 0.8").collect()
+    }
+    lsh = {(r.doc_a, r.doc_b) for r in D.minhash_lsh_pairs(spark, sf_dir).collect()}
+    assert brute <= lsh
+
+
+def test_explode_rowcount_law(spark, sf_dir):
+    """|explode(tokens)| == sum(size(tokens)) — the table-generating op
+    neither invents nor drops rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("t"))
+    total = toks.select(F.sum(F.size("t"))).collect()[0][0]
+    exploded = toks.select(F.explode("t")).count()
+    assert exploded == total
+
+
+def test_left_join_fillna_preserves_left_count(spark, sf_dir):
+    """left ⟕ right + fillna keeps exactly the left cardinality when the
+    right side is unique per key (the gold-build invariant)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").count()
+    joined = c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left").na.fill(0)
+    assert joined.count() == c.count()
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """T5: stop a stream mid-corpus, add more files, restart with the SAME
+    checkpoint — the sink must hold every row exactly once (no reprocessing
+    of committed batches, no loss)."""
+    src, sink, chk = tmp_path / "src", tmp_path / "sink", tmp_path / "chk"
+
+    def write_slice(offset):
+        spark.range(offset, offset + 100).selectExpr(
+            "id", "id * 2 AS doubled"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        time.sleep(1.05)
+
+    def run_once():
+        q = (
+            spark.readStream.schema("id long, doubled long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(chk))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_slice(0)
+    write_slice(100)
+    run_once()  # processes rows 0..199, commits offsets
+    write_slice(200)
+    run_once()  # must process ONLY rows 200..299
+    got = spark.read.parquet(str(sink))
+    assert got.count() == 300
+    assert got.select("id").distinct().count() == 300
+    assert got.agg(F.sum("doubled")).collect()[0][0] == sum(2 * i for i in range(300))
