@@ -1,0 +1,128 @@
+"""Medallion end-to-end feature pipeline (SURVEY §7.0 `features.py`).
+
+The reference's full data path is a three-layer cascade
+(reddit_pipeline.py:169-189 → build_training_dataset.py:41-64):
+
+  bronze  raw events (Kafka JSON → rows)
+  silver  15-minute windowed features per key    [A1]
+  gold    daily rollup of the silver windows joined to the daily fact
+          table, null-filled                     [A3 + J2]
+
+This module chains all three as ONE declarative plan, which is the point:
+Catalyst sees the whole lineage, pushes the needed columns into the bronze
+scan, and fuses the silver→gold reaggregation into two hash-agg stages. The
+two-level reaggregation preserves the reference's avg-of-avgs semantics
+(daily avg_value = unweighted mean of the 15-min averages — documented
+quirk, SURVEY §7.2d).
+
+Scale notes: silver and gold aggregate over the same key prefix
+(user_id), so AQE reuses the partitioning; the daily activity side is tiny
+and broadcast. The streaming twin of the silver layer is
+streaming/pipelines.streaming_window_counts — same window spec, so batch
+and stream share semantics by construction.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+
+
+def silver_15m_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silver: the batch twin of the streaming 15-min windowed agg (A1)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "15 minutes").alias("win"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "user_id",
+            "n_events",
+            "avg_value",
+            "sum_value",
+            "max_value",
+        )
+    )
+
+
+def medallion_e2e_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gold: daily rollup of the silver windows ⟕ customer daily order
+    totals, null-filled — the complete reference pipeline in one plan."""
+    silver = silver_15m_features(spark, sf_dir)
+    daily_features = (
+        silver.groupBy(
+            F.to_date("window_start").alias("day"), "user_id"
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            # avg-of-avgs: reference semantics (unweighted), kept + documented
+            F.round(F.avg("avg_value"), 6).alias("avg_value"),
+            F.round(F.sum("sum_value"), 2).alias("sum_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+    orders_daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("order_total"))
+    )
+    return (
+        daily_features.join(orders_daily, ["user_id", "day"], "left")
+        .na.fill({"order_total": 0.0})
+        .select(
+            "user_id", "day", "n_events", "avg_value", "sum_value",
+            "max_value", "order_total",
+        )
+    )
+
+
+QUERIES = {
+    "silver_15m_features": silver_15m_features,
+    "medallion_e2e_daily": medallion_e2e_daily,
+}
+
+_SILVER_SQL = """
+silver AS (
+  SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start, user_id,
+         count(*) AS n_events, round(avg(value), 6) AS avg_value,
+         round(sum(value), 2) AS sum_value, max(value) AS max_value
+  FROM events GROUP BY 1, 2
+)
+"""
+
+ORACLE = {
+    "silver_15m_features": f"""
+WITH {_SILVER_SQL.strip()}
+SELECT window_start, user_id, n_events, avg_value, sum_value, max_value
+FROM silver
+""",
+    "medallion_e2e_daily": f"""
+WITH {_SILVER_SQL.strip()},
+daily AS (
+  SELECT CAST(window_start AS DATE) AS day, user_id,
+         sum(n_events) AS n_events,
+         round(avg(avg_value), 6) AS avg_value,
+         round(sum(sum_value), 2) AS sum_value,
+         max(max_value) AS max_value
+  FROM silver GROUP BY 1, 2
+),
+od AS (
+  SELECT o_custkey AS user_id, CAST(o_orderdate AS DATE) AS day,
+         round(sum(o_totalprice), 2) AS order_total
+  FROM orders GROUP BY 1, 2
+)
+SELECT d.user_id, d.day, d.n_events, d.avg_value, d.sum_value, d.max_value,
+       coalesce(o.order_total, 0.0) AS order_total
+FROM daily d LEFT JOIN od o USING (user_id, day)
+""",
+}

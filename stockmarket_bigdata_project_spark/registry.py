@@ -24,6 +24,8 @@ _MODULE_PATHS = [
     "operators.timeseries",
     "operators.joins",
     "operators.skew",
+    "operators.finance",
+    "operators.features",
     "sources.readers",
     "sources.sinks",
     "functions.scalar",
