@@ -26,6 +26,7 @@ _MODULE_PATHS = [
     "operators.skew",
     "operators.finance",
     "operators.features",
+    "operators.sketches",
     "sources.readers",
     "sources.sinks",
     "functions.scalar",
