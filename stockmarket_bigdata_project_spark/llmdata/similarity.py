@@ -153,6 +153,76 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_PLANES = 32  # 8 bands × 4 bits
+LSH_BANDS = 8
+BITS_PER_BAND = 4
+
+
+def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH near-dup (the scale path for
+    embedding_near_dup_pairs, which is O(n²)): sign-of-dot-product bits
+    against N_PLANES deterministic pseudo-random ±1 hyperplanes, banded
+    8×4; candidate pairs collide in ≥1 band, then exact cosine verifies.
+
+    Hyperplane h_p[d] = ±1 from F.hash(p, d) — fully engine-side, no
+    randomness, no Python. Linear shuffle (bucket join), recall vs the
+    brute-force baseline pinned in tests/test_properties.py."""
+    e = _emb(spark, sf_dir)
+    # bit p = dot(vec, h_p) >= 0, via SUM over transform with hash-derived sign
+    bits = [
+        (
+            F.aggregate(
+                F.transform(
+                    "vec",
+                    lambda x, i: x
+                    * (F.pmod(F.hash(F.lit(p), i), F.lit(2)) * 2 - 1).cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            >= 0
+        ).cast("int").alias(f"b{p}")
+        for p in range(N_PLANES)
+    ]
+    sigs = e.select("vec_id", "vec", *bits)
+    bands = []
+    for band in range(LSH_BANDS):
+        cols = [f"b{band * BITS_PER_BAND + j}" for j in range(BITS_PER_BAND)]
+        bands.append(
+            sigs.select(
+                "vec_id",
+                F.lit(band).alias("band"),
+                F.concat_ws("", *cols).alias("sig"),
+            )
+        )
+    all_bands = bands[0]
+    for b in bands[1:]:
+        all_bands = all_bands.unionByName(b)
+    l, r = all_bands.alias("l"), all_bands.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.sig") == F.col("r.sig"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(F.col("l.vec_id").alias("vec_a"), F.col("r.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    va = e.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
+    vb = e.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
+    return (
+        cands.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(_cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.40)
+    )
+
+
 def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean-vector (centroid) per label + each vector's cosine to its own
     label centroid — the 'cluster cohesion' diagnostic of an embedding table."""
@@ -187,6 +257,7 @@ QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "knn_ivf": knn_ivf,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
+    "embedding_lsh_near_dup": embedding_lsh_near_dup,
     "label_centroid_similarity": label_centroid_similarity,
 }
 

@@ -29,6 +29,7 @@ _MODULE_PATHS = [
     "operators.sketches",
     "sources.readers",
     "sources.sinks",
+    "sources.bucketing",
     "functions.scalar",
     "functions.text",
     "ml",
@@ -36,6 +37,7 @@ _MODULE_PATHS = [
     "streaming.lifecycle",
     "llmdata.dedup",
     "llmdata.similarity",
+    "llmdata.clustering",
     "llmdata.textstats",
     "llmdata.multimodal",
 ]

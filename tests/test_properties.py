@@ -39,6 +39,21 @@ def test_lsh_candidates_superset_of_high_jaccard(spark, sf_dir):
     assert brute <= lsh
 
 
+def test_hyperplane_lsh_recall(spark, sf_dir):
+    """The banded hyperplane LSH must recover most true near-dup pairs
+    (approximate by design; the floor pins recall regressions)."""
+    exact = {
+        (r.vec_a, r.vec_b) for r in S.embedding_near_dup_pairs(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.vec_a, r.vec_b) for r in S.embedding_lsh_near_dup(spark, sf_dir).collect()
+    }
+    assert approx <= exact  # verification step guarantees no false positives
+    if exact:
+        recall = len(approx) / len(exact)
+        assert recall >= 0.5, f"hyperplane LSH recall collapsed: {recall:.2f}"
+
+
 def test_explode_rowcount_law(spark, sf_dir):
     """|explode(tokens)| == sum(size(tokens)) — the table-generating op
     neither invents nor drops rows."""
