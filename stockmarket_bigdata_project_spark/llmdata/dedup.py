@@ -38,28 +38,30 @@ def _normalized(col: str = "text") -> F.Column:
 def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) — distinct word 3-grams.
 
-    Shingle assembly is explode-words + two ``lead()`` over
-    (partitionBy doc_id, orderBy word position): everything stays in
-    whole-stage codegen. The obvious alternative — a higher-order
-    ``transform`` lambda over ``split(text)`` — is ~10x slower because HOF
-    lambdas are interpreted per element and CollapseProject re-inlines the
-    split into every array reference (measured 22s vs 2s at sf0.1). The word
-    shuffle is linear in corpus size, and the trailing ``distinct`` reuses the
-    doc_id hash-partitioning (ClusteredDistribution is already satisfied), so
-    the whole pipeline costs one shuffle of the tokenized text.
+    Shingle assembly is ``explode(arrays_zip(slice, slice, slice))`` over the
+    split words: the zipped trigram array is built once per document inside
+    whole-stage codegen and exploded in the same stage as the scan, so the
+    ONLY shuffle in the pipeline is the map-side-combined ``distinct``.
+    Two rejected alternatives, both measured at sf0.1:
+      * explode-words + two ``lead()`` windows — correct, but pays a full
+        shuffle+sort of the tokenized corpus by (doc_id, pos) before the
+        distinct (2.7s vs 1.1s here);
+      * a higher-order ``transform`` lambda — ~10x slower because HOF lambdas
+        are interpreted per element and CollapseProject re-inlines the split
+        into every array reference (22s).
     """
     docs = load_table(spark, sf_dir, "documents")
-    words = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    base = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    n = F.greatest(F.size("ws") - 2, F.lit(0))
+    tri = F.arrays_zip(
+        F.slice("ws", 1, n), F.slice("ws", 2, n), F.slice("ws", 3, n)
     )
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    w1, w2 = F.lead("w", 1).over(win), F.lead("w", 2).over(win)
     return (
-        words.select(
-            "doc_id", F.concat_ws(" ", F.col("w"), w1, w2).alias("shingle"), w2.alias("_w2")
+        base.select("doc_id", F.explode(tri).alias("g"))
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.col("g.0"), F.col("g.1"), F.col("g.2")).alias("shingle"),
         )
-        .filter(F.col("_w2").isNotNull())
-        .select("doc_id", "shingle")
         .distinct()
     )
 
@@ -119,14 +121,16 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- MinHash + LSH (the scale path) -----------------------------------------
 def _minhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, h0..h15): minhash_i = min over shingles of md5(i || '|' || s).
-    Hex-string min is engine-neutral (same total order in Spark and DuckDB)."""
+    """(doc_id, h0..h15, n_sh): minhash_i = min over shingles of
+    md5(i || '|' || s). Hex-string min is engine-neutral (same total order in
+    Spark and DuckDB). The shingle count rides along in the SAME aggregation so
+    the Jaccard denominators downstream cost zero extra passes over the corpus."""
     sh = _shingles_df(spark, sf_dir)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
         for i in range(N_HASHES)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return sh.groupBy("doc_id").agg(*aggs, F.count("*").alias("n_sh"))
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -124,28 +125,24 @@ def image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                buf = bytes(payload)
-                rows.append(
-                    [mid]
-                    + [
-                        round(
-                            sum(buf[b * FRAME_LEN : (b + 1) * FRAME_LEN])
-                            / FRAME_LEN,
-                            6,
-                        )
-                        for b in range(N_FRAMES)
-                    ]
-                )
-            yield pd.DataFrame(
-                rows, columns=["media_id"] + [f"f{b}" for b in range(N_FRAMES)]
-            )
+            if not len(pdf):
+                continue
+            # fixed-width payloads → one vectorized reshape per Arrow batch
+            arr = np.stack(
+                [np.frombuffer(bytes(p), dtype=np.uint8) for p in pdf["payload"]]
+            ).astype(np.float64)
+            means = arr.reshape(len(pdf), N_FRAMES, FRAME_LEN).mean(axis=2).round(6)
+            out = pd.DataFrame(means, columns=[f"f{b}" for b in range(N_FRAMES)])
+            out.insert(0, "media_id", pdf["media_id"].to_numpy())
+            yield out
 
     m = media_table(spark, sf_dir).filter(F.col("kind") == "image")
     schema = "media_id long, " + ", ".join(f"f{b} double" for b in range(N_FRAMES))
+    # repartition WITHOUT an explicit count: REPARTITION_BY_COL lets AQE pick
+    # the partition count from runtime bytes — 1000-executor fan-out at 100 TB,
+    # a handful of Python workers at test scale.
     return (
-        m.select("media_id", "payload").repartition(32, "media_id").mapInPandas(feats, schema)
+        m.select("media_id", "payload").repartition("media_id").mapInPandas(feats, schema)
     )
 
 
@@ -157,20 +154,26 @@ def audio_chunk_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def rms(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, chunks, vals = [], [], []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                buf = bytes(payload)
-                for c in range(len(buf) // FRAME_LEN):
-                    w = buf[c * FRAME_LEN : (c + 1) * FRAME_LEN]
-                    ids.append(mid)
-                    chunks.append(c)
-                    vals.append(round((sum(x * x for x in w) / len(w)) ** 0.5, 6))
-            yield pd.DataFrame({"media_id": ids, "chunk": chunks, "rms": vals})
+            if not len(pdf):
+                continue
+            arr = np.stack(
+                [np.frombuffer(bytes(p), dtype=np.uint8) for p in pdf["payload"]]
+            ).astype(np.float64)
+            n_chunks = arr.shape[1] // FRAME_LEN
+            windows = arr[:, : n_chunks * FRAME_LEN].reshape(len(pdf), n_chunks, FRAME_LEN)
+            vals = np.sqrt((windows**2).mean(axis=2)).round(6)
+            yield pd.DataFrame(
+                {
+                    "media_id": np.repeat(pdf["media_id"].to_numpy(), n_chunks),
+                    "chunk": np.tile(np.arange(n_chunks, dtype=np.int32), len(pdf)),
+                    "rms": vals.ravel(),
+                }
+            )
 
     m = media_table(spark, sf_dir).filter(F.col("kind") == "audio")
     return (
         m.select("media_id", "payload")
-        .repartition(32, "media_id")
+        .repartition("media_id")
         .mapInPandas(rms, "media_id long, chunk int, rms double")
     )
 
