@@ -146,19 +146,27 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
        band → distinct candidate pairs → verify true Jaccard ≥ τ.
     Every step is an equi-shuffle; nothing is quadratic in corpus size."""
     mh = _minhash_df(spark, sf_dir)
-    bands = []
-    for band in range(N_HASHES // BAND_SIZE):
-        cols = [f"h{band * BAND_SIZE + j}" for j in range(BAND_SIZE)]
-        bands.append(
-            mh.select(
-                "doc_id",
+    # All bands in ONE pass over the signature matrix: explode an array of
+    # (band, sig) structs instead of a 4-way union — the union form recomputes
+    # the whole shingle→minhash pipeline once per band AND once per self-join
+    # side; the explode form makes both join inputs byte-identical subplans so
+    # ReuseExchange materializes the band table once (measured 6.9s → see
+    # PERFORMANCE.md).
+    band_structs = F.array(
+        *[
+            F.struct(
                 F.lit(band).alias("band"),
-                F.concat_ws("", *cols).alias("sig"),
+                F.concat_ws(
+                    "",
+                    *[f"h{band * BAND_SIZE + j}" for j in range(BAND_SIZE)],
+                ).alias("sig"),
             )
-        )
-    all_bands = bands[0]
-    for bdf in bands[1:]:
-        all_bands = all_bands.unionByName(bdf)
+            for band in range(N_HASHES // BAND_SIZE)
+        ]
+    )
+    all_bands = mh.select("doc_id", F.explode(band_structs).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
     l = all_bands.alias("l")
     r = all_bands.alias("r")
     candidates = (
@@ -193,6 +201,101 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("jaccard", F.round(jac, 6))
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --- dup-group resolution: distributed connected components ------------------
+_CC_MAX_ITER = 25
+
+
+def minhash_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, component) for every doc in ≥1 verified LSH pair; component =
+    min doc_id transitively reachable (the canonical survivor of the group).
+
+    Near-dup pairs are not transitive (A~B, B~C does not imply A~C), so a real
+    dedup pipeline must resolve the pair graph into clusters before it can pick
+    survivors. This is iterative min-label propagation — the DataFrame form of
+    connected components (cf. the large-star/small-star formulation of
+    Kiveris et al., "Connected Components in MapReduce and Beyond"):
+
+      * each iteration is one equi-join (labels onto edge endpoints) + one
+        min-aggregation — shuffle-linear in |edges|, nothing quadratic;
+      * iterations needed = graph diameter, and near-dup clusters are
+        shallow (dozens of docs, diameter ≲ 3), not web-graph-deep;
+      * ``localCheckpoint`` truncates lineage each round so the plan does not
+        grow with the iteration count (same idiom as clustering.kmeans_fit);
+      * only (doc_id, component) pairs cross iterations — never documents.
+
+    The driver's correctness gate covers this via a DuckDB recursive-CTE
+    oracle (transitive closure), so the iterative path is value-checked, not
+    rows-only. Replaces the reference's nothing — it has no dedup at all;
+    this is the north-star LLM-data extension (BASELINE.json).
+    """
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select("doc_b", "doc_a"))
+        .toDF("src", "dst")
+        .localCheckpoint()
+    )
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("m"))
+        .select(
+            F.col("src").alias("doc_id"),
+            F.least("src", "m").alias("component"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(_CC_MAX_ITER):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"), F.col("component").alias("c")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("c").alias("nc"))
+            .select(F.col("src").alias("doc_id"), "nc")
+        )
+        new_labels = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "component", F.coalesce("nc", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        converged = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if converged:
+            break
+    return labels
+
+
+def minhash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: one row per component with its size."""
+    comp = minhash_dup_components(spark, sf_dir)
+    return comp.groupBy(F.col("component").alias("canonical_doc_id")).agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+def minhash_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dedup'd corpus: drop every non-canonical member of a
+    component (anti-join — the documents themselves are never shuffled)."""
+    comp = minhash_dup_components(spark, sf_dir)
+    losers = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
     )
 
 
@@ -236,6 +339,9 @@ QUERIES = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
+    "minhash_dup_components": minhash_dup_components,
+    "minhash_dup_groups": minhash_dup_groups,
+    "minhash_dedup_survivors": minhash_dedup_survivors,
     "simhash_signatures": simhash_signatures,
     "simhash_dup_groups": simhash_dup_groups,
 }
@@ -289,6 +395,52 @@ JOIN counts cb ON cb.doc_id = i.doc_b
 WHERE i.n_inter * 1.0 / (ca.n_sh + cb.n_sh - i.n_inter) >= {JACCARD_THRESHOLD}
 """
 
+# Verified pairs + transitive closure (recursive CTE) — the oracle for the
+# iterative connected-components path. `reach` is seeded with the directed
+# edge set (both directions), so min(dst) over reach ∪ {src} is exactly the
+# min doc_id in src's component.
+_COMPONENTS_SQL = f"""
+jcounts AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+jinter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+  FROM pairs p
+  JOIN shingles a ON a.doc_id = p.doc_a
+  JOIN shingles b ON b.doc_id = p.doc_b AND b.sh = a.sh
+  GROUP BY p.doc_a, p.doc_b
+),
+jpairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM jinter i
+  JOIN jcounts ca ON ca.doc_id = i.doc_a
+  JOIN jcounts cb ON cb.doc_id = i.doc_b
+  WHERE i.n_inter * 1.0 / (ca.n_sh + cb.n_sh - i.n_inter) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jpairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM jpairs
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+),
+comps AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS component
+  FROM reach GROUP BY src
+)
+"""
+
+_CC_CHAIN = f"""WITH RECURSIVE {_SHINGLES_SQL.strip()},
+{_MINHASH_SQL},
+{_BANDS_SQL},
+pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+),
+{_COMPONENTS_SQL.strip()}"""
+
 ORACLE = {
     "dedup_exact": """
 SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS text_hash,
@@ -335,5 +487,20 @@ pairs AS (
     ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
 ),
 {_JACCARD_TAIL.strip()}
+""",
+    "minhash_dup_components": f"""
+{_CC_CHAIN}
+SELECT doc_id, component FROM comps
+""",
+    "minhash_dup_groups": f"""
+{_CC_CHAIN}
+SELECT component AS canonical_doc_id, count(*) AS n_docs
+FROM comps GROUP BY component
+""",
+    "minhash_dedup_survivors": f"""
+{_CC_CHAIN}
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM comps WHERE doc_id != component)
 """,
 }

@@ -108,3 +108,41 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     assert got.count() == 300
     assert got.select("id").distinct().count() == 300
     assert got.agg(F.sum("doubled")).collect()[0][0] == sum(2 * i for i in range(300))
+
+
+def test_dup_components_match_union_find(spark, sf_dir):
+    """The iterative label-propagation components must equal a driver-side
+    union-find over the same verified pair set (pins transitivity: A~B, B~C
+    ⇒ same component even when A~C was never a pair)."""
+    pairs = [(r.doc_a, r.doc_b) for r in D.minhash_lsh_pairs(spark, sf_dir).collect()]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min member, matching the engine's min-propagation
+    members: dict[int, list[int]] = {}
+    for x in parent:
+        members.setdefault(find(x), []).append(x)
+    expected = {x: min(members[find(x)]) for x in parent}
+    got = {
+        r.doc_id: r.component
+        for r in D.minhash_dup_components(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_dedup_survivors_partition_corpus(spark, sf_dir):
+    """survivors + dropped non-canonicals = whole corpus, disjointly."""
+    docs = load_table(spark, sf_dir, "documents").count()
+    comp = D.minhash_dup_components(spark, sf_dir)
+    dropped = comp.filter(F.col("doc_id") != F.col("component")).count()
+    survivors = D.minhash_dedup_survivors(spark, sf_dir).count()
+    assert survivors + dropped == docs
