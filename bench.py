@@ -35,6 +35,7 @@ HEADLINE = [
     "extract_tickers_v2",
     "predict_returns",
     "minhash_lsh_pairs",
+    "corpus_clean",
     "knn_bruteforce",
     "dedup_exact",
     "lang_id_scores",

@@ -1,0 +1,136 @@
+"""End-to-end training-corpus curation pipeline (north-star extension):
+quality filter → exact dedup → near-dedup cluster resolution, composed into
+one declarative plan — the flagship "clean the corpus" query every LLM data
+pipeline runs before tokenization.
+
+Composition, not re-implementation: quality comes from textstats.quality
+expressions, exact survivorship from dedup's normalized-hash window, near-dup
+survivorship from the connected-components resolution over verified LSH
+pairs. Catalyst sees the whole thing as one plan: the documents scan is
+shared, filters are pushed down, and the two survivor checks are anti-joins
+on (doc_id) — the corpus text itself is never shuffled by the dedup steps.
+
+At 100 TB: the quality filter is a map-side projection (no shuffle); exact
+dedup shuffles (hash, doc_id) pairs only; near-dedup shuffles shingle tokens
+once plus the tiny pair graph. The expensive text column is dropped before
+the first exchange.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import load_table
+from .dedup import _CC_CHAIN, _normalized, minhash_dup_components
+
+QUALITY_MIN = 0.5
+
+
+def _quality_cols() -> dict[str, F.Column]:
+    """The textstats quality expressions, inlined so the pipeline is one
+    plan over one documents scan (same formulas as quality_scores — pinned
+    against each other in tests)."""
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    n_chars = F.length("text")
+    avg_tok_len = (n_chars - (n_tokens - 1)) / n_tokens
+    stop = F.size(
+        F.filter(toks, lambda t: t.isin(F.lit("the"), F.lit("a"), F.lit("of"), F.lit("and")))
+    )
+    stop_ratio = stop / n_tokens
+    score = F.when(n_tokens < 10, 0.0).otherwise(
+        F.round(
+            0.5 * F.least(F.lit(1.0), n_tokens / F.lit(200.0))
+            + 0.3 * (1 - stop_ratio)
+            + 0.2 * F.least(F.lit(1.0), avg_tok_len / F.lit(8.0)),
+            6,
+        )
+    )
+    return {"n_tokens": n_tokens, "quality_score": score}
+
+
+def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curated corpus: docs passing the quality floor, surviving exact
+    dedup (min doc_id per normalized text) AND near-dedup (canonical member
+    of their LSH component, or not in any component)."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = _quality_cols()
+    exact_keep = F.min("doc_id").over(Window.partitionBy(F.md5(_normalized())))
+    base = (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            q["n_tokens"].alias("n_tokens"),
+            q["quality_score"].alias("quality_score"),
+            (F.col("doc_id") == exact_keep).alias("_exact_keep"),
+        )
+        .filter(F.col("quality_score") >= QUALITY_MIN)
+        .filter("_exact_keep")
+        .drop("_exact_keep")
+    )
+    near_losers = (
+        minhash_dup_components(spark, sf_dir)
+        .filter(F.col("doc_id") != F.col("component"))
+        .select("doc_id")
+    )
+    return base.join(near_losers, "doc_id", "left_anti")
+
+
+def corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the pipeline reports: per-source kept-doc counts and token mass
+    of the curated corpus (the number that decides a training run's size)."""
+    clean = corpus_clean(spark, sf_dir)
+    return clean.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+    )
+
+
+QUERIES = {
+    "corpus_clean": corpus_clean,
+    "corpus_clean_stats": corpus_clean_stats,
+}
+
+_CLEAN_SQL = f"""
+quality AS (
+  SELECT doc_id, lang, source,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         CASE WHEN len(string_split(text, ' ')) < 10 THEN 0.0
+              ELSE round(0.5 * least(1.0, len(string_split(text, ' ')) / 200.0)
+                       + 0.3 * (1 - len(list_filter(string_split(text, ' '),
+                                    t -> t IN ('the', 'a', 'of', 'and'))) * 1.0
+                                    / len(string_split(text, ' ')))
+                       + 0.2 * least(1.0, ((length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+                                    / len(string_split(text, ' '))) / 8.0), 6)
+         END AS quality_score,
+         min(doc_id) OVER (
+           PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+         ) AS exact_keeper
+  FROM documents
+),
+clean AS (
+  SELECT doc_id, lang, source, n_tokens, quality_score
+  FROM quality
+  WHERE quality_score >= {QUALITY_MIN}
+    AND doc_id = exact_keeper
+    AND doc_id NOT IN (SELECT doc_id FROM comps WHERE doc_id != component)
+)
+"""
+
+ORACLE = {
+    "corpus_clean": f"""
+{_CC_CHAIN},
+{_CLEAN_SQL.strip()}
+SELECT doc_id, lang, source, n_tokens, quality_score FROM clean
+""",
+    "corpus_clean_stats": f"""
+{_CC_CHAIN},
+{_CLEAN_SQL.strip()}
+SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+       round(avg(quality_score), 4) AS avg_quality
+FROM clean GROUP BY source
+""",
+}

@@ -165,6 +165,38 @@ def interval_join_48h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- theta (band) join -------------------------------------------------------
+PRICE_TIERS = [
+    ("budget", 0.0, 50_000.0),
+    ("mid", 50_000.0, 150_000.0),
+    ("premium", 150_000.0, 300_000.0),
+    ("luxury", 300_000.0, 600_000.0),
+]
+
+
+def band_join_order_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join against a small band dimension: classify each order into
+    an (unequal-width) price tier via `lo <= price < hi`.
+
+    The complementary range-join strategy to interval_join_48h: when the
+    range side is a HANDFUL of bands, broadcast nested-loop IS the right
+    plan — each fact row tests 4 predicates map-side, the fact table never
+    shuffles, and the only exchange is the final tier aggregation (4 groups).
+    Bucket expansion would pay an explode for nothing here. [extension]
+    """
+    o = load_table(spark, sf_dir, "orders")
+    tiers = spark.createDataFrame(PRICE_TIERS, "tier string, lo double, hi double")
+    j = o.join(
+        F.broadcast(tiers),
+        (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+    )
+    return j.groupBy("tier").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("tier_revenue"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_order_price"),
+    )
+
+
 # --- J6: as-of join ----------------------------------------------------------
 def _asof_sides(spark: SparkSession, sf_dir: str):
     o = load_table(spark, sf_dir, "orders")
@@ -266,6 +298,7 @@ QUERIES = {
     "cross_join_region_nation": cross_join_region_nation,
     "revenue_by_brand": revenue_by_brand,
     "interval_join_48h": interval_join_48h,
+    "band_join_order_tiers": band_join_order_tiers,
     "asof_join_prev_order": asof_join_prev_order,
     "asof_join_merge_pandas": asof_join_merge_pandas,
 }
@@ -316,6 +349,17 @@ SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
        count(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
+""",
+    "band_join_order_tiers": """
+WITH tiers(tier, lo, hi) AS (
+  VALUES ('budget', 0.0, 50000.0), ('mid', 50000.0, 150000.0),
+         ('premium', 150000.0, 300000.0), ('luxury', 300000.0, 600000.0)
+)
+SELECT tier, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS tier_revenue,
+       round(avg(o_totalprice), 4) AS avg_order_price
+FROM orders JOIN tiers ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY tier
 """,
     "interval_join_48h": """
 WITH anchors AS (

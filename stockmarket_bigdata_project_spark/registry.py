@@ -40,6 +40,7 @@ _MODULE_PATHS = [
     "llmdata.clustering",
     "llmdata.textstats",
     "llmdata.multimodal",
+    "llmdata.corpus",
 ]
 
 

@@ -146,3 +146,24 @@ def test_dedup_survivors_partition_corpus(spark, sf_dir):
     dropped = comp.filter(F.col("doc_id") != F.col("component")).count()
     survivors = D.minhash_dedup_survivors(spark, sf_dir).count()
     assert survivors + dropped == docs
+
+
+def test_corpus_clean_consistent_with_parts(spark, sf_dir):
+    """corpus_clean must equal the manual composition of its three parts:
+    quality floor (same formula as quality_scores), exact survivors, and
+    near-dedup survivors — pins the inlined quality expressions to the
+    textstats originals."""
+    from stockmarket_bigdata_project_spark.llmdata import corpus as C
+    from stockmarket_bigdata_project_spark.llmdata import textstats as T
+
+    quality_ok = {
+        r.doc_id
+        for r in T.quality_scores(spark, sf_dir)
+        .filter(F.col("quality_score") >= C.QUALITY_MIN)
+        .collect()
+    }
+    exact_keep = {r.doc_id for r in D.dedup_exact_survivors(spark, sf_dir).collect()}
+    near_keep = {r.doc_id for r in D.minhash_dedup_survivors(spark, sf_dir).collect()}
+    expected = quality_ok & exact_keep & near_keep
+    got = {r.doc_id for r in C.corpus_clean(spark, sf_dir).collect()}
+    assert got == expected
