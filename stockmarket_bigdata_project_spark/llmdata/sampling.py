@@ -1,0 +1,169 @@
+"""Deterministic sampling & splitting for training-data pipelines
+(north-star extension): hash-bucket sampling, train/val/test hash splits,
+stratified per-language rates, and domain-mixture rebalancing weights.
+
+Why hash sampling and not `df.sample()`: RNG sampling is not reproducible
+across engines, partitionings, or reruns — a training-data pipeline needs
+the SAME doc to land in the SAME split every run, on every cluster layout,
+or ablations are meaningless. Bucketing on md5(doc_id) gives exact
+reproducibility, is engine-neutral (value-level DuckDB oracle, not
+rows-only), and at 100 TB is a pure map-side filter: no shuffle, no state,
+pushes straight into the scan stage.
+
+Bucket = first 4 hex chars of md5(doc_id), compared LEXICOGRAPHICALLY:
+for fixed-width lowercase hex, string order equals numeric order, so a
+keep-rate r is simply `bucket_hex < hex(r · 65536)` — identical semantics
+in Spark and DuckDB with zero numeric conversion.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+
+# hex thresholds over the 16-bit bucket space (65536 buckets)
+SAMPLE_CUT = "4000"  # 16384/65536 = 25%
+VAL_CUT = "2000"  # 12.5%
+TEST_CUT = "4000"  # next 12.5%  (val < '2000' <= test < '4000')
+LANG_CUTS = {"en": "g", "es": "8000", "de": "4000"}  # 'g' > 'ffff' ⇒ keep all
+DEFAULT_CUT = "2000"
+
+
+def _bucket_hex() -> F.Column:
+    return F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+
+
+def hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 25% corpus sample: md5 hex bucket below the cut."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("bucket_hex", _bucket_hex())
+        .filter(F.col("bucket_hex") < SAMPLE_CUT)
+        .select("doc_id", "lang", "source", "bucket_hex")
+    )
+
+
+def hash_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: the split a doc lands in is
+    a pure function of its id — stable under reruns, repartitioning, and
+    corpus growth (new docs don't move old ones between splits)."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = _bucket_hex()
+    split = (
+        F.when(b < VAL_CUT, "val").when(b < TEST_CUT, "test").otherwise("train")
+    )
+    return docs.select("doc_id", "lang", split.alias("split"))
+
+
+def stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language keep-rates (downsample the over-represented languages)
+    — the stratified variant; the cut lookup is a CASE expression, so the
+    whole thing is still one map-side filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    cut = F.when(F.col("lang") == "en", LANG_CUTS["en"])
+    for lang in ("es", "de"):
+        cut = cut.when(F.col("lang") == lang, LANG_CUTS[lang])
+    cut = cut.otherwise(DEFAULT_CUT)
+    return (
+        docs.filter(_bucket_hex() < cut).select("doc_id", "lang", "source")
+    )
+
+
+def mixture_sampling_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing: given a uniform target mixture over
+    sources, the keep-rate per source is min(1, target_share / actual_share)
+    — the planning query behind 'rebalance the corpus to the target domain
+    mix' (cf. Pile/DoReMi-style domain weighting, computed exactly)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    total = per_src.agg(
+        F.sum("n_docs").alias("total"), F.count("*").alias("n_sources")
+    )
+    j = per_src.crossJoin(F.broadcast(total))
+    actual = F.col("n_docs") / F.col("total")
+    target = 1.0 / F.col("n_sources")
+    return j.select(
+        "source",
+        "n_docs",
+        F.round(actual, 6).alias("actual_share"),
+        F.round(F.least(F.lit(1.0), target / actual), 6).alias("keep_rate"),
+    )
+
+
+SHARD_TOKEN_BUDGET = 4096
+
+
+def token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign docs to fixed-token-budget output shards — the packing step
+    between curation and tokenization. Shard = floor(running token total /
+    budget) within (source, deterministic doc order).
+
+    Scale shape: ONE shuffle (partition by source) + a partition-local sort
+    for the cumulative window — no global ordering anywhere (a global
+    running sum would serialize the corpus through one task). Shard ids are
+    only unique per source, which is what a sharded writer wants anyway:
+    `partitionBy(source, shard)`."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " "))
+    w = Window.partitionBy("source").orderBy("doc_id")
+    cum = F.sum(toks).over(w)
+    return docs.select(
+        "doc_id",
+        "source",
+        toks.alias("n_tokens"),
+        F.floor((cum - 1) / SHARD_TOKEN_BUDGET).cast("int").alias("shard"),
+    )
+
+
+QUERIES = {
+    "hash_sample_docs": hash_sample_docs,
+    "hash_split_docs": hash_split_docs,
+    "stratified_hash_sample": stratified_hash_sample,
+    "mixture_sampling_rates": mixture_sampling_rates,
+    "token_budget_shards": token_budget_shards,
+}
+
+_B = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)"
+
+ORACLE = {
+    "hash_sample_docs": f"""
+SELECT doc_id, lang, source, {_B} AS bucket_hex
+FROM documents
+WHERE {_B} < '{SAMPLE_CUT}'
+""",
+    "hash_split_docs": f"""
+SELECT doc_id, lang,
+       CASE WHEN {_B} < '{VAL_CUT}' THEN 'val'
+            WHEN {_B} < '{TEST_CUT}' THEN 'test'
+            ELSE 'train' END AS split
+FROM documents
+""",
+    "stratified_hash_sample": f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {_B} < CASE lang WHEN 'en' THEN '{LANG_CUTS["en"]}'
+                       WHEN 'es' THEN '{LANG_CUTS["es"]}'
+                       WHEN 'de' THEN '{LANG_CUTS["de"]}'
+                       ELSE '{DEFAULT_CUT}' END
+""",
+    "token_budget_shards": f"""
+SELECT doc_id, source,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+       CAST(floor((sum(len(string_split(text, ' ')))
+                     OVER (PARTITION BY source ORDER BY doc_id) - 1)
+                  / {SHARD_TOKEN_BUDGET}) AS INTEGER) AS shard
+FROM documents
+""",
+    "mixture_sampling_rates": """
+WITH per_src AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+tot AS (SELECT sum(n_docs) AS total, count(*) AS n_sources FROM per_src)
+SELECT source, n_docs,
+       round(n_docs * 1.0 / total, 6) AS actual_share,
+       round(least(1.0, (1.0 / n_sources) / (n_docs * 1.0 / total)), 6) AS keep_rate
+FROM per_src CROSS JOIN tot
+""",
+}

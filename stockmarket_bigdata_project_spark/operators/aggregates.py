@@ -155,6 +155,24 @@ def rollup_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form cube/rollup specialize):
+    revenue by (priority, status), by priority alone, and the grand total —
+    but NOT by status alone, which neither cube nor rollup can express.
+    One pass over orders; Catalyst expands to a single Expand + hash agg."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM _orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), ())
+        """
+    )
+
+
 # --- [extension] pivot -------------------------------------------------------
 def pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot on a known value list (keeps the plan static — required at scale;
@@ -199,6 +217,7 @@ QUERIES = {
     "pricing_summary": pricing_summary,
     "cube_returnflag_status": cube_returnflag_status,
     "rollup_priority_status": rollup_priority_status,
+    "grouping_sets_revenue": grouping_sets_revenue,
     "pivot_event_values": pivot_event_values,
     "count_distinct_users": count_distinct_users,
     "approx_count_distinct_users": approx_count_distinct_users,
@@ -264,6 +283,12 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
+""",
+    "grouping_sets_revenue": """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
 """,
     "cube_returnflag_status": """
 SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty

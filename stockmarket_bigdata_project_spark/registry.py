@@ -41,6 +41,7 @@ _MODULE_PATHS = [
     "llmdata.textstats",
     "llmdata.multimodal",
     "llmdata.corpus",
+    "llmdata.sampling",
 ]
 
 
