@@ -504,3 +504,38 @@ FROM documents d
 WHERE d.doc_id NOT IN (SELECT doc_id FROM comps WHERE doc_id != component)
 """,
 }
+
+
+# SimHash oracle: the 16-bit shingle hash is the first 4 hex chars of
+# md5(shingle); bit b lives in hex digit 3 - b//4 at position b%4, and a
+# digit's value is its index in '0123456789abcdef' — pure string ops, so
+# the whole signature is engine-neutral SQL (no conv() needed).
+def _hexbit_sql(b: int) -> str:
+    digit = f"substring(md5(sh), {4 - b // 4}, 1)"
+    return f"(((strpos('0123456789abcdef', {digit}) - 1) >> {b % 4}) & 1)"
+
+
+_SIMHASH_SQL = (
+    "sims AS (\n  SELECT doc_id, count(*) AS n,\n    "
+    + ",\n    ".join(f"sum({_hexbit_sql(b)}) AS b{b}" for b in range(16))
+    + "\n  FROM shingles GROUP BY doc_id\n),\n"
+    "sigs AS (\n  SELECT doc_id, "
+    + " + ".join(
+        f"(CASE WHEN b{b} * 2 > n THEN {1 << b} ELSE 0 END)" for b in range(16)
+    )
+    + " AS simhash\n  FROM sims\n)"
+)
+
+ORACLE["simhash_signatures"] = f"""
+WITH {_SHINGLES_SQL.strip()},
+{_SIMHASH_SQL}
+SELECT doc_id, CAST(simhash AS BIGINT) AS simhash FROM sigs
+"""
+
+ORACLE["simhash_dup_groups"] = f"""
+WITH {_SHINGLES_SQL.strip()},
+{_SIMHASH_SQL}
+SELECT CAST(simhash AS BIGINT) AS simhash, count(*) AS n_docs,
+       min(doc_id) AS canonical_doc_id
+FROM sigs GROUP BY simhash HAVING count(*) > 1
+"""

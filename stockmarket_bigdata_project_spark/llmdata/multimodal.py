@@ -251,4 +251,16 @@ SELECT media_id, (width // 2)::INT AS width, (height // 2)::INT AS height,
        md5(substring(payload_hex, 1, length(payload_hex) // 2)) AS payload_md5
 FROM media WHERE kind = 'image'
 """,
+    # rms over ASCII hex bytes: sum of squared char codes is exact in
+    # float64 (ints < 103² · 32), so sqrt(round 6) matches numpy bit-for-bit
+    "audio_chunk_rms": f"""
+WITH {_MEDIA_SQL}
+SELECT media_id, chunk::INT AS chunk,
+       round(sqrt(list_aggregate(list_transform(
+                string_split_regex(
+                  substring(payload_hex, chunk * {FRAME_LEN} + 1, {FRAME_LEN}), ''),
+                c -> ascii(c) * ascii(c)), 'sum') / {FRAME_LEN}.0), 6) AS rms
+FROM media, generate_series(0, {N_FRAMES - 1}) AS t(chunk)
+WHERE kind = 'audio'
+""",
 }
