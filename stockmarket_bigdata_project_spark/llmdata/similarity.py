@@ -225,21 +225,30 @@ def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean-vector (centroid) per label + each vector's cosine to its own
-    label centroid — the 'cluster cohesion' diagnostic of an embedding table."""
+    label centroid — the 'cluster cohesion' diagnostic of an embedding table.
+
+    Components are quantized to DECIMAL(20,6) before summing: decimal
+    addition is exact and associative, so the centroid is independent of
+    partition/accumulation order — the same value bit-for-bit on any
+    cluster layout, and in DuckDB, which makes this query value-level
+    oracle-checkable (a raw double sum is order-sensitive at the last ulp
+    and flips round-6 outputs near boundaries). Still one hash aggregate."""
     e = _emb(spark, sf_dir)
     dims = 64
     sums = e.groupBy("label").agg(
         F.count("*").alias("n"),
         *[
-            F.sum(F.element_at("vec", d + 1)).alias(f"s{d}")
+            F.sum(
+                F.element_at("vec", d + 1).cast("decimal(20,6)")
+            ).alias(f"s{d}")
             for d in range(dims)
         ],
     )
     centroid = sums.select(
         "label",
-        F.array(*[(F.col(f"s{d}") / F.col("n")) for d in range(dims)]).alias(
-            "centroid"
-        ),
+        F.array(
+            *[(F.col(f"s{d}").cast("double") / F.col("n")) for d in range(dims)]
+        ).alias("centroid"),
     )
     joined = e.join(F.broadcast(centroid), "label")
     return (
@@ -284,5 +293,23 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round({_COS_SQL}, 6) AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round({_COS_SQL}, 6) >= 0.40
+""",
+    # centroid via exact DECIMAL(20,6) component sums — bit-identical to the
+    # Spark aggregate regardless of accumulation order (see docstring above)
+    "label_centroid_similarity": """
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS vec
+  FROM embeddings
+), comp AS (
+  SELECT label, d, sum(vec[d]::DECIMAL(20,6)) AS s, count(*) AS n
+  FROM e, generate_series(1, 64) AS t(d)
+  GROUP BY label, d
+), cent AS (
+  SELECT label, list(s::DOUBLE / n ORDER BY d) AS centroid
+  FROM comp GROUP BY label
+)
+SELECT e.label, e.vec_id,
+       round(list_cosine_similarity(e.vec, c.centroid), 6) AS cos_to_centroid
+FROM e JOIN cent c ON e.label = c.label
 """,
 }
