@@ -82,8 +82,9 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN: centroids = first N_CENTROIDS vectors (deterministic
     stand-in for k-means — the bucketing mechanics, not the training, are the
     operator). Each vector → nearest centroid; each query probes its NPROBE
-    nearest buckets. Rows-only check (approximate recall < 1 by design);
-    tests verify recall against knn_bruteforce."""
+    nearest buckets. Approximate w.r.t. true kNN (recall pinned against
+    knn_bruteforce in tests) but fully deterministic — fixed centroids,
+    round-9 cosine + id tie-breaks — so it is value-level oracle-checked."""
     e = _emb(spark, sf_dir)
     cent = e.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("centroid_id"), F.col("vec").alias("cvec")
@@ -293,6 +294,45 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round({_COS_SQL}, 6) AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round({_COS_SQL}, 6) >= 0.40
+""",
+    # IVF mirrors the Spark pipeline stage-for-stage: argmin assignment,
+    # nprobe probe, bucket-join, rank — same round-9 + id tie-breaks
+    "knn_ivf": f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
+  FROM embeddings
+), cent AS (
+  SELECT vec_id AS centroid_id, vec AS cvec FROM e WHERE vec_id < {N_CENTROIDS}
+), assigned AS (
+  SELECT vec_id, vec, centroid_id AS bucket FROM (
+    SELECT e.vec_id, e.vec, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.vec, c.cvec), 9) DESC,
+                      c.centroid_id ASC) AS rn
+    FROM e CROSS JOIN cent c) WHERE rn = 1
+), probes AS (
+  SELECT query_id, qvec, bucket FROM (
+    SELECT a.vec_id AS query_id, a.vec AS qvec, c.centroid_id AS bucket,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY round(list_cosine_similarity(a.vec, c.cvec), 9) DESC,
+                      c.centroid_id ASC) AS rn
+    FROM assigned a CROSS JOIN cent c WHERE a.vec_id < {N_QUERIES}
+  ) WHERE rn <= {NPROBE}
+), cands AS (
+  SELECT p.query_id, a.vec_id AS cand_id,
+         round(list_cosine_similarity(p.qvec, a.vec), 9) AS cos
+  FROM probes p JOIN assigned a
+    ON a.bucket = p.bucket AND a.vec_id <> p.query_id
+), ranked AS (
+  SELECT query_id, cand_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, cand_id ASC) AS rank
+  FROM cands
+)
+SELECT query_id, cand_id, round(cos, 6) AS cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TOP_K}
 """,
     # centroid via exact DECIMAL(20,6) component sums — bit-identical to the
     # Spark aggregate regardless of accumulation order (see docstring above)
