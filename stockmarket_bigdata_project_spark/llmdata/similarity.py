@@ -157,26 +157,47 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_PLANES = 32  # 8 bands × 4 bits
 LSH_BANDS = 8
 BITS_PER_BAND = 4
+EMB_DIMS = 64
+
+
+def _plane_sign(p: int, d: int) -> int:
+    """±1 hyperplane component from md5(p:d) hex parity — a deterministic
+    pseudo-random constant matrix reproducible in any engine/language
+    (unlike Spark's Murmur3 F.hash), so the LSH is oracle-checkable."""
+    import hashlib
+
+    return 1 if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+
+
+PLANES = [[_plane_sign(p, d) for d in range(EMB_DIMS)] for p in range(N_PLANES)]
 
 
 def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH near-dup (the scale path for
     embedding_near_dup_pairs, which is O(n²)): sign-of-dot-product bits
-    against N_PLANES deterministic pseudo-random ±1 hyperplanes, banded
-    8×4; candidate pairs collide in ≥1 band, then exact cosine verifies.
+    against N_PLANES deterministic ±1 hyperplanes (md5-derived constants,
+    PLANES), banded 8×4; candidate pairs collide in ≥1 band, then exact
+    cosine verifies. Linear shuffle (bucket join); recall vs the
+    brute-force baseline pinned in tests/test_properties.py.
 
-    Hyperplane h_p[d] = ±1 from F.hash(p, d) — fully engine-side, no
-    randomness, no Python. Linear shuffle (bucket join), recall vs the
-    brute-force baseline pinned in tests/test_properties.py."""
+    Exactness: components are quantized to integer micros before the dot,
+    so every partial sum is an integer < 2^53 — double arithmetic on them
+    is exact and associative, and the sign bit cannot flip with
+    accumulation order (on a cluster or in DuckDB)."""
     e = _emb(spark, sf_dir)
-    # bit p = dot(vec, h_p) >= 0, via SUM over transform with hash-derived sign
+    micro = e.select(
+        "vec_id",
+        "vec",
+        F.transform("vec", lambda x: F.round(x * 1000000, 0)).alias("mvec"),
+    )
+    # bit p = dot(mvec, h_p) >= 0 — exact integer-valued double arithmetic
     bits = [
         (
             F.aggregate(
-                F.transform(
-                    "vec",
-                    lambda x, i: x
-                    * (F.pmod(F.hash(F.lit(p), i), F.lit(2)) * 2 - 1).cast("double"),
+                F.zip_with(
+                    "mvec",
+                    F.array(*[F.lit(float(s)) for s in PLANES[p]]),
+                    lambda x, y: x * y,
                 ),
                 F.lit(0.0),
                 lambda acc, v: acc + v,
@@ -185,7 +206,7 @@ def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("int").alias(f"b{p}")
         for p in range(N_PLANES)
     ]
-    sigs = e.select("vec_id", "vec", *bits)
+    sigs = micro.select("vec_id", "vec", *bits)
     bands = []
     for band in range(LSH_BANDS):
         cols = [f"b{band * BITS_PER_BAND + j}" for j in range(BITS_PER_BAND)]
@@ -333,6 +354,36 @@ WITH e AS (
 )
 SELECT query_id, cand_id, round(cos, 6) AS cosine, CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= {TOP_K}
+""",
+    # LSH oracle: same md5-derived PLANES constants inlined as list
+    # literals; micro-quantized dot → exact sign bits (see docstring)
+    "embedding_lsh_near_dup": f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> round(x::DOUBLE * 1000000)) AS mvec
+  FROM embeddings
+), sigs AS (
+  SELECT vec_id, concat({", ".join(
+      "CASE WHEN list_dot_product(mvec, ["
+      + ", ".join(f"{float(s)}" for s in PLANES[p])
+      + "]) >= 0 THEN '1' ELSE '0' END"
+      for p in range(N_PLANES)
+  )}) AS bits
+  FROM e
+), bands AS (
+  SELECT vec_id, t.band,
+         substring(bits, t.band * {BITS_PER_BAND} + 1, {BITS_PER_BAND}) AS sig
+  FROM sigs, generate_series(0, {LSH_BANDS - 1}) AS t(band)
+), cand AS (
+  SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.sig = r.sig AND l.vec_id < r.vec_id
+)
+SELECT c.vec_a, c.vec_b, round({_COS_SQL}, 6) AS cosine
+FROM cand c
+JOIN embeddings a ON a.vec_id = c.vec_a
+JOIN embeddings b ON b.vec_id = c.vec_b
+WHERE round({_COS_SQL}, 6) >= 0.40
 """,
     # centroid via exact DECIMAL(20,6) component sums — bit-identical to the
     # Spark aggregate regardless of accumulation order (see docstring above)
