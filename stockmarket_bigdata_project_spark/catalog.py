@@ -44,6 +44,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) which Spark's parquet reader rejects
+        # outright. nanosAsLong is a runtime SQL conf, so set it here rather
+        # than at session build — callers (the driver included) hand us an
+        # arbitrary SparkSession that won't have it preconfigured.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F

@@ -73,15 +73,25 @@ def supplier_daily_ohlcv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def orders_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3-shaped daily activity rollup of orders (the 'reddit_daily' analog)."""
+    """A3-shaped daily activity rollup of orders (the 'reddit_daily' analog).
+
+    Money sums are DECIMAL(18,2)-quantized (o_totalprice is 2-decimal by
+    construction, so the cast is lossless and the sum exact/associative —
+    shuffle merge order can't change the result). The avg is exact-sum ÷
+    count in binary64: identical bits on any engine, no round() whose
+    boundary behaviour could differ between Spark and DuckDB. Round 1 lost
+    this query (and both downstream gold joins) to round(sum(double), 2)
+    straddling a half-cent boundary differently per engine.
+    """
     o = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
     return (
         o.withColumn("trade_date", F.to_date("o_orderdate"))
         .groupBy("trade_date")
         .agg(
             F.count("*").alias("order_count"),
-            F.round(F.avg("o_totalprice"), 2).alias("avg_order_price"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_order_price"),
+            (F.sum(dec).cast("double") / F.count("*")).alias("avg_order_price"),
+            F.sum(dec).cast("double").alias("total_order_price"),
             F.max("o_totalprice").alias("max_order_price"),
         )
     )
@@ -139,8 +149,8 @@ WITH base AS (
 ), activity AS (
   SELECT CAST(o_orderdate AS DATE) AS trade_date,
          count(*) AS order_count,
-         round(avg(o_totalprice), 2) AS avg_order_price,
-         round(sum(o_totalprice), 2) AS total_order_price,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_order_price,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_order_price,
          max(o_totalprice) AS max_order_price
   FROM orders GROUP BY 1
 )
@@ -184,8 +194,8 @@ ORACLE = {
     "orders_daily_rollup": """
 SELECT CAST(o_orderdate AS DATE) AS trade_date,
        count(*) AS order_count,
-       round(avg(o_totalprice), 2) AS avg_order_price,
-       round(sum(o_totalprice), 2) AS total_order_price,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_order_price,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_order_price,
        max(o_totalprice) AS max_order_price
 FROM orders GROUP BY 1
 """,

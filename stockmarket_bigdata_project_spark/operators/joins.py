@@ -327,7 +327,7 @@ FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
 WITH stock AS ({SUPPLIER_DAILY_SQL}),
 activity AS (
   SELECT CAST(o_orderdate AS DATE) AS trade_date, count(*) AS order_count,
-         round(avg(o_totalprice), 2) AS avg_order_price
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_order_price
   FROM orders GROUP BY 1
 )
 SELECT s.trade_date, s.l_suppkey, s.close_px, a.order_count, a.avg_order_price

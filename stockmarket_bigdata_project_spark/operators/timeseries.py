@@ -116,17 +116,24 @@ def sequence_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = supplier_daily_ohlcv(spark, sf_dir)
     wseq = _w().rowsBetween(-5, -1)
     seq = F.collect_list("close_px").over(wseq)
+    # The sequence is surfaced as a '|'-joined string of exact integer cents,
+    # not a raw array<double>: the driver's value canonicalizer can't sort
+    # list cells (round 1: "unhashable type: 'list'"), and integer→string
+    # rendering is identical on Spark and DuckDB where double→string is not
+    # (Java Double.toString vs shortest-repr). The sum folds the same cents.
+    cents = F.transform(F.col("seq"), lambda x: F.round(x * 100).cast("bigint"))
     return (
         s.select("l_suppkey", "trade_date", seq.alias("seq"))
         .filter(F.size("seq") == 5)
         .select(
             "l_suppkey",
             "trade_date",
-            "seq",
+            F.concat_ws("|", cents.cast("array<string>")).alias("seq_cents"),
             F.size("seq").alias("seq_len"),
-            F.round(F.aggregate("seq", F.lit(0.0), lambda a, x: a + x), 2).alias(
-                "seq_sum"
-            ),
+            (
+                F.aggregate(cents, F.lit(0).cast("bigint"), lambda a, x: a + x)
+                / 100.0
+            ).alias("seq_sum"),
         )
     )
 
@@ -269,14 +276,16 @@ FROM stock WINDOW w AS (PARTITION BY l_suppkey ORDER BY trade_date)
 WITH stock AS ({SUPPLIER_DAILY_SQL}),
 seqs AS (
   SELECT l_suppkey, trade_date,
-         list(close_px) OVER (PARTITION BY l_suppkey ORDER BY trade_date
-                              ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS seq
+         list(CAST(round(close_px * 100) AS BIGINT))
+           OVER (PARTITION BY l_suppkey ORDER BY trade_date
+                 ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS cents
   FROM stock
 )
-SELECT l_suppkey, trade_date, seq,
-       CAST(len(seq) AS INTEGER) AS seq_len,
-       round(list_sum(seq), 2) AS seq_sum
-FROM seqs WHERE len(seq) = 5
+SELECT l_suppkey, trade_date,
+       array_to_string(cents, '|') AS seq_cents,
+       CAST(len(cents) AS INTEGER) AS seq_len,
+       CAST(list_sum(cents) AS DOUBLE) / 100.0 AS seq_sum
+FROM seqs WHERE len(cents) = 5
 """,
     "daily_event_activity": """
 SELECT CAST(ts AS DATE) AS day, count(*) AS n, round(sum(value), 2) AS day_value

@@ -65,8 +65,15 @@ def upsert_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey", "trade_date", "close_px", "volume"
     )
     cutoff = "1998-11-24"
+    # +1% in exact integer cents (half-up), not round(close_px*1.01, 2):
+    # 34882.50*1.01 = 35231.325 lands exactly on a half-cent, where Spark's
+    # HALF_UP on the exact binary expansion and DuckDB's round() disagree.
+    # Integer (cents*101+50) DIV 100 is bit-identical on both engines.
     updates = base.filter(F.col("trade_date") > cutoff).withColumn(
-        "close_px", F.round(F.col("close_px") * 1.01, 2)
+        "close_px",
+        F.expr(
+            "((CAST(round(close_px * 100) AS BIGINT) * 101 + 50) DIV 100) / 100.0"
+        ),
     )
     keep = base.filter(F.col("trade_date") <= cutoff)
     return keep.unionByName(updates).withColumn(
@@ -112,7 +119,8 @@ WHERE trade_date BETWEEN DATE '1998-08-01' AND DATE '1998-08-07'
     "upsert_merge_daily": f"""
 SELECT l_suppkey, trade_date,
        CASE WHEN trade_date > DATE '1998-11-24'
-            THEN round(close_px * 1.01, 2) ELSE close_px END AS close_px,
+            THEN ((CAST(round(close_px * 100) AS BIGINT) * 101 + 50) // 100) / 100.0
+            ELSE close_px END AS close_px,
        volume,
        CASE WHEN trade_date > DATE '1998-11-24' THEN 1 ELSE 0 END AS updated
 FROM ({SUPPLIER_DAILY_SQL})

@@ -142,8 +142,12 @@ _VWAP_OUT = StructType(
         StructField("running_vwap", DoubleType()),
     ]
 )
+# State carries the price·size accumulator in exact integer CENTS (value is
+# 2-decimal, sizes are ints 1..7): partial sums stay integers < 2^53, so the
+# fold order across micro-batches can't perturb the result and the final
+# float arithmetic (cents/100.0, /w) is bit-identical to the DuckDB oracle.
 _VWAP_STATE = StructType(
-    [StructField("n", LongType()), StructField("s", DoubleType()), StructField("w", DoubleType())]
+    [StructField("n", LongType()), StructField("sc", LongType()), StructField("w", LongType())]
 )
 
 
@@ -164,25 +168,25 @@ def stateful_running_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     total_us = (hi - lo) // _dt.timedelta(microseconds=1)
 
     def upd(key: tuple, pdfs, state: GroupState):
-        n, s, w = state.get if state.exists else (0, 0.0, 0.0)
+        n, sc, w = state.get if state.exists else (0, 0, 0)
         slice_idx = 0
         for pdf in pdfs:
-            price = pdf["value"]
-            size = (pdf["event_id"] % 7 + 1).astype("float64")
+            cents = (pdf["value"] * 100).round().astype("int64")
+            size = (pdf["event_id"] % 7 + 1).astype("int64")
             n += len(pdf)
-            s += float((price * size).sum())
-            w += float(size.sum())
+            sc += int((cents * size).sum())
+            w += int(size.sum())
             # exact integer-µs floor arithmetic, mirrored by the oracle SQL
             us = (pdf["ts"].max() - lo) // _dt.timedelta(microseconds=1)
             slice_idx = max(slice_idx, min(3, us * 4 // total_us))
-        state.update((n, s, w))
+        state.update((n, sc, w))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "slice": [slice_idx],
                 "running_n": [n],
-                "running_sum": [round(s, 2)],
-                "running_vwap": [round(s / w, 6)],
+                "running_sum": [sc / 100.0],
+                "running_vwap": [(sc / 100.0) / float(w)],
             }
         )
 
@@ -212,20 +216,22 @@ HAVING window_end <= (SELECT max(ts) FROM events) - INTERVAL '10 minutes'
     "stateful_running_vwap": """
 WITH b AS (SELECT min(ts) AS lo, max(ts) AS hi FROM events),
 e AS (
-  SELECT user_id, value, event_id % 7 + 1 AS size,
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+         event_id % 7 + 1 AS size,
          least(3, (epoch_us(ts) - epoch_us(lo)) * 4
                   // (epoch_us(hi) - epoch_us(lo)))::INT AS slice
   FROM events, b
 ),
 per AS (
   SELECT user_id, slice, count(*) AS n,
-         sum(value * size) AS s, sum(size) AS w
+         sum(cents * size) AS sc, sum(size) AS w
   FROM e GROUP BY 1, 2
 )
 SELECT user_id, slice,
        sum(n) OVER win AS running_n,
-       round(sum(s) OVER win, 2) AS running_sum,
-       round(sum(s) OVER win / sum(w) OVER win, 6) AS running_vwap
+       CAST(sum(sc) OVER win AS DOUBLE) / 100.0 AS running_sum,
+       (CAST(sum(sc) OVER win AS DOUBLE) / 100.0)
+         / CAST(sum(w) OVER win AS DOUBLE) AS running_vwap
 FROM per
 WINDOW win AS (PARTITION BY user_id ORDER BY slice ROWS UNBOUNDED PRECEDING)
 """,

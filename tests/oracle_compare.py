@@ -1,9 +1,12 @@
 """Spark-vs-DuckDB result comparison mirroring the driver's correctness gate:
 row-count + column-name set + order-insensitive value comparison.
 
-Floats are compared with tolerance locally (the driver hashes; queries are
-written to round any accumulation-order-sensitive float aggregate so the two
-engines produce identical printable values).
+Floats are compared EXACTLY (bit equality) by default — the driver hashes raw
+values, so any tolerance here would hide a hash_match=false in the real gate
+(round 1 lost gold_daily_features/orders_daily_rollup/join_daily_market_activity
+to exactly this: local 1e-6 tolerance passed, driver hash failed). Queries must
+make float outputs cross-engine deterministic (exact integer/decimal
+aggregation, identical post-arithmetic), not merely close.
 """
 
 from __future__ import annotations
@@ -28,11 +31,13 @@ def _canon(v):
     return v
 
 
-def _float_eq(a, b, rel=1e-6, abs_tol=1e-9):
+def _float_eq(a, b, rel=0.0, abs_tol=0.0):
     if a is None or b is None:
         return a is b
     if isinstance(a, float) and math.isnan(a):
         return isinstance(b, float) and math.isnan(b)
+    if rel == 0.0 and abs_tol == 0.0:
+        return a == b  # exact, like the driver's value hash
     return math.isclose(a, b, rel_tol=rel, abs_tol=abs_tol)
 
 
@@ -42,7 +47,7 @@ def _row_sort_key(row):
     )
 
 
-def compare(spark_df, duck_con, sql, name="query", float_rel=1e-6):
+def compare(spark_df, duck_con, sql, name="query", float_rel=0.0):
     """Assert Spark result ≡ DuckDB result (order-insensitive)."""
     duck_res = duck_con.execute(sql)
     duck_cols = [d[0] for d in duck_res.description]
