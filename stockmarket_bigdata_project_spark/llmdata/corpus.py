@@ -23,31 +23,18 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import load_table
 from .dedup import _CC_CHAIN, _normalized, minhash_dup_components
+from .textstats import quality_exprs
 
 QUALITY_MIN = 0.5
 
 
 def _quality_cols() -> dict[str, F.Column]:
-    """The textstats quality expressions, inlined so the pipeline is one
-    plan over one documents scan (same formulas as quality_scores — pinned
-    against each other in tests)."""
-    toks = F.split(F.col("text"), " ")
-    n_tokens = F.size(toks)
-    n_chars = F.length("text")
-    avg_tok_len = (n_chars - (n_tokens - 1)) / n_tokens
-    stop = F.size(
-        F.filter(toks, lambda t: t.isin(F.lit("the"), F.lit("a"), F.lit("of"), F.lit("and")))
-    )
-    stop_ratio = stop / n_tokens
-    score = F.when(n_tokens < 10, 0.0).otherwise(
-        F.round(
-            0.5 * F.least(F.lit(1.0), n_tokens / F.lit(200.0))
-            + 0.3 * (1 - stop_ratio)
-            + 0.2 * F.least(F.lit(1.0), avg_tok_len / F.lit(8.0)),
-            6,
-        )
-    )
-    return {"n_tokens": n_tokens, "quality_score": score}
+    """The textstats quality expressions (delegated to
+    textstats.quality_exprs — one source of truth for the formula and the
+    stopword list). Still one plan over one documents scan: these are plain
+    Column expressions, composed into this pipeline's projection."""
+    q = quality_exprs()
+    return {"n_tokens": q["n_tokens"], "quality_score": q["quality_score"]}
 
 
 def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:

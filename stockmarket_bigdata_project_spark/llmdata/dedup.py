@@ -181,9 +181,11 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # exact verification of candidates only
+    # exact verification of candidates only; the Jaccard denominators come
+    # from the n_sh that rode along in _minhash_df's aggregation — no second
+    # count pass over the shingle table
     sh = _shingles_df(spark, sf_dir)
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    counts = mh.select("doc_id", "n_sh")
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
@@ -246,6 +248,7 @@ def minhash_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
+    converged = False
     for _ in range(_CC_MAX_ITER):
         nbr = (
             edges.join(
@@ -277,6 +280,14 @@ def minhash_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if converged:
             break
+    if not converged:
+        # A dup-chain with min-label eccentricity > _CC_MAX_ITER would yield
+        # silently-wrong components (and silent divergence from the
+        # transitive-closure oracle) — fail loud instead.
+        raise RuntimeError(
+            f"connected-components did not converge in {_CC_MAX_ITER} "
+            "iterations; raise _CC_MAX_ITER for this graph"
+        )
     return labels
 
 

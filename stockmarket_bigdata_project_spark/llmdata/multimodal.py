@@ -127,7 +127,15 @@ def image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            # fixed-width payloads → one vectorized reshape per Arrow batch
+            # fixed-width payloads → one vectorized reshape per Arrow batch;
+            # the output schema hard-codes N_FRAMES columns, so a payload of
+            # any other size is a contract violation — fail loud, not mid-stack
+            bad = {len(p) for p in pdf["payload"]} - {N_FRAMES * FRAME_LEN}
+            if bad:
+                raise ValueError(
+                    f"image payloads must be exactly {N_FRAMES * FRAME_LEN} "
+                    f"bytes for the {N_FRAMES}-feature schema; got sizes {bad}"
+                )
             arr = np.stack(
                 [np.frombuffer(bytes(p), dtype=np.uint8) for p in pdf["payload"]]
             ).astype(np.float64)
@@ -156,19 +164,28 @@ def audio_chunk_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            arr = np.stack(
-                [np.frombuffer(bytes(p), dtype=np.uint8) for p in pdf["payload"]]
-            ).astype(np.float64)
-            n_chunks = arr.shape[1] // FRAME_LEN
-            windows = arr[:, : n_chunks * FRAME_LEN].reshape(len(pdf), n_chunks, FRAME_LEN)
-            vals = np.sqrt((windows**2).mean(axis=2)).round(6)
-            yield pd.DataFrame(
-                {
-                    "media_id": np.repeat(pdf["media_id"].to_numpy(), n_chunks),
-                    "chunk": np.tile(np.arange(n_chunks, dtype=np.int32), len(pdf)),
-                    "rms": vals.ravel(),
-                }
-            )
+            # Group by payload length before stacking: real audio is
+            # variable-length, and np.stack over ragged rows (or deriving one
+            # n_chunks for a mixed batch) would either raise mid-batch or
+            # silently truncate. Each length-group is still fully vectorized.
+            for _plen, sub in pdf.groupby(pdf["payload"].map(len), sort=True):
+                arr = np.stack(
+                    [np.frombuffer(bytes(p), dtype=np.uint8) for p in sub["payload"]]
+                ).astype(np.float64)
+                n_chunks = arr.shape[1] // FRAME_LEN
+                if n_chunks == 0:
+                    continue
+                windows = arr[:, : n_chunks * FRAME_LEN].reshape(
+                    len(sub), n_chunks, FRAME_LEN
+                )
+                vals = np.sqrt((windows**2).mean(axis=2)).round(6)
+                yield pd.DataFrame(
+                    {
+                        "media_id": np.repeat(sub["media_id"].to_numpy(), n_chunks),
+                        "chunk": np.tile(np.arange(n_chunks, dtype=np.int32), len(sub)),
+                        "rms": vals.ravel(),
+                    }
+                )
 
     m = media_table(spark, sf_dir).filter(F.col("kind") == "audio")
     return (

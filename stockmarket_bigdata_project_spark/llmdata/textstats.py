@@ -56,34 +56,45 @@ def lang_id_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Length / token-shape / stopword-ratio quality features + a composite
-    score — the C4/Gopher-style heuristic-filter shape."""
-    docs = load_table(spark, sf_dir, "documents")
+def quality_exprs() -> dict[str, "F.Column"]:
+    """The quality-formula expressions over a `text` column — the single
+    source of truth shared by quality_scores and the corpus pipeline
+    (corpus._quality_cols delegates here, so the two can't diverge)."""
     toks = _tok()
     n_tokens = F.size(toks)
     n_chars = F.length("text")
     avg_tok_len = (n_chars - (n_tokens - 1)) / n_tokens  # chars minus spaces
     stop = F.size(F.filter(toks, lambda t: t.isin(*[F.lit(w) for w in STOPWORDS])))
     stop_ratio = stop / n_tokens
-    score = (
-        F.when(n_tokens < 10, 0.0)
-        .otherwise(
-            F.round(
-                0.5 * F.least(F.lit(1.0), n_tokens / F.lit(200.0))
-                + 0.3 * (1 - stop_ratio)
-                + 0.2 * F.least(F.lit(1.0), avg_tok_len / F.lit(8.0)),
-                6,
-            )
+    score = F.when(n_tokens < 10, 0.0).otherwise(
+        F.round(
+            0.5 * F.least(F.lit(1.0), n_tokens / F.lit(200.0))
+            + 0.3 * (1 - stop_ratio)
+            + 0.2 * F.least(F.lit(1.0), avg_tok_len / F.lit(8.0)),
+            6,
         )
     )
+    return {
+        "n_tokens": n_tokens,
+        "n_chars": n_chars,
+        "avg_tok_len": avg_tok_len,
+        "stop_ratio": stop_ratio,
+        "quality_score": score,
+    }
+
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / token-shape / stopword-ratio quality features + a composite
+    score — the C4/Gopher-style heuristic-filter shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_exprs()
     return docs.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
-        n_chars.cast("long").alias("n_chars_actual"),
-        F.round(avg_tok_len, 6).alias("avg_token_len"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        score.alias("quality_score"),
+        q["n_tokens"].alias("n_tokens"),
+        q["n_chars"].cast("long").alias("n_chars_actual"),
+        F.round(q["avg_tok_len"], 6).alias("avg_token_len"),
+        F.round(q["stop_ratio"], 6).alias("stopword_ratio"),
+        q["quality_score"].alias("quality_score"),
     )
 
 

@@ -166,11 +166,14 @@ def interval_join_48h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- theta (band) join -------------------------------------------------------
+# Top tier is open-ended: TPC-H o_totalprice can reach ~793k (7 lineitems ×
+# ~105k × (1+tax)); a finite cap silently dropped those orders and the tier
+# totals no longer reconciled with total revenue.
 PRICE_TIERS = [
     ("budget", 0.0, 50_000.0),
     ("mid", 50_000.0, 150_000.0),
     ("premium", 150_000.0, 300_000.0),
-    ("luxury", 300_000.0, 600_000.0),
+    ("luxury", 300_000.0, float("inf")),
 ]
 
 
@@ -190,10 +193,11 @@ def band_join_order_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(tiers),
         (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
     )
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
     return j.groupBy("tier").agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("tier_revenue"),
-        F.round(F.avg("o_totalprice"), 4).alias("avg_order_price"),
+        F.sum(dec).cast("double").alias("tier_revenue"),
+        (F.sum(dec).cast("double") / F.count("*")).alias("avg_order_price"),
     )
 
 
@@ -353,11 +357,12 @@ GROUP BY p_brand
     "band_join_order_tiers": """
 WITH tiers(tier, lo, hi) AS (
   VALUES ('budget', 0.0, 50000.0), ('mid', 50000.0, 150000.0),
-         ('premium', 150000.0, 300000.0), ('luxury', 300000.0, 600000.0)
+         ('premium', 150000.0, 300000.0),
+         ('luxury', 300000.0, CAST('infinity' AS DOUBLE))
 )
 SELECT tier, count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS tier_revenue,
-       round(avg(o_totalprice), 4) AS avg_order_price
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tier_revenue,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_order_price
 FROM orders JOIN tiers ON o_totalprice >= lo AND o_totalprice < hi
 GROUP BY tier
 """,
