@@ -99,12 +99,23 @@ def sentiment_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     — denominator = non-null count, the reference's semantics,
     stock_pipeline.py:186-200)."""
     s = sentiment_score(spark, sf_dir)
+    # sentiment is per-row rounded to 6dp, so DECIMAL(27,6)/(27,12) sums of
+    # it and its square are lossless — mean and stddev become exact-sum
+    # algebra, deterministic under any shuffle-merge order (built-in
+    # avg/stddev over doubles are not even run-to-run stable).
+    s1 = F.sum(F.col("sentiment").cast("decimal(27,6)")).cast("double")
+    s2 = F.sum(
+        (F.col("sentiment") * F.col("sentiment")).cast("decimal(27,12)")
+    ).cast("double")
+    nv = F.count("sentiment")
     return s.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        F.round(F.avg("sentiment"), 6).alias("sentiment_mean"),
-        F.round(F.stddev("sentiment"), 6).alias("sentiment_std"),
-        F.round(F.avg((F.col("sentiment") > 0).cast("int")), 6).alias("pos_ratio"),
-        F.round(F.avg((F.col("sentiment") < 0).cast("int")), 6).alias("neg_ratio"),
+        (s1 / nv).alias("sentiment_mean"),
+        F.sqrt(
+            (s2 - s1 * s1 / nv) / F.nullif((nv - 1).cast("double"), F.lit(0.0))
+        ).alias("sentiment_std"),
+        F.avg((F.col("sentiment") > 0).cast("int")).alias("pos_ratio"),
+        F.avg((F.col("sentiment") < 0).cast("int")).alias("neg_ratio"),
     )
 
 
@@ -151,10 +162,15 @@ SELECT doc_id, ticker FROM (
     "sentiment_features": f"""
 WITH s AS ({_SENTIMENT_SQL})
 SELECT lang, count(*) AS n_docs,
-       round(avg(sentiment), 6) AS sentiment_mean,
-       round(stddev_samp(sentiment), 6) AS sentiment_std,
-       round(avg(CASE WHEN sentiment > 0 THEN 1 ELSE 0 END), 6) AS pos_ratio,
-       round(avg(CASE WHEN sentiment < 0 THEN 1 ELSE 0 END), 6) AS neg_ratio
+       CAST(sum(CAST(sentiment AS DECIMAL(27,6))) AS DOUBLE)
+         / count(sentiment) AS sentiment_mean,
+       sqrt((CAST(sum(CAST(sentiment * sentiment AS DECIMAL(27,12))) AS DOUBLE)
+             - CAST(sum(CAST(sentiment AS DECIMAL(27,6))) AS DOUBLE)
+               * CAST(sum(CAST(sentiment AS DECIMAL(27,6))) AS DOUBLE)
+               / count(sentiment))
+            / NULLIF(CAST(count(sentiment) - 1 AS DOUBLE), 0.0)) AS sentiment_std,
+       avg(CASE WHEN sentiment > 0 THEN 1 ELSE 0 END) AS pos_ratio,
+       avg(CASE WHEN sentiment < 0 THEN 1 ELSE 0 END) AS neg_ratio
 FROM s GROUP BY lang
 """,
 }

@@ -72,7 +72,10 @@ def corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
-        F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+        (
+            F.sum(F.col("quality_score").cast("decimal(27,6)")).cast("double")
+            / F.count("quality_score")
+        ).alias("avg_quality"),
     )
 
 
@@ -117,7 +120,8 @@ SELECT doc_id, lang, source, n_tokens, quality_score FROM clean
 {_CC_CHAIN},
 {_CLEAN_SQL.strip()}
 SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
-       round(avg(quality_score), 4) AS avg_quality
+       CAST(sum(CAST(quality_score AS DECIMAL(27,6))) AS DOUBLE)
+         / count(quality_score) AS avg_quality
 FROM clean GROUP BY source
 """,
 }

@@ -36,15 +36,26 @@ _WP = lambda: Window.partitionBy("l_suppkey")  # noqa: E731
 def scale_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scaler 'fit' = per-key agg stats; 'transform' = projection. One shuffle."""
     s = supplier_daily_ohlcv(spark, sf_dir)
-    mean_c = F.avg("close_px").over(_WP())
-    std_c = F.stddev("close_px").over(_WP())
-    min_v = F.min("volume").over(_WP())
-    max_v = F.max("volume").over(_WP())
+    # Partition-only windows have no defined row order, so built-in
+    # avg/stddev over the unordered buffer are not run-to-run stable. Exact
+    # decimal window sums of the 2-decimal close (and its 4-decimal square)
+    # + binary64 algebra are order-independent; min/max are exact anyway.
+    wp = _WP()
+    cents = F.expr("CAST(round(close_px * 100) AS BIGINT)")
+    s1 = F.sum(cents).over(wp).cast("double") / 100.0
+    s2 = F.sum(cents * cents).over(wp).cast("double") / 10000.0
+    nv = F.count("close_px").over(wp)
+    mean_c = s1 / nv
+    std_c = F.sqrt(
+        (s2 - s1 * s1 / nv) / F.nullif((nv - 1).cast("double"), F.lit(0.0))
+    )
+    min_v = F.min("volume").over(wp)
+    max_v = F.max("volume").over(wp)
     return s.select(
         "l_suppkey",
         "trade_date",
-        F.round((F.col("close_px") - mean_c) / std_c, 6).alias("close_z"),
-        F.round((F.col("volume") - min_v) / (max_v - min_v), 6).alias("volume_mm"),
+        ((F.col("close_px") - mean_c) / std_c).alias("close_z"),
+        ((F.col("volume") - min_v) / (max_v - min_v)).alias("volume_mm"),
     )
 
 
@@ -123,13 +134,46 @@ def eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.signum(F.col("close_px") - pred).alias("dir_actual"),
         F.signum(pred - prev2).alias("dir_pred"),
     ).na.drop(subset=["pred"])
+    # |err| is a 2-decimal magnitude (difference of 2-decimal closes): the
+    # DECIMAL(27,6) quantization recovers it exactly; err^2 is 4-decimal →
+    # scale 8; |err/close| is a genuine real → scale 12 is a deterministic
+    # per-row rounding, identical on both engines. Sums then exact; the
+    # closing divisions/sqrt are pure binary64.
+    n_err = F.count("err")
     return base.groupBy("l_suppkey").agg(
-        F.round(F.avg(F.abs("err")), 6).alias("mae"),
-        F.round(F.sqrt(F.avg(F.col("err") * F.col("err"))), 6).alias("rmse"),
-        F.round(F.avg(F.abs(F.col("err") / F.col("close_px"))), 6).alias("mape"),
-        F.round(
-            F.avg((F.col("dir_actual") == F.col("dir_pred")).cast("int")), 6
-        ).alias("direction_accuracy"),
+        (
+            F.sum(F.abs("err").cast("decimal(27,6)")).cast("double") / n_err
+        ).alias("mae"),
+        # err^2 in integer square-cents: a DECIMAL(27,8) sum here exceeds
+        # 2^53 in raw scaled units, where DuckDB's decimal->double cast
+        # rounds differently than Spark's (observed 1-ulp rmse drift).
+        # BIGINT sums convert correctly-rounded on both engines.
+        F.sqrt(
+            F.sum(
+                F.expr("CAST(round(err * 100) AS BIGINT)")
+                * F.expr("CAST(round(err * 100) AS BIGINT)")
+            ).cast("double")
+            / 10000.0
+            / n_err
+        ).alias("rmse"),
+        # |err|/close is a ratio of exact cent integers: quantize it at 9dp
+        # with pure BIGINT arithmetic (round-half-up on the rational), because
+        # double->decimal casts of arbitrary reals round differently per
+        # engine (DuckDB multiplies by 10^s in float first).
+        (
+            F.sum(
+                F.expr(
+                    "(abs(CAST(round(err * 100) AS BIGINT)) * 2000000000"
+                    " + CAST(round(close_px * 100) AS BIGINT))"
+                    " DIV (2 * CAST(round(close_px * 100) AS BIGINT))"
+                )
+            ).cast("double")
+            / 1000000000.0
+            / n_err
+        ).alias("mape"),
+        F.avg((F.col("dir_actual") == F.col("dir_pred")).cast("int")).alias(
+            "direction_accuracy"
+        ),
         F.count("*").alias("n"),
     )
 
@@ -222,10 +266,18 @@ ORACLE = {
     "scale_features": f"""
 WITH stock AS ({SUPPLIER_DAILY_SQL})
 SELECT l_suppkey, trade_date,
-       round((close_px - avg(close_px) OVER wp) / stddev_samp(close_px) OVER wp, 6)
+       (close_px
+        - CAST(sum(CAST(round(close_px * 100) AS BIGINT)) OVER wp AS DOUBLE) / 100.0
+          / count(close_px) OVER wp)
+       / sqrt((CAST(sum(CAST(round(close_px * 100) AS BIGINT)
+                        * CAST(round(close_px * 100) AS BIGINT)) OVER wp AS DOUBLE) / 10000.0
+               - (CAST(sum(CAST(round(close_px * 100) AS BIGINT)) OVER wp AS DOUBLE) / 100.0)
+                 * (CAST(sum(CAST(round(close_px * 100) AS BIGINT)) OVER wp AS DOUBLE) / 100.0)
+                 / count(close_px) OVER wp)
+              / NULLIF(CAST(count(close_px) OVER wp - 1 AS DOUBLE), 0.0))
          AS close_z,
-       round((volume - min(volume) OVER wp) / (max(volume) OVER wp - min(volume) OVER wp), 6)
-         AS volume_mm
+       (volume - min(volume) OVER wp)
+         / (max(volume) OVER wp - min(volume) OVER wp) AS volume_mm
 FROM stock WINDOW wp AS (PARTITION BY l_suppkey)
 """,
     "sequential_split": f"""
@@ -254,13 +306,18 @@ base AS (
   FROM stock WINDOW w AS (PARTITION BY l_suppkey ORDER BY trade_date)
 )
 SELECT l_suppkey,
-       round(avg(abs(err)), 6) AS mae,
-       round(sqrt(avg(err * err)), 6) AS rmse,
-       round(avg(abs(err / close_px)), 6) AS mape,
+       CAST(sum(CAST(abs(err) AS DECIMAL(27,6))) AS DOUBLE) / count(err) AS mae,
+       sqrt(CAST(sum(CAST(round(err * 100) AS BIGINT)
+                     * CAST(round(err * 100) AS BIGINT)) AS DOUBLE)
+            / 10000.0 / count(err)) AS rmse,
+       CAST(sum((abs(CAST(round(err * 100) AS BIGINT)) * 2000000000
+                 + CAST(round(close_px * 100) AS BIGINT))
+                // (2 * CAST(round(close_px * 100) AS BIGINT))) AS DOUBLE)
+         / 1000000000.0 / count(err) AS mape,
        -- NULL dir_pred (2nd row/group) must stay NULL so avg() skips it,
        -- matching Spark's (NULL == x) → NULL semantics
-       round(avg(CASE WHEN dir_pred IS NULL OR dir_actual IS NULL THEN NULL
-                      WHEN dir_actual = dir_pred THEN 1 ELSE 0 END), 6)
+       avg(CASE WHEN dir_pred IS NULL OR dir_actual IS NULL THEN NULL
+                WHEN dir_actual = dir_pred THEN 1 ELSE 0 END)
          AS direction_accuracy,
        count(*) AS n
 FROM base WHERE pred IS NOT NULL GROUP BY l_suppkey

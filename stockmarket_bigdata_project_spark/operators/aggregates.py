@@ -58,13 +58,27 @@ def two_level_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor((F.unix_timestamp("ts") % 86400) / 900)).alias("slot"),
             "event_type",
         )
-        .agg(F.count("*").alias("post_count"), F.avg("value").alias("avg_value"))
+        .agg(
+            F.count("*").alias("post_count"),
+            # exact decimal sum / non-null count: deterministic under any
+            # shuffle-merge order (value is 2-decimal, the cast is lossless)
+            (
+                F.sum(F.col("value").cast("decimal(27,2)")).cast("double")
+                / F.count("value")
+            ).alias("avg_value"),
+        )
     )
     return (
         win15.groupBy("day", "event_type")
         .agg(
             F.sum("post_count").alias("total_posts"),
-            F.round(F.avg("avg_value"), 6).alias("avg_of_avg_value"),
+            # outer mean over slot means: quantize the (deterministic) slot
+            # mean at 12dp so the second-level sum is exact too; emit the raw
+            # quotient — round(float) itself differs between engines
+            (
+                F.sum(F.col("avg_value").cast("decimal(27,12)")).cast("double")
+                / F.count("avg_value")
+            ).alias("avg_of_avg_value"),
             F.max("post_count").alias("max_slot_posts"),
         )
     )
@@ -73,39 +87,76 @@ def two_level_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- A4: conditional aggregates (ratio lambdas → conditional aggs) ----------
 def conditional_agg_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # stddev via exact decimal sums (value and value^2 quantized) + pure
+    # binary64 algebra: Spark's stddev merges partial moments in shuffle
+    # order, so its low bits are not even run-to-run stable. sqrt((S2 -
+    # S1^2/n)/(n-1)) from exact S1,S2 is bit-identical on both engines.
+    s1 = F.sum(F.col("value").cast("decimal(27,2)")).cast("double")
+    s2 = F.sum((F.col("value") * F.col("value")).cast("decimal(27,4)")).cast(
+        "double"
+    )
+    nv = F.count("value")
     return ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.round(F.avg("value"), 6).alias("mean_value"),
-        F.round(F.stddev("value"), 6).alias("std_value"),
-        F.round(
-            F.avg((F.col("value") > 100.0).cast("int")), 6
-        ).alias("hi_ratio"),
-        F.round(
-            F.avg((F.col("value") <= 100.0).cast("int")), 6
-        ).alias("lo_ratio"),
+        (s1 / nv).alias("mean_value"),
+        F.sqrt(
+            (s2 - s1 * s1 / nv) / F.nullif((nv - 1).cast("double"), F.lit(0.0))
+        ).alias("std_value"),
+        F.avg((F.col("value") > 100.0).cast("int")).alias("hi_ratio"),
+        F.avg((F.col("value") <= 100.0).cast("int")).alias("lo_ratio"),
     )
 
 
 # --- A8: summary stats (describe, made explicit) ----------------------------
 def summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # l_quantity is integer-valued, so plain double sums of qty and qty^2 are
+    # exact below 2^53 in any accumulation order; the stddev is then pure
+    # binary64 algebra (Spark's stddev merges partial moments in shuffle
+    # order — not even run-to-run stable in the low bits).
+    s1 = F.sum("l_quantity")
+    s2 = F.sum(F.col("l_quantity") * F.col("l_quantity"))
+    n = F.count("l_quantity")
     return li.agg(
         F.count("l_quantity").alias("cnt"),
-        F.round(F.avg("l_quantity"), 6).alias("mean_qty"),
-        F.round(F.stddev("l_quantity"), 6).alias("std_qty"),
+        (s1 / n).alias("mean_qty"),
+        F.sqrt(
+            (s2 - s1 * s1 / n) / F.nullif((n - 1).cast("double"), F.lit(0.0))
+        ).alias("std_qty"),
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
-        F.round(F.percentile("l_quantity", 0.5), 6).alias("median_qty"),
+        F.percentile("l_quantity", 0.5).alias("median_qty"),
     )
 
 
 # --- A9: correlation ---------------------------------------------------------
 def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+
+    # corr from exact decimal sums (see summary_stats: built-in corr merges
+    # partial co-moments in shuffle order). Inputs are k-decimal, so every
+    # product below is (k1+k2)-decimal and the quantized sums are lossless.
+    def _corr(x: str, xs: int, y: str, ys: int) -> F.Column:
+        n = F.count("*")  # columns are non-null in lineitem
+        sx = F.sum(F.col(x).cast(f"decimal(27,{xs})")).cast("double")
+        sy = F.sum(F.col(y).cast(f"decimal(27,{ys})")).cast("double")
+        sxy = F.sum((F.col(x) * F.col(y)).cast(f"decimal(27,{xs + ys})")).cast(
+            "double"
+        )
+        sxx = F.sum((F.col(x) * F.col(x)).cast(f"decimal(27,{xs * 2})")).cast(
+            "double"
+        )
+        syy = F.sum((F.col(y) * F.col(y)).cast(f"decimal(27,{ys * 2})")).cast(
+            "double"
+        )
+        return (n * sxy - sx * sy) / F.sqrt(
+            (n * sxx - sx * sx) * (n * syy - sy * sy)
+        )
+
     return li.agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
-        F.round(F.corr("l_quantity", "l_discount"), 6).alias("corr_qty_disc"),
-        F.round(F.corr("l_extendedprice", "l_discount"), 6).alias("corr_price_disc"),
+        _corr("l_quantity", 0, "l_extendedprice", 2).alias("corr_qty_price"),
+        _corr("l_quantity", 0, "l_discount", 2).alias("corr_qty_disc"),
+        _corr("l_extendedprice", 2, "l_discount", 2).alias("corr_price_disc"),
     )
 
 
@@ -119,22 +170,40 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
+            # qty is integer-valued: plain double sum is exact in any order.
+            # Money exprs are 2/4/6-decimal by construction: quantized decimal
+            # sums are lossless, associative, and cast back to one double.
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(27,2)"))
+            .cast("double")
+            .alias("sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(27,4)"
+                )
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.sum(
+                (
                     F.col("l_extendedprice")
                     * (1 - F.col("l_discount"))
                     * (1 + F.col("l_tax"))
-                ),
-                2,
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                ).cast("decimal(27,6)")
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum("l_quantity") / F.count("l_quantity")).alias("avg_qty"),
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(27,2)")).cast(
+                    "double"
+                )
+                / F.count("l_extendedprice")
+            ).alias("avg_price"),
+            (
+                F.sum(F.col("l_discount").cast("decimal(27,2)")).cast("double")
+                / F.count("l_discount")
+            ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -144,14 +213,17 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+        F.count("*").alias("n"), F.sum("l_quantity").alias("sum_qty")
     )
 
 
 def rollup_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.rollup("o_orderpriority", "o_orderstatus").agg(
-        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
+        .cast("double")
+        .alias("total"),
     )
 
 
@@ -165,7 +237,7 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderpriority, o_orderstatus, count(*) AS n,
-               round(sum(o_totalprice), 2) AS total
+               CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total
         FROM _orders_gs
         GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
                                 (o_orderpriority), ())
@@ -182,7 +254,7 @@ def pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         ev.groupBy("user_id")
         .pivot("event_type", kinds)
-        .agg(F.round(F.sum("value"), 2))
+        .agg(F.sum(F.col("value").cast("decimal(27,2)")).cast("double"))
     )
     return out.select(
         "user_id", *[F.coalesce(F.col(k), F.lit(0.0)).alias(f"{k}_value") for k in kinds]
@@ -238,47 +310,59 @@ WITH win15 AS (
          CAST(floor((epoch(ts) % 86400) / 900) AS BIGINT) AS slot,
          event_type,
          count(*) AS post_count,
-         avg(value) AS avg_value
+         CAST(sum(CAST(value AS DECIMAL(27,2))) AS DOUBLE) / count(value) AS avg_value
   FROM events GROUP BY 1, 2, 3
 )
 SELECT day, event_type,
        sum(post_count) AS total_posts,
-       round(avg(avg_value), 6) AS avg_of_avg_value,
+       CAST(sum(CAST(avg_value AS DECIMAL(27,12))) AS DOUBLE)
+         / count(avg_value) AS avg_of_avg_value,
        max(post_count) AS max_slot_posts
 FROM win15 GROUP BY day, event_type
 """,
     "conditional_agg_ratios": """
 SELECT event_type, count(*) AS n,
-       round(avg(value), 6) AS mean_value,
-       round(stddev_samp(value), 6) AS std_value,
-       round(avg(CASE WHEN value > 100.0 THEN 1 ELSE 0 END), 6) AS hi_ratio,
-       round(avg(CASE WHEN value <= 100.0 THEN 1 ELSE 0 END), 6) AS lo_ratio
+       CAST(sum(CAST(value AS DECIMAL(27,2))) AS DOUBLE) / count(value) AS mean_value,
+       sqrt((CAST(sum(CAST(value * value AS DECIMAL(27,4))) AS DOUBLE)
+             - CAST(sum(CAST(value AS DECIMAL(27,2))) AS DOUBLE)
+               * CAST(sum(CAST(value AS DECIMAL(27,2))) AS DOUBLE) / count(value))
+            / NULLIF(CAST(count(value) - 1 AS DOUBLE), 0.0)) AS std_value,
+       avg(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS hi_ratio,
+       avg(CASE WHEN value <= 100.0 THEN 1 ELSE 0 END) AS lo_ratio
 FROM events GROUP BY event_type
 """,
     "summary_stats": """
 SELECT count(l_quantity) AS cnt,
-       round(avg(l_quantity), 6) AS mean_qty,
-       round(stddev_samp(l_quantity), 6) AS std_qty,
+       sum(l_quantity) / count(l_quantity) AS mean_qty,
+       sqrt((sum(l_quantity * l_quantity)
+             - sum(l_quantity) * sum(l_quantity) / count(l_quantity))
+            / NULLIF(CAST(count(l_quantity) - 1 AS DOUBLE), 0.0)) AS std_qty,
        min(l_quantity) AS min_qty,
        max(l_quantity) AS max_qty,
-       round(quantile_cont(l_quantity, 0.5), 6) AS median_qty
+       quantile_cont(l_quantity, 0.5) AS median_qty
 FROM lineitem
 """,
     "correlation_matrix": """
-SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-       round(corr(l_quantity, l_discount), 6) AS corr_qty_disc,
-       round(corr(l_extendedprice, l_discount), 6) AS corr_price_disc
+SELECT (count(*) * CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) - CAST(sum(CAST(l_quantity AS DECIMAL(27,0))) AS DOUBLE) * CAST(sum(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE))
+         / sqrt((count(*) * CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(27,0))) AS DOUBLE) - CAST(sum(CAST(l_quantity AS DECIMAL(27,0))) AS DOUBLE) * CAST(sum(CAST(l_quantity AS DECIMAL(27,0))) AS DOUBLE))
+                * (count(*) * CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(27,4))) AS DOUBLE) - CAST(sum(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) * CAST(sum(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE))) AS corr_qty_price,
+       (count(*) * CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(27,2))) AS DOUBLE) - CAST(sum(CAST(l_quantity AS DECIMAL(27,0))) AS DOUBLE) * CAST(sum(CAST(l_discount AS DECIMAL(27,2))) AS DOUBLE))
+         / sqrt((count(*) * CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(27,0))) AS DOUBLE) - CAST(sum(CAST(l_quantity AS DECIMAL(27,0))) AS DOUBLE) * CAST(sum(CAST(l_quantity AS DECIMAL(27,0))) AS DOUBLE))
+                * (count(*) * CAST(sum(CAST(l_discount * l_discount AS DECIMAL(27,4))) AS DOUBLE) - CAST(sum(CAST(l_discount AS DECIMAL(27,2))) AS DOUBLE) * CAST(sum(CAST(l_discount AS DECIMAL(27,2))) AS DOUBLE))) AS corr_qty_disc,
+       (count(*) * CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(27,4))) AS DOUBLE) - CAST(sum(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) * CAST(sum(CAST(l_discount AS DECIMAL(27,2))) AS DOUBLE))
+         / sqrt((count(*) * CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(27,4))) AS DOUBLE) - CAST(sum(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) * CAST(sum(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE))
+                * (count(*) * CAST(sum(CAST(l_discount * l_discount AS DECIMAL(27,4))) AS DOUBLE) - CAST(sum(CAST(l_discount AS DECIMAL(27,2))) AS DOUBLE) * CAST(sum(CAST(l_discount AS DECIMAL(27,2))) AS DOUBLE))) AS corr_price_disc
 FROM lineitem
 """,
     "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(avg(l_quantity), 6) AS avg_qty,
-       round(avg(l_extendedprice), 6) AS avg_price,
-       round(avg(l_discount), 6) AS avg_disc,
+       sum(l_quantity) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,6))) AS DOUBLE) AS sum_charge,
+       sum(l_quantity) / count(l_quantity) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+       CAST(sum(CAST(l_discount AS DECIMAL(27,2))) AS DOUBLE) / count(l_discount) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= '1998-09-02'
@@ -286,25 +370,26 @@ GROUP BY l_returnflag, l_linestatus
 """,
     "grouping_sets_revenue": """
 SELECT o_orderpriority, o_orderstatus, count(*) AS n,
-       round(sum(o_totalprice), 2) AS total
+       CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total
 FROM orders
 GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
 """,
     "cube_returnflag_status": """
-SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
     "rollup_priority_status": """
-SELECT o_orderpriority, o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total
 FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """,
     "pivot_event_values": """
 SELECT user_id,
-       coalesce(round(sum(value) FILTER (WHERE event_type = 'click'), 2), 0.0) AS click_value,
-       coalesce(round(sum(value) FILTER (WHERE event_type = 'view'), 2), 0.0) AS view_value,
-       coalesce(round(sum(value) FILTER (WHERE event_type = 'purchase'), 2), 0.0) AS purchase_value,
-       coalesce(round(sum(value) FILTER (WHERE event_type = 'signup'), 2), 0.0) AS signup_value,
-       coalesce(round(sum(value) FILTER (WHERE event_type = 'error'), 2), 0.0) AS error_value
+       coalesce(CAST(sum(CAST(value AS DECIMAL(27,2))) FILTER (WHERE event_type = 'click') AS DOUBLE), 0.0) AS click_value,
+       coalesce(CAST(sum(CAST(value AS DECIMAL(27,2))) FILTER (WHERE event_type = 'view') AS DOUBLE), 0.0) AS view_value,
+       coalesce(CAST(sum(CAST(value AS DECIMAL(27,2))) FILTER (WHERE event_type = 'purchase') AS DOUBLE), 0.0) AS purchase_value,
+       coalesce(CAST(sum(CAST(value AS DECIMAL(27,2))) FILTER (WHERE event_type = 'signup') AS DOUBLE), 0.0) AS signup_value,
+       coalesce(CAST(sum(CAST(value AS DECIMAL(27,2))) FILTER (WHERE event_type = 'error') AS DOUBLE), 0.0) AS error_value
 FROM events GROUP BY user_id
 """,
     "count_distinct_users": """

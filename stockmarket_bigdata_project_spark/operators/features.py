@@ -37,8 +37,14 @@ def silver_15m_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "15 minutes").alias("win"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # exact decimal sums: deterministic under any shuffle-merge order
+            (
+                F.sum(F.col("value").cast("decimal(27,2)")).cast("double")
+                / F.count("value")
+            ).alias("avg_value"),
+            F.sum(F.col("value").cast("decimal(27,2)")).cast("double").alias(
+                "sum_value"
+            ),
             F.max("value").alias("max_value"),
         )
         .select(
@@ -62,9 +68,16 @@ def medallion_e2e_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum("n_events").alias("n_events"),
-            # avg-of-avgs: reference semantics (unweighted), kept + documented
-            F.round(F.avg("avg_value"), 6).alias("avg_value"),
-            F.round(F.sum("sum_value"), 2).alias("sum_value"),
+            # avg-of-avgs: reference semantics (unweighted), kept + documented;
+            # quantize the (deterministic) window means at 12dp so this outer
+            # sum is exact too. sum_value values are 2-decimal, re-sum exactly.
+            (
+                F.sum(F.col("avg_value").cast("decimal(27,12)")).cast("double")
+                / F.count("avg_value")
+            ).alias("avg_value"),
+            F.sum(F.col("sum_value").cast("decimal(27,2)")).cast("double").alias(
+                "sum_value"
+            ),
             F.max("max_value").alias("max_value"),
         )
     )
@@ -74,7 +87,11 @@ def medallion_e2e_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").alias("user_id"),
             F.to_date("o_orderdate").alias("day"),
         )
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("order_total"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
+            .cast("double")
+            .alias("order_total")
+        )
     )
     return (
         daily_features.join(orders_daily, ["user_id", "day"], "left")
@@ -94,8 +111,10 @@ QUERIES = {
 _SILVER_SQL = """
 silver AS (
   SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start, user_id,
-         count(*) AS n_events, round(avg(value), 6) AS avg_value,
-         round(sum(value), 2) AS sum_value, max(value) AS max_value
+         count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(27,2))) AS DOUBLE) / count(value) AS avg_value,
+         CAST(sum(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS sum_value,
+         max(value) AS max_value
   FROM events GROUP BY 1, 2
 )
 """
@@ -111,14 +130,15 @@ WITH {_SILVER_SQL.strip()},
 daily AS (
   SELECT CAST(window_start AS DATE) AS day, user_id,
          sum(n_events) AS n_events,
-         round(avg(avg_value), 6) AS avg_value,
-         round(sum(sum_value), 2) AS sum_value,
+         CAST(sum(CAST(avg_value AS DECIMAL(27,12))) AS DOUBLE)
+           / count(avg_value) AS avg_value,
+         CAST(sum(CAST(sum_value AS DECIMAL(27,2))) AS DOUBLE) AS sum_value,
          max(max_value) AS max_value
   FROM silver GROUP BY 1, 2
 ),
 od AS (
   SELECT o_custkey AS user_id, CAST(o_orderdate AS DATE) AS day,
-         round(sum(o_totalprice), 2) AS order_total
+         CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS order_total
   FROM orders GROUP BY 1, 2
 )
 SELECT d.user_id, d.day, d.n_events, d.avg_value, d.sum_value, d.max_value,

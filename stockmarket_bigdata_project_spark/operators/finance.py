@@ -59,12 +59,18 @@ def vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_suppkey", "trade_date")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
-                / F.sum("l_quantity"),
-                6,
+            # price*qty is 2-decimal (2-dec × integer): the DECIMAL(27,2) sum
+            # is exact in any merge order; qty sums are integer-exact. The
+            # quotient is then one deterministic binary64 division.
+            (
+                F.sum(
+                    (F.col("l_extendedprice") * F.col("l_quantity")).cast(
+                        "decimal(27,2)"
+                    )
+                ).cast("double")
+                / F.sum("l_quantity")
             ).alias("vwap"),
-            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.sum("l_quantity").alias("total_qty"),
         )
     )
 
@@ -77,7 +83,13 @@ def twap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(
             "user_id", F.date_trunc("hour", "ts").alias("hour")
         )
-        .agg(F.round(F.avg("value"), 6).alias("twap"), F.count("*").alias("n_obs"))
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(27,2)")).cast("double")
+                / F.count("value")
+            ).alias("twap"),
+            F.count("*").alias("n_obs"),
+        )
     )
 
 
@@ -100,9 +112,13 @@ def rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     window AVGs so Spark and DuckDB accumulate identically:
     beta = (avg(xm) - avg(x)avg(m)) / (avg(m²) - avg(m)²)."""
     r = _returns(spark, sf_dir)
-    market = (
-        r.groupBy("trade_date")
-        .agg(F.avg("ret").alias("mret"))
+    # unordered avg of inexact doubles is not run-to-run stable: quantize
+    # the (deterministic, per-row) return at 14dp so the sum is exact
+    market = r.groupBy("trade_date").agg(
+        (
+            F.sum(F.col("ret").cast("decimal(27,14)")).cast("double")
+            / F.count("ret")
+        ).alias("mret")
     )
     j = r.join(market, "trade_date").filter(
         F.col("ret").isNotNull() & F.col("mret").isNotNull()
@@ -167,13 +183,15 @@ QUERIES = {
 ORACLE = {
     "vwap_daily": """
 SELECT l_suppkey, CAST(l_shipdate AS DATE) AS trade_date,
-       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6) AS vwap,
-       round(sum(l_quantity), 2) AS total_qty
+       CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(27,2))) AS DOUBLE)
+         / sum(l_quantity) AS vwap,
+       sum(l_quantity) AS total_qty
 FROM lineitem GROUP BY 1, 2
 """,
     "twap_hourly": """
 SELECT user_id, date_trunc('hour', ts) AS hour,
-       round(avg(value), 6) AS twap, count(*) AS n_obs
+       CAST(sum(CAST(value AS DECIMAL(27,2))) AS DOUBLE) / count(value) AS twap,
+       count(*) AS n_obs
 FROM events GROUP BY 1, 2
 """,
     "rolling_volatility": _RETURNS_SQL
@@ -187,7 +205,9 @@ FROM rets
     "rolling_beta": _RETURNS_SQL
     + """,
 market AS (
-  SELECT trade_date, avg(ret) AS mret FROM rets GROUP BY trade_date
+  SELECT trade_date,
+         CAST(sum(CAST(ret AS DECIMAL(27,14))) AS DOUBLE) / count(ret) AS mret
+  FROM rets GROUP BY trade_date
 ),
 j AS (
   SELECT r.l_suppkey, r.trade_date, r.ret, m.mret

@@ -66,7 +66,7 @@ def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+        F.sum(F.col("o_totalprice").cast("decimal(27,2)")).cast("double").alias("total_spent"),
     )
     return (
         c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
@@ -123,9 +123,13 @@ def revenue_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(27,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -160,8 +164,13 @@ def interval_join_48h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("user_id", "day").agg(
         F.count("*").alias("events_48h"),
-        F.round(F.avg("value"), 6).alias("avg_value_48h"),
-        F.round(F.sum("value"), 2).alias("total_value_48h"),
+        (
+            F.sum(F.col("value").cast("decimal(27,2)")).cast("double")
+            / F.count("value")
+        ).alias("avg_value_48h"),
+        F.sum(F.col("value").cast("decimal(27,2)")).cast("double").alias(
+            "total_value_48h"
+        ),
     )
 
 
@@ -207,7 +216,7 @@ def _asof_sides(spark: SparkSession, sf_dir: str):
     left = o.select("o_orderkey", "o_custkey", F.to_date("o_orderdate").alias("day"))
     right = (
         o.groupBy("o_custkey", F.to_date("o_orderdate").alias("day"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("day_total"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(27,2)")).cast("double").alias("day_total"))
         .withColumnRenamed("o_custkey", "r_custkey")
         .withColumnRenamed("day", "r_day")
     )
@@ -319,7 +328,8 @@ JOIN stock s USING (l_suppkey, trade_date)
 """,
     "customer_order_stats": """
 WITH per_cust AS (
-  SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_spent
+  SELECT o_custkey, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total_spent
   FROM orders GROUP BY o_custkey
 )
 SELECT c_custkey, c_name, c_mktsegment,
@@ -349,7 +359,8 @@ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
 SELECT r_name AS region_name, n_name AS nation_name FROM region CROSS JOIN nation
 """,
     "revenue_by_brand": """
-SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+SELECT p_brand,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))) AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
@@ -372,8 +383,8 @@ WITH anchors AS (
 )
 SELECT a.user_id, a.day,
        count(*) AS events_48h,
-       round(avg(e.value), 6) AS avg_value_48h,
-       round(sum(e.value), 2) AS total_value_48h
+       CAST(sum(CAST(e.value AS DECIMAL(27,2))) AS DOUBLE) / count(e.value) AS avg_value_48h,
+       CAST(sum(CAST(e.value AS DECIMAL(27,2))) AS DOUBLE) AS total_value_48h
 FROM anchors a
 JOIN events e
   ON e.user_id = a.user_id
@@ -384,7 +395,7 @@ GROUP BY a.user_id, a.day
     "asof_join_prev_order": """
 WITH daily AS (
   SELECT o_custkey AS r_custkey, CAST(o_orderdate AS DATE) AS r_day,
-         round(sum(o_totalprice), 2) AS day_total
+         CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS day_total
   FROM orders GROUP BY 1, 2
 )
 SELECT o.o_orderkey, o.o_custkey, CAST(o.o_orderdate AS DATE) AS day,
@@ -396,7 +407,7 @@ ASOF LEFT JOIN daily d
     "asof_join_merge_pandas": """
 WITH daily AS (
   SELECT o_custkey AS r_custkey, CAST(o_orderdate AS DATE) AS r_day,
-         round(sum(o_totalprice), 2) AS day_total
+         CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS day_total
   FROM orders GROUP BY 1, 2
 )
 SELECT o.o_orderkey, o.o_custkey, CAST(o.o_orderdate AS DATE) AS day,

@@ -142,7 +142,7 @@ def threshold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,2)")).cast("double").alias("total_price"),
         )
     )
 
@@ -278,7 +278,7 @@ GROUP BY token
     "threshold_split": """
 SELECT CASE WHEN o_orderdate < '1998-01-01' THEN 'train' ELSE 'sim' END AS split,
        count(*) AS n,
-       round(sum(o_totalprice), 2) AS total_price
+       CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total_price
 FROM orders GROUP BY 1
 """,
     "topk_orders": """

@@ -90,11 +90,20 @@ def pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = supplier_daily_ohlcv(spark, sf_dir)
     w3 = _w().rowsBetween(-2, 0)
+    # close_px is 2-decimal: a decimal window sum is exact under Spark's
+    # sliding add/remove AND DuckDB's segment tree (different association
+    # orders — inexact double frames can drift apart). volume is
+    # integer-valued, already exact either way.
     return s.select(
         "l_suppkey",
         "trade_date",
-        F.round(F.avg("close_px").over(w3), 6).alias("rolling_avg_close"),
-        F.round(F.avg("volume").over(w3), 6).alias("rolling_avg_volume"),
+        (
+            F.sum(F.col("close_px").cast("decimal(27,2)")).over(w3).cast("double")
+            / F.count("close_px").over(w3)
+        ).alias("rolling_avg_close"),
+        (F.sum("volume").over(w3) / F.count("volume").over(w3)).alias(
+            "rolling_avg_volume"
+        ),
     )
 
 
@@ -143,7 +152,12 @@ def daily_event_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.to_date("ts").alias("day"))
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("day_value"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(27,2)")).cast("double").alias(
+                "day_value"
+            ),
+        )
     )
 
 
@@ -195,7 +209,7 @@ def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "l_suppkey",
         "trade_date",
-        F.round(F.sum("volume").over(wcum), 2).alias("cum_volume"),
+        F.sum("volume").over(wcum).alias("cum_volume"),
     )
 
 
@@ -218,7 +232,9 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
-        F.round(F.sum("value"), 2).alias("session_value"),
+        F.sum(F.col("value").cast("decimal(27,2)")).cast("double").alias(
+            "session_value"
+        ),
     )
 
 
@@ -262,8 +278,9 @@ FROM stock WINDOW w AS (PARTITION BY l_suppkey ORDER BY trade_date)
 """),
     "rolling_mean": _stock_cte("""
 SELECT l_suppkey, trade_date,
-       round(avg(close_px) OVER w3, 6) AS rolling_avg_close,
-       round(avg(volume) OVER w3, 6) AS rolling_avg_volume
+       CAST(sum(CAST(close_px AS DECIMAL(27,2))) OVER w3 AS DOUBLE)
+         / count(close_px) OVER w3 AS rolling_avg_close,
+       sum(volume) OVER w3 / count(volume) OVER w3 AS rolling_avg_volume
 FROM stock WINDOW w3 AS (PARTITION BY l_suppkey ORDER BY trade_date
                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
 """),
@@ -288,7 +305,8 @@ SELECT l_suppkey, trade_date,
 FROM seqs WHERE len(cents) = 5
 """,
     "daily_event_activity": """
-SELECT CAST(ts AS DATE) AS day, count(*) AS n, round(sum(value), 2) AS day_value
+SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS day_value
 FROM events GROUP BY 1
 """,
     "latest_per_group": _stock_cte("""
@@ -317,8 +335,8 @@ SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (
 """,
     "running_total": _stock_cte("""
 SELECT l_suppkey, trade_date,
-       round(sum(volume) OVER (PARTITION BY l_suppkey ORDER BY trade_date
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+       sum(volume) OVER (PARTITION BY l_suppkey ORDER BY trade_date
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        AS cum_volume
 FROM stock
 """),
@@ -339,7 +357,7 @@ WITH g AS (
 )
 SELECT user_id, session_id, count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end,
-       round(sum(value), 2) AS session_value
+       CAST(sum(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS session_value
 FROM s GROUP BY user_id, session_id
 """,
 }

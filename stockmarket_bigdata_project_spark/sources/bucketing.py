@@ -72,7 +72,11 @@ def bucketed_join_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_totalprice")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2).alias(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_quantity")).cast(
+                    "decimal(27,2)"
+                )
+            ).cast("double").alias(
                 "line_revenue"
             ),
             F.count("*").alias("n_lines"),
@@ -96,7 +100,7 @@ ORACLE = {
     "bucketed_join_orders_lineitem": """
 SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS order_date,
        o.o_totalprice,
-       round(sum(l.l_extendedprice * l.l_quantity), 2) AS line_revenue,
+       CAST(sum(CAST(l.l_extendedprice * l.l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS line_revenue,
        count(*) AS n_lines
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1, 2, 3

@@ -91,7 +91,9 @@ def single_file_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.to_date("o_orderdate").alias("day"))
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("day_total"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
+            .cast("double")
+            .alias("day_total"),
         )
     )
     out = tempfile.mkdtemp(prefix="spark_graft_csv1_")
@@ -127,7 +129,7 @@ FROM ({SUPPLIER_DAILY_SQL})
 """,
     "single_file_export": """
 SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS day_total
+       CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS day_total
 FROM orders GROUP BY 1
 """,
 }

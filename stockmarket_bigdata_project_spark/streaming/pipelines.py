@@ -121,8 +121,15 @@ def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", WINDOW), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # exact decimal sums — also immune to micro-batch state-merge
+            # order, not just shuffle order (value is 2-decimal)
+            (
+                F.sum(F.col("value").cast("decimal(27,2)")).cast("double")
+                / F.count("value")
+            ).alias("avg_value"),
+            F.sum(F.col("value").cast("decimal(27,2)")).cast("double").alias(
+                "total_value"
+            ),
             F.max("value").alias("max_value"),
         )
     )
@@ -145,7 +152,12 @@ def streaming_window_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         _events_stream(spark, sf_dir)
         .groupBy(F.window("ts", WINDOW), "event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
     )
     out = _run_to_memory(agg, "complete")
     return out.select(
@@ -189,7 +201,9 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.session_window("ts", SESSION_GAP), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            F.sum(F.col("value").cast("decimal(27,2)")).cast("double").alias(
+                "session_value"
+            ),
         )
     )
     out = _run_to_memory(agg, "append")
@@ -310,8 +324,8 @@ SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
        time_bucket(INTERVAL '15 minutes', ts) + INTERVAL '15 minutes' AS window_end,
        event_type,
        count(*) AS n_events,
-       round(avg(value), 6) AS avg_value,
-       round(sum(value), 2) AS total_value,
+       CAST(sum(CAST(value AS DECIMAL(27,2))) AS DOUBLE) / count(value) AS avg_value,
+       CAST(sum(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS total_value,
        max(value) AS max_value
 FROM events GROUP BY 1, 2, 3
 """
@@ -329,7 +343,7 @@ SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
        time_bucket(INTERVAL '15 minutes', ts) + INTERVAL '15 minutes' AS window_end,
        event_type,
        count(*) AS n_events,
-       round(sum(value), 2) AS total_value
+       CAST(sum(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS total_value
 FROM events GROUP BY 1, 2, 3
 """,
     # each event covers the two 30-min windows starting at bucket and bucket-15m
@@ -360,7 +374,8 @@ WITH flagged AS (
   FROM flagged
 )
 SELECT user_id, min(ts) AS session_start,
-       count(*) AS n_events, round(sum(value), 2) AS session_value
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS session_value
 FROM sess GROUP BY user_id, sid
 HAVING max(ts) + INTERVAL '30 minutes'
        <= (SELECT max(ts) FROM events) - INTERVAL '10 minutes'
