@@ -231,11 +231,47 @@ def prediction_documents_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7: feature-importance ranking (reference 02_train_baseline_model.ipynb
+    cells 6-7 sort XGBoost importances desc, take the top features). For the
+    deterministic linear stand-in model the scale-aware importance is
+    |coef| x max|feature| over the data — max is order-free, the product one
+    binary64 multiply, so the ranking is exactly oracle-checkable."""
+    f = _features(spark, sf_dir)
+    stats = f.agg(
+        F.max(F.abs("prev_ret")).alias("m_prev"),
+        F.max(F.abs("momentum")).alias("m_mom"),
+    )
+    imp = stats.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("prev_ret").alias("feature"),
+                    (F.lit(abs(_COEF_PREV_RET)) * F.col("m_prev")).alias(
+                        "importance"
+                    ),
+                ),
+                F.struct(
+                    F.lit("momentum").alias("feature"),
+                    (F.lit(abs(_COEF_MOMENTUM)) * F.col("m_mom")).alias(
+                        "importance"
+                    ),
+                ),
+            )
+        ).alias("fi")
+    ).select("fi.feature", "fi.importance")
+    w = Window.orderBy(F.desc("importance"), F.asc("feature"))
+    return imp.select(
+        "feature", "importance", F.row_number().over(w).alias("rank")
+    )
+
+
 QUERIES = {
     "scale_features": scale_features,
     "sequential_split": sequential_split,
     "predict_returns": predict_returns,
     "eval_metrics": eval_metrics,
+    "feature_importance": feature_importance,
     "confusion_matrix": confusion_matrix,
     "prediction_documents": prediction_documents,
     "prediction_documents_nested": prediction_documents_nested,
@@ -294,6 +330,20 @@ SELECT l_suppkey, trade_date, close_px,
        round(pred, 6) AS pred_return,
        round(close_px * (1 + pred), 4) AS predicted_price
 FROM p
+""",
+    "feature_importance": f"""
+WITH feat AS ({_FEATURES_SQL}),
+stats AS (
+  SELECT max(abs(prev_ret)) AS m_prev, max(abs(momentum)) AS m_mom FROM feat
+),
+fi AS (
+  SELECT 'prev_ret' AS feature, {abs(_COEF_PREV_RET)} * m_prev AS importance FROM stats
+  UNION ALL
+  SELECT 'momentum' AS feature, {abs(_COEF_MOMENTUM)} * m_mom AS importance FROM stats
+)
+SELECT feature, importance,
+       CAST(row_number() OVER (ORDER BY importance DESC, feature ASC) AS INTEGER) AS rank
+FROM fi
 """,
     "eval_metrics": f"""
 WITH stock AS ({SUPPLIER_DAILY_SQL}),

@@ -28,6 +28,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
+from ..functions.exact import dec_sum
 
 
 def silver_15m_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -39,10 +40,10 @@ def silver_15m_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             # exact decimal sums: deterministic under any shuffle-merge order
             (
-                F.sum(F.col("value").cast("decimal(27,2)")).cast("double")
+                dec_sum("value")
                 / F.count("value")
             ).alias("avg_value"),
-            F.sum(F.col("value").cast("decimal(27,2)")).cast("double").alias(
+            dec_sum("value").alias(
                 "sum_value"
             ),
             F.max("value").alias("max_value"),
@@ -88,8 +89,7 @@ def medallion_e2e_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date("o_orderdate").alias("day"),
         )
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
-            .cast("double")
+            dec_sum("o_totalprice")
             .alias("order_total")
         )
     )

@@ -32,6 +32,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import load_table
+from ..functions.exact import dec_sum
 from .gold import SUPPLIER_DAILY_SQL, orders_daily_rollup, supplier_daily_ohlcv
 
 
@@ -66,7 +67,7 @@ def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.count("*").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(27,2)")).cast("double").alias("total_spent"),
+        dec_sum("o_totalprice").alias("total_spent"),
     )
     return (
         c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
@@ -165,10 +166,10 @@ def interval_join_48h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("user_id", "day").agg(
         F.count("*").alias("events_48h"),
         (
-            F.sum(F.col("value").cast("decimal(27,2)")).cast("double")
+            dec_sum("value")
             / F.count("value")
         ).alias("avg_value_48h"),
-        F.sum(F.col("value").cast("decimal(27,2)")).cast("double").alias(
+        dec_sum("value").alias(
             "total_value_48h"
         ),
     )
@@ -216,7 +217,7 @@ def _asof_sides(spark: SparkSession, sf_dir: str):
     left = o.select("o_orderkey", "o_custkey", F.to_date("o_orderdate").alias("day"))
     right = (
         o.groupBy("o_custkey", F.to_date("o_orderdate").alias("day"))
-        .agg(F.sum(F.col("o_totalprice").cast("decimal(27,2)")).cast("double").alias("day_total"))
+        .agg(dec_sum("o_totalprice").alias("day_total"))
         .withColumnRenamed("o_custkey", "r_custkey")
         .withColumnRenamed("day", "r_day")
     )

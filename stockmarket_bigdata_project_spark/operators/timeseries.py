@@ -28,6 +28,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import load_table
+from ..functions.exact import dec_sum
 from .gold import SUPPLIER_DAILY_SQL, supplier_daily_ohlcv
 
 # canonical per-key time-series window
@@ -154,7 +155,7 @@ def daily_event_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.to_date("ts").alias("day"))
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(27,2)")).cast("double").alias(
+            dec_sum("value").alias(
                 "day_value"
             ),
         )
@@ -232,7 +233,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
-        F.sum(F.col("value").cast("decimal(27,2)")).cast("double").alias(
+        dec_sum("value").alias(
             "session_value"
         ),
     )

@@ -27,6 +27,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
+from ..functions.exact import dec_sum
 from ..operators.gold import GOLD_ORACLE_SQL, SUPPLIER_DAILY_SQL, gold_daily_features
 
 _lock = threading.Lock()
@@ -91,8 +92,7 @@ def single_file_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.to_date("o_orderdate").alias("day"))
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
-            .cast("double")
+            dec_sum("o_totalprice")
             .alias("day_total"),
         )
     )

@@ -45,6 +45,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
+from ..functions.exact import dec_sum
 
 WATERMARK = "10 minutes"
 WINDOW = "15 minutes"
@@ -124,10 +125,10 @@ def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             # exact decimal sums — also immune to micro-batch state-merge
             # order, not just shuffle order (value is 2-decimal)
             (
-                F.sum(F.col("value").cast("decimal(27,2)")).cast("double")
+                dec_sum("value")
                 / F.count("value")
             ).alias("avg_value"),
-            F.sum(F.col("value").cast("decimal(27,2)")).cast("double").alias(
+            dec_sum("value").alias(
                 "total_value"
             ),
             F.max("value").alias("max_value"),
@@ -154,7 +155,7 @@ def streaming_window_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", WINDOW), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(27,2)")).cast("double").alias(
+            dec_sum("value").alias(
                 "total_value"
             ),
         )
@@ -201,7 +202,7 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.session_window("ts", SESSION_GAP), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(27,2)")).cast("double").alias(
+            dec_sum("value").alias(
                 "session_value"
             ),
         )
