@@ -1,0 +1,56 @@
+"""Run-to-run determinism: results must be identical under different
+physical plans (shuffle partition counts), not just on one lucky execution.
+
+This is the regression guard for the round-2 exact-aggregation sweep: a
+plain float sum/avg/stddev merges partials in shuffle order, so the same
+query on the same data can hash differently between runs — which the
+external gate would catch as a spurious oracle mismatch. Every query here
+produced float aggregates that were rewritten onto exact decimal/integer
+sums; equality across partition counts proves order-independence.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from stockmarket_bigdata_project_spark import registry
+
+_QUERIES = registry.all_queries()
+
+# Queries whose outputs are float aggregates over shuffled groups — the ones
+# that would drift under partial-merge reordering if the sums were inexact.
+_SENSITIVE = [
+    "orders_daily_rollup",
+    "pricing_summary",
+    "conditional_agg_ratios",
+    "correlation_matrix",
+    "vwap_daily",
+    "sentiment_features",
+    "eval_metrics",
+    "corpus_clean_stats",
+]
+
+
+def _rows(df):
+    def canon(v):
+        if isinstance(v, float) and math.isnan(v):
+            return "nan"
+        return v
+
+    return sorted(tuple(canon(v) for v in r) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", _SENSITIVE)
+def test_identical_across_shuffle_partitionings(name, spark, sf_dir):
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        a = _rows(_QUERIES[name](spark, sf_dir))
+        # prime-and-small forces different partial groupings and merge orders
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        b = _rows(_QUERIES[name](spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert a == b, f"{name}: result depends on shuffle partitioning"

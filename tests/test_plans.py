@@ -36,3 +36,46 @@ def test_shard_packing_single_shuffle(spark, sf_dir):
     assert "hashpartitioning(source" in plan, plan
     assert "SinglePartition" not in plan, plan
     assert "rangepartitioning" not in plan, plan
+
+
+# --- round-2 exact-aggregation sweep: the physical shape must not regress ----
+def test_decimal_exact_aggs_keep_partial_aggregation(spark, sf_dir):
+    """DECIMAL-quantized sums must still run as partial+final hash
+    aggregates (map-side combine): the determinism fix may not silently
+    turn the 100 TB scan-reduce into a raw-row shuffle."""
+    from stockmarket_bigdata_project_spark.operators.aggregates import (
+        pricing_summary,
+    )
+    from stockmarket_bigdata_project_spark.operators.gold import (
+        orders_daily_rollup,
+    )
+
+    for fn in (pricing_summary, orders_daily_rollup):
+        plan = _plan(fn(spark, sf_dir))
+        assert plan.count("HashAggregate") >= 4, plan  # partial+final, tree+detail
+        assert "partial_sum" in plan.lower() or "partial" in plan.lower(), plan
+
+
+def test_pricing_summary_scan_is_pruned(spark, sf_dir):
+    """Filter pushdown + column pruning must reach the parquet scan even
+    through the decimal casts."""
+    from stockmarket_bigdata_project_spark.operators.aggregates import (
+        pricing_summary,
+    )
+
+    plan = _plan(pricing_summary(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan, plan
+    # only the 7 referenced columns, not the 16-column table
+    assert "l_comment" not in plan, plan
+    assert "l_partkey" not in plan, plan
+
+
+def test_gold_join_broadcasts_daily_rollup(spark, sf_dir):
+    """The tiny per-date rollup must broadcast; the fact-side aggregate must
+    not shuffle for the join."""
+    from stockmarket_bigdata_project_spark.operators.gold import (
+        gold_daily_features,
+    )
+
+    plan = _plan(gold_daily_features(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
