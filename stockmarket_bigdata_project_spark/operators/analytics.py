@@ -1,0 +1,312 @@
+"""Multi-table analytical join queries (TPC-H Q3/Q5 shapes) — [extension].
+
+The reference never joins more than two tables at once (its widest plan is
+the 2-key stream-static join, spark_consumer.py:111-115). A stock-market
+engine run at warehouse scale gets asked star-shaped questions across the
+whole schema, so the capability is pinned here with the two canonical
+shapes:
+
+  * shipping_priority (Q3): customer ⋈ orders ⋈ lineitem, filter both ends
+    of the date range, top-k unshipped revenue — selective filters reach
+    every scan, the join tree is left-deep over the two big tables, and the
+    final top-k is TakeOrderedAndProject (no global sort).
+  * local_supplier_volume (Q5): 6-table star — region/nation broadcast
+    (tiny), customer/supplier equi-joins constrained to the same nation,
+    revenue aggregated per nation. Catalyst's join reordering + AQE pick
+    broadcast for every dimension; the lineitem fact never shuffles more
+    than once.
+
+Revenue sums use the DECIMAL(27,4) quantization of the determinism playbook
+(COVERAGE.md): l_extendedprice*(1-l_discount) is 4-decimal by construction.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import load_table
+
+_REV_DEC = "decimal(27,4)"
+_REV_SQL = "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))) AS DOUBLE)"
+
+
+def _revenue() -> F.Column:
+    return (
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_REV_DEC))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape: top-10 unshipped orders by revenue for one market segment."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1995-03-15"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1995-03-15"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_revenue())
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: revenue from local-supplier orders per nation of one region,
+    one order-year. Dimension chain region→nation broadcasts; customer and
+    supplier must share the nation (the classic cross-dimension constraint)."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    dims = (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(
+            c,
+            (o.o_custkey == c.c_custkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(dims), s.s_nationkey == dims.n_nationkey)
+        .groupBy("n_name")
+        .agg(_revenue())
+    )
+
+
+# --- subquery shapes (Catalyst decorrelation) --------------------------------
+# The reference has no subqueries at all (its only nested lookup is the
+# per-row Mongo find in stock_pipeline.py:155-179, which J5 replaced with a
+# set-based join). These four pin the classic decorrelated forms a warehouse
+# user writes daily — EXISTS → left-semi, correlated scalar agg → join with
+# a grouped subplan, HAVING-IN → semi over an aggregate, NOT-EXISTS +
+# uncorrelated scalar → anti join + broadcast threshold. In every case the
+# DataFrame side states the decorrelated plan directly (what Catalyst would
+# rewrite to), so there is no hidden per-row re-execution at scale.
+
+
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: per-priority count of Q1-1996 orders where EXISTS a lineitem
+    shipped more than 30 days after the order date. Semi-join keeps the
+    orders scan as the only row producer — no duplicate counting however
+    many lineitems are late."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.date_add(o.o_orderdate, 30)),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_late_orders"))
+    )
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: yearly revenue lost to small orders of one brand —
+    lineitems with quantity below 20% of that part's average quantity.
+
+    The correlated scalar subquery (per-part avg over ALL of lineitem)
+    becomes a partition window over the brand-filtered join: filtering by
+    p_partkey first is semantics-preserving because the correlation key IS
+    the filter key, so the 100 TB lineitem is scanned once, reduced by a
+    broadcast of the ~100-part dimension, and never grouped globally.
+    Quantities are integer-valued doubles — exact under any sum order."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    w = Window.partitionBy("l_partkey")
+    avg_qty = F.sum("l_quantity").over(w) / F.count("l_quantity").over(w)
+    return (
+        j.withColumn("avg_qty", avg_qty)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(27,2)")).cast("double")
+                / 7.0
+            ).alias("avg_yearly")
+        )
+    )
+
+
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: orders whose total quantity exceeds 300, with the customer
+    attached. The HAVING-IN subquery decorrelates to an aggregate + inner
+    join back to orders; the big side aggregates BEFORE joining (46 rows out
+    of 60k orders at sf0.01), so the customer join is a broadcast of the
+    survivors, not a fact-to-fact shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+    )
+
+
+def rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: per-segment count and balance mass of customers with
+    above-average positive balance and NO orders in June 1996 (the synthetic
+    orders table keeps nearly every customer active overall, so the window
+    makes the anti-join discriminating). The uncorrelated scalar subquery
+    (global avg) is a 1-row broadcast; NOT EXISTS is a left-anti join —
+    neither touches the fact table twice. Balance sums go through
+    DECIMAL(27,2) (money is 2-dec by construction) so both engines emit the
+    same double."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-06-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    thresh = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(27,2)")).cast("double")
+                / F.count("c_acctbal")
+            ).alias("avg_bal")
+        )
+    )
+    return (
+        c.join(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.sum(F.col("c_acctbal").cast("decimal(27,2)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+    )
+
+
+def order_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows: percent_rank / cume_dist of each order's price
+    within its priority class. Both are rank-ratio rationals of integers —
+    ties collapse to the same value in every engine, so the output is
+    hash-exact without any rounding. [extension]"""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+    )
+
+
+QUERIES = {
+    "shipping_priority": shipping_priority,
+    "local_supplier_volume": local_supplier_volume,
+    "late_shipment_priority": late_shipment_priority,
+    "small_quantity_revenue": small_quantity_revenue,
+    "large_volume_customers": large_volume_customers,
+    "rich_inactive_customers": rich_inactive_customers,
+    "order_value_distribution": order_value_distribution,
+}
+
+ORACLE = {
+    "shipping_priority": f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority, {_REV_SQL} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '1995-03-15'
+  AND l_shipdate > DATE '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+""",
+    "local_supplier_volume": f"""
+SELECT n_name, {_REV_SQL} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+GROUP BY n_name
+""",
+    "late_shipment_priority": """
+SELECT o_orderpriority, count(*) AS n_late_orders
+FROM orders
+WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY o_orderpriority
+""",
+    "small_quantity_revenue": """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (
+    SELECT 0.2 * (sum(l_quantity) / count(l_quantity)) FROM lineitem l2
+    WHERE l2.l_partkey = part.p_partkey
+  )
+""",
+    "large_volume_customers": """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+) big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+""",
+    "rich_inactive_customers": """
+SELECT c_mktsegment,
+       count(*) AS n_custs,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(27,2))) AS DOUBLE) AS total_bal
+FROM customer
+WHERE c_acctbal > (
+    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(27,2))) AS DOUBLE) / count(c_acctbal)
+    FROM customer WHERE c_acctbal > 0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      AND o_orderdate >= DATE '1996-06-01' AND o_orderdate < DATE '1996-07-01'
+  )
+GROUP BY c_mktsegment
+""",
+    "order_value_distribution": """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cum_dist
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+""",
+}

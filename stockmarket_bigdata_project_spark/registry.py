@@ -23,6 +23,7 @@ _MODULE_PATHS = [
     "operators.aggregates",
     "operators.timeseries",
     "operators.joins",
+    "operators.analytics",
     "operators.skew",
     "operators.finance",
     "operators.features",

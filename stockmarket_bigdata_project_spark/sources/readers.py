@@ -102,6 +102,13 @@ def _stage(spark: SparkSession, sf_dir: str, kind: str) -> str:
                     {"timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS"},
                 ).alias("value")
             ).write.mode("overwrite").text(out)
+        elif kind == "orc":
+            # Spark's other first-class columnar format: same pushdown/pruning
+            # machinery as parquet (predicate pushdown via ORC row-group
+            # stats), exercised as a write->scan roundtrip
+            ev.select("event_id", "ts", "user_id", "event_type", "value").write.mode(
+                "overwrite"
+            ).orc(out)
         else:
             raise ValueError(kind)
         _staged[key] = out
@@ -201,7 +208,16 @@ def normalize_variant_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- [extension] ORC scan ----------------------------------------------------
+def orc_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write -> scan roundtrip. The timestamp survives at microsecond
+    precision (ORC stores micros), matching the engine's events semantics."""
+    path = _stage(spark, sf_dir, "orc")
+    return spark.read.orc(path)
+
+
 QUERIES = {
+    "orc_scan_roundtrip": orc_scan_roundtrip,
     "csv_scan_events": csv_scan_events,
     "csv_scan_dropmalformed": csv_scan_dropmalformed,
     "json_payload_decode": json_payload_decode,
@@ -209,6 +225,9 @@ QUERIES = {
 }
 
 ORACLE = {
+    "orc_scan_roundtrip": """
+SELECT event_id, ts, user_id, event_type, value FROM events
+""",
     "csv_scan_events": """
 SELECT event_id, ts, user_id, event_type, value FROM events
 """,

@@ -79,3 +79,47 @@ def test_gold_join_broadcasts_daily_rollup(spark, sf_dir):
 
     plan = _plan(gold_daily_features(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
+
+
+# --- analytics (multi-join + subquery decorrelation) -------------------------
+def test_star_join_broadcasts_every_dimension(spark, sf_dir):
+    """Q5 star: all five dimension joins must be broadcast — the lineitem
+    fact may shuffle exactly once (the final groupBy), never for a join."""
+    from stockmarket_bigdata_project_spark.operators.analytics import (
+        local_supplier_volume,
+    )
+
+    plan = _plan(local_supplier_volume(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 5, plan
+    assert "SortMergeJoin" not in plan, plan
+    # tree line + detail block for the single aggregation exchange
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_q3_uses_take_ordered_not_global_sort(spark, sf_dir):
+    """Top-10 by revenue must be TakeOrderedAndProject — a global Sort of
+    the aggregated stream is wrong at scale."""
+    from stockmarket_bigdata_project_spark.operators.analytics import (
+        shipping_priority,
+    )
+
+    plan = _plan(shipping_priority(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_exists_decorrelates_to_semi_join(spark, sf_dir):
+    from stockmarket_bigdata_project_spark.operators.analytics import (
+        late_shipment_priority,
+    )
+
+    plan = _plan(late_shipment_priority(spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+
+
+def test_not_exists_decorrelates_to_anti_join(spark, sf_dir):
+    from stockmarket_bigdata_project_spark.operators.analytics import (
+        rich_inactive_customers,
+    )
+
+    plan = _plan(rich_inactive_customers(spark, sf_dir))
+    assert "LeftAnti" in plan, plan
