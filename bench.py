@@ -26,6 +26,7 @@ from stockmarket_bigdata_project_spark.session import get_spark
 HEADLINE = [
     "gold_daily_features",
     "revenue_by_brand",
+    "local_supplier_volume",
     "join_daily_market_activity",
     "interval_join_48h",
     "asof_join_prev_order",

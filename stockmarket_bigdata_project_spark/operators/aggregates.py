@@ -261,6 +261,42 @@ def pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- [extension] unpivot (melt) — the inverse of pivot -----------------------
+def unpivot_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide OHLC → long (supplier, date, field, px) via ``unpivot``: the
+    long form feeds per-field pipelines (normalization, plotting, feature
+    stores) without four separate scans. Expands rows 4x map-side — no
+    shuffle beyond the OHLCV build itself."""
+    from .gold import supplier_daily_ohlcv
+
+    s = supplier_daily_ohlcv(spark, sf_dir)
+    return s.unpivot(
+        ["l_suppkey", "trade_date"],
+        ["open_px", "high_px", "low_px", "close_px"],
+        "field",
+        "px",
+    )
+
+
+# --- [extension] numeric-bin histogram ---------------------------------------
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order value (bin = floor(price/20k)): the
+    one-pass distributed histogram every profiler needs — bin id computed
+    map-side, ONE shuffle of (bin, partial count). floor of a 2-dec double
+    over an exact power-of-two-free divisor is engine-identical."""
+    o = load_table(spark, sf_dir, "orders")
+    b = F.floor(F.col("o_totalprice") / 20000.0)
+    return (
+        o.groupBy(b.cast("int").alias("bin"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
+            .cast("double")
+            .alias("bin_value"),
+        )
+    )
+
+
 # --- [extension] distinct + approx distinct ---------------------------------
 def count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -279,6 +315,8 @@ def approx_count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "unpivot_ohlc": unpivot_ohlc,
+    "order_price_histogram": order_price_histogram,
     "global_counts": global_counts,
     "group_sizes": group_sizes,
     "distinct_event_types": distinct_event_types,
@@ -295,7 +333,25 @@ QUERIES = {
     "approx_count_distinct_users": approx_count_distinct_users,
 }
 
+from .gold import SUPPLIER_DAILY_SQL  # noqa: E402  (oracle twin of unpivot_ohlc)
+
 ORACLE = {
+    "unpivot_ohlc": f"""
+WITH stock AS ({SUPPLIER_DAILY_SQL})
+SELECT l_suppkey, trade_date, 'open_px'  AS field, open_px  AS px FROM stock
+UNION ALL
+SELECT l_suppkey, trade_date, 'high_px'  AS field, high_px  AS px FROM stock
+UNION ALL
+SELECT l_suppkey, trade_date, 'low_px'   AS field, low_px   AS px FROM stock
+UNION ALL
+SELECT l_suppkey, trade_date, 'close_px' AS field, close_px AS px FROM stock
+""",
+    "order_price_histogram": """
+SELECT CAST(floor(o_totalprice / 20000.0) AS INTEGER) AS bin,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS bin_value
+FROM orders GROUP BY 1
+""",
     "global_counts": """
 SELECT count(*) AS n_rows,
        count(DISTINCT l_orderkey) AS n_orders,

@@ -214,6 +214,65 @@ def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- [extension] time-range rolling window (RANGE frame) --------------------
+def rolling_mean_7d_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-calendar-day trailing average close per supplier — a RANGE frame
+    keyed on days-since-epoch, not a ROWS frame: with gaps in the series the
+    two differ (a ROWS(-6,0) frame would reach back further than a week).
+    This is the correct form for 'last N days' features at any scale; the
+    window still executes on the single (l_suppkey) shuffle every other
+    time-series op reuses. Decimal window sums per the determinism playbook
+    (Spark's sliding add/remove vs DuckDB's segment tree associate float
+    additions differently)."""
+    s = supplier_daily_ohlcv(spark, sf_dir).withColumn(
+        "day_num", F.datediff("trade_date", F.lit("1970-01-01"))
+    )
+    w7 = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("day_num")
+        .rangeBetween(-6, 0)
+    )
+    return s.select(
+        "l_suppkey",
+        "trade_date",
+        (
+            F.sum(F.col("close_px").cast("decimal(27,2)")).over(w7).cast("double")
+            / F.count("close_px").over(w7)
+        ).alias("avg_close_7d"),
+        F.count("close_px").over(w7).alias("n_obs_7d"),
+    )
+
+
+# --- [extension] calendar spine + forward fill (LOCF) ------------------------
+def forward_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-free daily panel: cross-join the distinct trading calendar with
+    the supplier dimension, left-join the observed series, then carry the
+    last observation forward (``last(..., ignorenulls)`` over an unbounded
+    preceding frame). The spine sides are tiny (dates x suppliers) and both
+    broadcast; the fill itself reuses the per-supplier shuffle. This is the
+    standard as-of densification step before any fixed-frequency model
+    (the reference's notebooks silently assume a dense panel). [extension]"""
+    s = supplier_daily_ohlcv(spark, sf_dir)
+    dates = s.select("trade_date").distinct()
+    keys = s.select("l_suppkey").distinct()
+    spine = keys.crossJoin(F.broadcast(dates))
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("trade_date")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(s.select("l_suppkey", "trade_date", "close_px"),
+                   ["l_suppkey", "trade_date"], "left")
+        .select(
+            "l_suppkey",
+            "trade_date",
+            (F.col("close_px").isNotNull()).alias("observed"),
+            F.last("close_px", ignorenulls=True).over(w).alias("close_filled"),
+        )
+    )
+
+
 # --- [extension] sessionization ---------------------------------------------
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization: new session when the per-user gap > 30 min.
@@ -244,6 +303,8 @@ QUERIES = {
     "lag_features": lag_features,
     "pct_change": pct_change,
     "rolling_mean": rolling_mean,
+    "rolling_mean_7d_range": rolling_mean_7d_range,
+    "forward_fill_daily": forward_fill_daily,
     "direction_sign": direction_sign,
     "sequence_assembly": sequence_assembly,
     "daily_event_activity": daily_event_activity,
@@ -284,6 +345,25 @@ SELECT l_suppkey, trade_date,
        sum(volume) OVER w3 / count(volume) OVER w3 AS rolling_avg_volume
 FROM stock WINDOW w3 AS (PARTITION BY l_suppkey ORDER BY trade_date
                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""),
+    "rolling_mean_7d_range": _stock_cte("""
+SELECT l_suppkey, trade_date,
+       CAST(sum(CAST(close_px AS DECIMAL(27,2))) OVER w7 AS DOUBLE)
+         / count(close_px) OVER w7 AS avg_close_7d,
+       count(close_px) OVER w7 AS n_obs_7d
+FROM (SELECT *, datediff('day', DATE '1970-01-01', trade_date) AS day_num FROM stock)
+WINDOW w7 AS (PARTITION BY l_suppkey ORDER BY day_num
+              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""),
+    "forward_fill_daily": _stock_cte("""
+SELECT k.l_suppkey, d.trade_date,
+       s.close_px IS NOT NULL AS observed,
+       last_value(s.close_px IGNORE NULLS)
+         OVER (PARTITION BY k.l_suppkey ORDER BY d.trade_date
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_filled
+FROM (SELECT DISTINCT l_suppkey FROM stock) k
+CROSS JOIN (SELECT DISTINCT trade_date FROM stock) d
+LEFT JOIN stock s ON s.l_suppkey = k.l_suppkey AND s.trade_date = d.trade_date
 """),
     "direction_sign": _stock_cte("""
 SELECT l_suppkey, trade_date,
