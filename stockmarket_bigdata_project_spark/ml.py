@@ -71,6 +71,47 @@ def sequential_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def timeseries_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expanding-window cross-validation assignment — the set-based twin of
+    sklearn's ``TimeSeriesSplit(5)`` the reference fits inside
+    (05_Linear_regression_model.ipynb cell 6, SURVEY §2.10 M4): each series
+    is cut into 6 equal chronological chunks; fold f (1..5) trains on chunks
+    0..f-1 and tests on chunk f, so train always precedes test.
+
+    One row per (observation, fold) membership. chunk = ((rn-1)*6) div n is
+    pure integer arithmetic — identical in every engine — and the fold
+    fan-out is a map-side ``explode(sequence(...))``, so the whole operator
+    costs the one per-key window shuffle every other time-series op reuses."""
+    s = supplier_daily_ohlcv(spark, sf_dir)
+    ranked = s.select(
+        "l_suppkey",
+        "trade_date",
+        F.row_number().over(_W()).alias("rn"),
+        F.count("*").over(_WP()).alias("n"),
+    ).select(
+        "l_suppkey",
+        "trade_date",
+        F.expr("((rn - 1) * 6) div n").cast("int").alias("chunk"),
+    )
+    return (
+        ranked.select(
+            "l_suppkey",
+            "trade_date",
+            "chunk",
+            F.explode(F.sequence(F.lit(1), F.lit(5))).alias("fold"),
+        )
+        .filter(F.col("chunk") <= F.col("fold"))
+        .select(
+            "l_suppkey",
+            "trade_date",
+            "fold",
+            F.when(F.col("chunk") == F.col("fold"), "test")
+            .otherwise("train")
+            .alias("role"),
+        )
+    )
+
+
 # --- M5: vectorized inference (deterministic linear model) ------------------
 # fixed coefficients — a stand-in for a trained model; linear so DuckDB can
 # replicate the arithmetic exactly
@@ -269,6 +310,7 @@ def feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "scale_features": scale_features,
     "sequential_split": sequential_split,
+    "timeseries_cv_folds": timeseries_cv_folds,
     "predict_returns": predict_returns,
     "eval_metrics": eval_metrics,
     "feature_importance": feature_importance,
@@ -323,6 +365,19 @@ SELECT l_suppkey, trade_date,
                  <= floor(count(*) OVER (PARTITION BY l_suppkey) * 0.7)
             THEN 'train' ELSE 'test' END AS split
 FROM stock
+""",
+    "timeseries_cv_folds": f"""
+WITH stock AS ({SUPPLIER_DAILY_SQL}),
+chunked AS (
+  SELECT l_suppkey, trade_date,
+         CAST(((row_number() OVER (PARTITION BY l_suppkey ORDER BY trade_date) - 1) * 6)
+              // count(*) OVER (PARTITION BY l_suppkey) AS INTEGER) AS chunk
+  FROM stock
+)
+SELECT l_suppkey, trade_date, CAST(f AS INTEGER) AS fold,
+       CASE WHEN chunk = f THEN 'test' ELSE 'train' END AS role
+FROM chunked, range(1, 6) t(f)
+WHERE chunk <= f
 """,
     "predict_returns": f"""
 WITH p AS ({_PRED_SQL})

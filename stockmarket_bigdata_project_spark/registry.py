@@ -29,6 +29,8 @@ _MODULE_PATHS = [
     "operators.features",
     "operators.sketches",
     "sources.readers",
+    "sources.pyds",
+    "functions.pyudf",
     "sources.sinks",
     "sources.bucketing",
     "functions.scalar",

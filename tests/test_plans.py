@@ -123,3 +123,17 @@ def test_not_exists_decorrelates_to_anti_join(spark, sf_dir):
 
     plan = _plan(rich_inactive_customers(spark, sf_dir))
     assert "LeftAnti" in plan, plan
+
+
+def test_partitioned_read_prunes_partitions(spark, sf_dir):
+    """The date filter over the partitionBy(trade_date) layout must become a
+    PartitionFilter (directory skip), not a row-level post-scan filter."""
+    from stockmarket_bigdata_project_spark.sources.sinks import (
+        partitioned_gold_write,
+    )
+
+    plan = _plan(partitioned_gold_write(spark, sf_dir))
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "trade_date" in m.group(1), plan
