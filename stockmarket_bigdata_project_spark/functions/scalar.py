@@ -112,6 +112,32 @@ def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def xml_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_xml roundtrip: serialize each event to an XML fragment
+    (integer cents — never a float through a string format, which engines
+    render differently), parse it back with a declared schema, aggregate the
+    PARSED fields. The oracle recomputes from the raw columns, so a parser
+    discrepancy cannot hide. [extension — the reference has no XML, but the
+    decode-a-payload-column surface (S3) is format-agnostic.]"""
+    ev = load_table(spark, sf_dir, "events")
+    xml = F.concat(
+        F.lit("<e><t>"),
+        F.col("event_type"),
+        F.lit("</t><c>"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").cast("string"),
+        F.lit("</c></e>"),
+    )
+    parsed = F.from_xml(xml, "t STRING, c BIGINT").alias("d")
+    return (
+        ev.select(parsed)
+        .groupBy(F.col("d.t").alias("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum("d.c") / 100.0).alias("total_value"),
+        )
+    )
+
+
 def cast_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
@@ -129,6 +155,7 @@ QUERIES = {
     "math_functions": math_functions,
     "conditional_rules": conditional_rules,
     "json_functions": json_functions,
+    "xml_functions": xml_functions,
     "cast_functions": cast_functions,
 }
 
@@ -213,6 +240,11 @@ SELECT event_id,
        CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_path,
        CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_schema
 FROM events
+""",
+    "xml_functions": """
+SELECT event_type, count(*) AS n,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+FROM events GROUP BY event_type
 """,
     "cast_functions": """
 SELECT event_id,

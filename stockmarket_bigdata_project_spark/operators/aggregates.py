@@ -297,6 +297,54 @@ def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- [extension] exact higher moments (skewness / kurtosis) ------------------
+def value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness and excess kurtosis of events.value per event_type from
+    EXACT power sums: S1..S4 of integer cents accumulate in DECIMAL(38,0)
+    (associative — any shuffle order), then one shared run of binary64
+    algebra. The built-ins (skewness/kurtosis) merge partial moments in
+    shuffle order and are not even run-to-run stable — same reason the
+    playbook bans stddev/corr built-ins. Skew/kurt are scale-invariant, so
+    the cents scaling cancels and only mean/std get the /100.
+    m2^1.5 is m2*sqrt(m2): sqrt is IEEE correctly-rounded in both engines,
+    pow() is not. Headroom: cents^4·rows ~ 1e31 at 1e12 rows — fits 38
+    digits."""
+    ev = load_table(spark, sf_dir, "events")
+    c = F.expr("CAST(round(value * 100) AS DECIMAL(12,0))")
+    # int→double via a decimal STRING: DuckDB's int128→double conversion is
+    # not correctly rounded (observed 1-ulp-truncated s4 above 2^53), but
+    # BOTH engines parse digit strings with correct rounding — so the one
+    # inexact step of the whole pipeline happens identically. Costs nothing:
+    # five group rows.
+    def exact_dbl(col):
+        return F.sum(col).cast("string").cast("double")
+
+    sums = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        exact_dbl(c).alias("s1"),
+        exact_dbl(c * c).alias("s2"),
+        exact_dbl(c * c * c).alias("s3"),
+        exact_dbl(c * c * c * c).alias("s4"),
+    )
+    mu = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - mu * mu
+    m3 = F.col("s3") / F.col("n") - F.lit(3.0) * mu * (F.col("s2") / F.col("n")) + F.lit(2.0) * mu * mu * mu
+    m4 = (
+        F.col("s4") / F.col("n")
+        - F.lit(4.0) * mu * (F.col("s3") / F.col("n"))
+        + F.lit(6.0) * mu * mu * (F.col("s2") / F.col("n"))
+        - F.lit(3.0) * mu * mu * mu * mu
+    )
+    return sums.select(
+        "event_type",
+        "n",
+        (mu / 100.0).alias("mean_value"),
+        (F.sqrt(m2) / 100.0).alias("std_value"),
+        (m3 / (m2 * F.sqrt(m2))).alias("skewness"),
+        (m4 / (m2 * m2) - 3.0).alias("kurtosis"),
+    )
+
+
 # --- [extension] distinct + approx distinct ---------------------------------
 def count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -317,6 +365,7 @@ def approx_count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "unpivot_ohlc": unpivot_ohlc,
     "order_price_histogram": order_price_histogram,
+    "value_moments": value_moments,
     "global_counts": global_counts,
     "group_sizes": group_sizes,
     "distinct_event_types": distinct_event_types,
@@ -351,6 +400,36 @@ SELECT CAST(floor(o_totalprice / 20000.0) AS INTEGER) AS bin,
        count(*) AS n_orders,
        CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS bin_value
 FROM orders GROUP BY 1
+""",
+    "value_moments": """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS HUGEINT) AS c FROM events
+),
+sums AS (
+  SELECT event_type, count(*) AS n,
+         CAST(CAST(sum(c) AS VARCHAR) AS DOUBLE) AS s1,
+         CAST(CAST(sum(c*c) AS VARCHAR) AS DOUBLE) AS s2,
+         CAST(CAST(sum(c*c*c) AS VARCHAR) AS DOUBLE) AS s3,
+         CAST(CAST(sum(c*c*c*c) AS VARCHAR) AS DOUBLE) AS s4
+  FROM c GROUP BY event_type
+),
+m AS (
+  SELECT event_type, n, s1 / n AS mu, s2, s3, s4 FROM sums
+),
+cm AS (
+  SELECT event_type, n, mu,
+         s2 / n - mu * mu AS m2,
+         s3 / n - 3.0 * mu * (s2 / n) + 2.0 * mu * mu * mu AS m3,
+         s4 / n - 4.0 * mu * (s3 / n) + 6.0 * mu * mu * (s2 / n)
+                - 3.0 * mu * mu * mu * mu AS m4
+  FROM m
+)
+SELECT event_type, n,
+       mu / 100.0 AS mean_value,
+       sqrt(m2) / 100.0 AS std_value,
+       m3 / (m2 * sqrt(m2)) AS skewness,
+       m4 / (m2 * m2) - 3.0 AS kurtosis
+FROM cm
 """,
     "global_counts": """
 SELECT count(*) AS n_rows,

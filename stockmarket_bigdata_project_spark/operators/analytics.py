@@ -222,8 +222,67 @@ def order_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- null-safe equality join (<=>) -------------------------------------------
+def null_safe_join_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compare the event mix of the two halves of the user population with a
+    NULL-SAFE equi-join (`eqNullSafe` / SQL `<=>`): the join key is
+    NULLIF(event_type, 'error') so the NULL bucket is real, and a plain `=`
+    join would silently drop it — the classic silent-data-loss bug this
+    operator exists to prevent. Executes as a normal hash join (null-safe
+    equality is still an equi-key for partitioning). [extension]"""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.nullif(F.col("event_type"), F.lit("error"))
+    halves = [
+        ev.filter((F.col("user_id") % 2) == i)
+        .groupBy(k.alias("kind"))
+        .agg(F.count("*").alias(f"n_{side}"))
+        for i, side in ((0, "even"), (1, "odd"))
+    ]
+    a, b = halves
+    return (
+        a.join(b, a.kind.eqNullSafe(b.kind), "full")
+        .select(
+            # coalesce is for one-sided rows; the true NULL bucket has NULL
+            # on BOTH sides (matched by <=>) and stays NULL
+            F.coalesce(a.kind, b.kind).alias("kind"),
+            "n_even",
+            "n_odd",
+            (F.col("n_even") - F.col("n_odd")).alias("diff"),
+        )
+    )
+
+
+# --- recursive CTE -----------------------------------------------------------
+def recursive_calendar_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-free Q1-1996 daily order series from a RECURSIVE CTE calendar
+    spine (WITH RECURSIVE ... UNION ALL, linear recursion, 90 steps) left
+    joined to the orders fact — zero-order days survive with n_orders = 0.
+    Recursion generates the 90-row spine on the driver side of the plan; the
+    fact side stays one pruned scan + one aggregation, so the recursive
+    construct adds no data-proportional cost. [extension]"""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        WITH RECURSIVE cal(day) AS (
+          SELECT DATE '1996-01-01'
+          UNION ALL
+          SELECT date_add(day, 1) FROM cal WHERE day < DATE '1996-03-30'
+        )
+        SELECT c.day,
+               count(o_orderkey) AS n_orders,
+               CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(27,2))), 0)
+                    AS DOUBLE) AS day_value
+        FROM cal c
+        LEFT JOIN orders_v o ON CAST(o.o_orderdate AS DATE) = c.day
+        GROUP BY c.day
+        """
+    )
+
+
 QUERIES = {
     "shipping_priority": shipping_priority,
+    "null_safe_join_event_mix": null_safe_join_event_mix,
+    "recursive_calendar_fill": recursive_calendar_fill,
     "local_supplier_volume": local_supplier_volume,
     "late_shipment_priority": late_shipment_priority,
     "small_quantity_revenue": small_quantity_revenue,
@@ -256,6 +315,29 @@ JOIN region ON n_regionkey = r_regionkey
 WHERE r_name = 'ASIA'
   AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
 GROUP BY n_name
+""",
+    "null_safe_join_event_mix": """
+WITH halves AS (
+  SELECT user_id % 2 AS side, nullif(event_type, 'error') AS kind, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT coalesce(a.kind, b.kind) AS kind, a.n AS n_even, b.n AS n_odd, a.n - b.n AS diff
+FROM (SELECT kind, n FROM halves WHERE side = 0) a
+FULL JOIN (SELECT kind, n FROM halves WHERE side = 1) b
+  ON a.kind IS NOT DISTINCT FROM b.kind
+""",
+    "recursive_calendar_fill": """
+WITH RECURSIVE cal(day) AS (
+  SELECT DATE '1996-01-01'
+  UNION ALL
+  SELECT day + 1 FROM cal WHERE day < DATE '1996-03-30'
+)
+SELECT c.day,
+       count(o_orderkey) AS n_orders,
+       CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(27,2))), 0) AS DOUBLE) AS day_value
+FROM cal c
+LEFT JOIN orders o ON CAST(o.o_orderdate AS DATE) = c.day
+GROUP BY c.day
 """,
     "late_shipment_priority": """
 SELECT o_orderpriority, count(*) AS n_late_orders
