@@ -25,6 +25,8 @@ _MODULE_PATHS = [
     "operators.joins",
     "operators.analytics",
     "operators.skew",
+    "operators.decision_support",
+    "operators.stats",
     "operators.finance",
     "operators.features",
     "operators.sketches",
@@ -76,10 +78,19 @@ _PROVEN_R1 = frozenset(
 )
 
 
-def _rotate(items: dict) -> dict:
-    front = {k: v for k, v in items.items() if k not in _PROVEN_R1}
-    back = {k: v for k, v in items.items() if k in _PROVEN_R1}
-    return {**front, **back}
+def _rotate(items: dict, oracle_names: frozenset[str]) -> dict:
+    """Order: unproven oracle-checked first (each earns a value-level proof
+    inside the gate's 50-query window), then rows-only queries (their weaker
+    check costs a window slot that a hash-checkable query could use), then
+    queries already hash-proven in a recorded round."""
+    def tier(name: str) -> int:
+        if name in _PROVEN_R1:
+            return 2
+        return 0 if name in oracle_names else 1
+
+    return dict(
+        sorted(items.items(), key=lambda kv: tier(kv[0]))
+    )
 
 
 def all_queries() -> dict[str, QueryFn]:
@@ -89,7 +100,7 @@ def all_queries() -> dict[str, QueryFn]:
             if name in out:
                 raise ValueError(f"duplicate query name {name!r} in {mod.__name__}")
             out[name] = fn
-    return _rotate(out)
+    return _rotate(out, frozenset(all_oracle_sql()))
 
 
 def all_oracle_sql() -> dict[str, str]:
