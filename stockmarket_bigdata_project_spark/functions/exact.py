@@ -42,6 +42,25 @@ def dec_avg(col: Column | str, scale: int = 2) -> Column:
     return dec_sum(col, scale) / F.count(_c(col))
 
 
+def big_sum(col: Column) -> Column:
+    """Exact wide-integer sum converted to DOUBLE via a decimal STRING.
+
+    For scaled-integer sums that can exceed 2^53 (squares, cubes, power
+    sums), DECIMAL(38,0) accumulation is exact, but the final decimal→double
+    conversion differs per engine: DuckDB's int128→double is not correctly
+    rounded (observed 1-ulp-low), Spark's is. Digit-string parsing IS
+    correctly rounded in every engine, so routing the conversion through
+    CAST(x AS STRING) makes the single inexact step identical. The cost is a
+    few group rows' worth of string formatting — nothing at any scale.
+    """
+    return F.sum(col.cast("decimal(38,0)")).cast("string").cast("double")
+
+
+def sql_big_sum(expr: str) -> str:
+    """DuckDB twin of :func:`big_sum` (HUGEINT is exact to 127 bits)."""
+    return f"CAST(CAST(sum(CAST({expr} AS HUGEINT)) AS VARCHAR) AS DOUBLE)"
+
+
 def sql_dec_sum(expr: str, scale: int = 2) -> str:
     return f"CAST(sum(CAST({expr} AS DECIMAL(27,{scale}))) AS DOUBLE)"
 

@@ -1,0 +1,193 @@
+"""Exact order statistics and regression aggregates — [extension].
+
+The reference's notebooks reach for pandas `describe()` / sklearn
+`LinearRegression` on collected data (02_Spark_SQL_EDA.ipynb,
+06_XGBoost_model.ipynb cells 4-10); at warehouse scale those must run inside
+the engine. Four families, all value-level oracle-checked:
+
+  * exact_price_quantiles — EXACT percentile_cont (not approx sketches,
+    which live in operators/sketches.py). Distributed cost is one
+    sort-within-group; determinism comes from interpolating over integer
+    CENTS: every intermediate (a, b, b-a, g·(b-a), a+g·(b-a) for dyadic g)
+    is an exactly-representable binary64, so Spark's and DuckDB's
+    algebraically-different interpolation formulas produce the identical
+    double.
+  * mode_event_type — deterministic mode: most frequent value, ties broken
+    lexicographically (the built-in mode() in either engine picks an
+    arbitrary element of the argmax set). One shuffle (count groupBy), then
+    a 1-row-per-group window.
+  * event_type_string_agg — ordered string aggregation: collect_set →
+    array_sort → concat_ws is the engine-neutral form (collect order is
+    undefined; the sort makes it canonical). Partial aggregation still
+    applies map-side to the small distinct set.
+  * price_quantity_regression — regr_slope / regr_intercept / regr_r2 by
+    exact power sums (the built-ins merge partial moments in shuffle order,
+    not even run-to-run stable). Sxx/Syy exceed 2^53 → big_sum's
+    decimal-string route (COVERAGE.md playbook 3b).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import load_table
+from ..functions.exact import big_sum, sql_big_sum
+
+_CENTS = "CAST(round(o_totalprice * 100) AS BIGINT)"
+
+
+def exact_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p25/median/p75 of order value per priority, interpolated over
+    integer cents (see module docstring for why this is cross-engine
+    bit-deterministic while percentile_cont over raw doubles is not)."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.expr(_CENTS)
+    qs = o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        (F.percentile(cents, F.lit(0.25)) / 100.0).alias("p25_price"),
+        (F.percentile(cents, F.lit(0.5)) / 100.0).alias("median_price"),
+        (F.percentile(cents, F.lit(0.75)) / 100.0).alias("p75_price"),
+    )
+    return qs
+
+
+def mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode of event_type per user-id bucket: argmax count,
+    ties to the lexicographically smallest value."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        (F.col("user_id") % 10).alias("bucket"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("bucket").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("bucket", F.col("event_type").alias("mode_event_type"), "n")
+    )
+
+
+def event_type_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical ordered string aggregation per user-id bucket."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy((F.col("user_id") % 10).alias("bucket")).agg(
+        F.concat_ws("|", F.array_sort(F.collect_set("event_type"))).alias("types"),
+        F.count_distinct("event_type").alias("n_types"),
+    )
+
+
+def price_quantity_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS of extendedprice (dollars) on quantity per returnflag, from exact
+    power sums: slope/intercept/r² are pure binary64 algebra over
+    identically-converted operands. The slope is in dollars per unit, so the
+    cents scaling divides out once at the end."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,0)")
+    y = F.expr("CAST(round(l_extendedprice * 100) AS DECIMAL(18,0))")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        big_sum(x).alias("sx"),
+        big_sum(y).alias("sy"),
+        big_sum(x * x).alias("sxx"),
+        big_sum(x * y).alias("sxy"),
+        big_sum(y * y).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov_n = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x_n = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y_n = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov_n / var_x_n
+    return sums.select(
+        "l_returnflag",
+        "n",
+        (slope / 100.0).alias("slope_dollars_per_unit"),
+        ((F.col("sy") / n - slope * (F.col("sx") / n)) / 100.0).alias(
+            "intercept_dollars"
+        ),
+        (cov_n * cov_n / (var_x_n * var_y_n)).alias("r2"),
+    )
+
+
+def nth_value_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/nth/last_value over an explicit unbounded frame: podium prices
+    per priority with full tie-breaks, deduplicated to one row per group."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            F.first("o_totalprice").over(w).alias("top_price"),
+            F.nth_value("o_totalprice", 3).over(w).alias("third_price"),
+            F.last("o_totalprice").over(w).alias("min_price"),
+        )
+        .distinct()
+    )
+
+
+QUERIES = {
+    "exact_price_quantiles": exact_price_quantiles,
+    "mode_event_type": mode_event_type,
+    "event_type_string_agg": event_type_string_agg,
+    "price_quantity_regression": price_quantity_regression,
+    "nth_value_order_prices": nth_value_order_prices,
+}
+
+ORACLE = {
+    "exact_price_quantiles": f"""
+SELECT o_orderpriority, count(*) AS n_orders,
+       quantile_cont({_CENTS}, 0.25) / 100.0 AS p25_price,
+       quantile_cont({_CENTS}, 0.5) / 100.0 AS median_price,
+       quantile_cont({_CENTS}, 0.75) / 100.0 AS p75_price
+FROM orders GROUP BY o_orderpriority
+""",
+    "mode_event_type": """
+WITH counts AS (
+  SELECT user_id % 10 AS bucket, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT bucket, event_type, n,
+         row_number() OVER (PARTITION BY bucket ORDER BY n DESC, event_type) AS rn
+  FROM counts
+)
+SELECT bucket, event_type AS mode_event_type, n FROM ranked WHERE rn = 1
+""",
+    "event_type_string_agg": """
+SELECT user_id % 10 AS bucket,
+       string_agg(DISTINCT event_type, '|' ORDER BY event_type) AS types,
+       count(DISTINCT event_type) AS n_types
+FROM events GROUP BY 1
+""",
+    "price_quantity_regression": f"""
+WITH sums AS (
+  SELECT l_returnflag, count(*) AS n,
+         {sql_big_sum('l_quantity')} AS sx,
+         {sql_big_sum('round(l_extendedprice * 100)')} AS sy,
+         {sql_big_sum('l_quantity * l_quantity')} AS sxx,
+         {sql_big_sum('l_quantity * round(l_extendedprice * 100)')} AS sxy,
+         {sql_big_sum('round(l_extendedprice * 100) * round(l_extendedprice * 100)')} AS syy
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, n,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) / 100.0 AS slope_dollars_per_unit,
+       (sy / n - (n * sxy - sx * sy) / (n * sxx - sx * sx) * (sx / n)) / 100.0
+           AS intercept_dollars,
+       (n * sxy - sx * sy) * (n * sxy - sx * sy)
+           / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+FROM sums
+""",
+    "nth_value_order_prices": """
+SELECT DISTINCT o_orderpriority,
+       first_value(o_totalprice) OVER w AS top_price,
+       nth_value(o_totalprice, 3) OVER w AS third_price,
+       last_value(o_totalprice) OVER w AS min_price
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+}
