@@ -37,24 +37,33 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan; schema is self-describing (SURVEY §1.3).
 
-    ``events.ts`` is stored as TIMESTAMP(NANOS), which Spark's parquet reader
-    does not support natively; with spark.sql.legacy.parquet.nanosAsLong it
-    arrives as a long which we truncate to microseconds (identical to DuckDB's
-    ns→µs truncation, keeping oracle parity).
+    ``events.ts`` has shipped in two physical flavors across testdata
+    generations: TIMESTAMP(NANOS) (unreadable by Spark's parquet reader —
+    handled via nanosAsLong + µs truncation, matching DuckDB's ns→µs) and
+    TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark surfaces as
+    TIMESTAMP_NTZ. NTZ breaks event-time operators (watermarks demand
+    TimestampType), so it is normalized to TimestampType under a pinned UTC
+    session timezone: the NTZ→LTZ cast then preserves the stored wall-clock
+    values bit-for-bit and collected values equal DuckDB's naive timestamps.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) which Spark's parquet reader rejects
-        # outright. nanosAsLong is a runtime SQL conf, so set it here rather
-        # than at session build — callers (the driver included) hand us an
-        # arbitrary SparkSession that won't have it preconfigured.
+        # Runtime SQL confs, set here rather than at session build — callers
+        # (the driver included) hand us an arbitrary SparkSession that won't
+        # have them preconfigured. UTC makes the NTZ→LTZ normalization below
+        # (and every to_date/window over ts) engine-portable.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":  # nanos generation, read as raw longs
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
