@@ -211,6 +211,262 @@ def brand_size_or_revenue_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.filter(clause).agg(_revenue(), F.count("*").alias("n_items"))
 
 
+def cheapest_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 analog (schema has no partsupp, so the 'offer price' is the
+    minimum observed unit cost per (part, supplier) from lineitem): for a
+    part slice, every supplier matching the part's best unit cost, with the
+    supplier's region pinned.
+
+    The correlated `= (SELECT min(..) WHERE ps_partkey = p_partkey)`
+    decorrelates into an argmin aggregate joined back on (partkey, cost).
+    Unit cost is pure BIGINT arithmetic (cents·1000 DIV qty) so the
+    equality join key is exact on any engine — never a float equality.
+    Scale: both aggregates shuffle on l_partkey(+l_suppkey) only; part and
+    the supplier→nation→region dimension chain broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    uc = F.expr(
+        "(CAST(round(l_extendedprice * 100) AS BIGINT) * 1000)"
+        " div CAST(l_quantity AS BIGINT)"
+    )
+    per_offer = (
+        li.select("l_partkey", "l_suppkey", uc.alias("unit_cost_k"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("unit_cost_k").alias("supply_cost_k"))
+    )
+    best = per_offer.groupBy("l_partkey").agg(
+        F.min("supply_cost_k").alias("best_cost_k")
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey", "p_brand")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    return (
+        per_offer.join(
+            best,
+            (per_offer.l_partkey == best.l_partkey)
+            & (per_offer.supply_cost_k == best.best_cost_k),
+        )
+        .drop(best.l_partkey)
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "l_partkey", "p_brand", "supply_cost_k"
+        )
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("n_name"), F.asc("l_partkey"), F.asc("s_name")
+        )
+        .limit(100)
+    )
+
+
+def national_market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8: one nation's revenue share inside a region's market per order
+    year. Conditional/total sums are both exact decimals from the same
+    joined relation; the final share is one shared binary64 division.
+    Fact side shuffles once (to the orders join); every dimension path
+    (customer→nation→region, supplier→nation, part) broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY"
+    ).select("p_partkey")
+    cust_in_region = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey")
+    )
+    supp_nation = s.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))),
+        s.s_nationkey == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_REV_DEC)
+    base = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust_in_region), o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").alias("order_year"),
+            rev.alias("volume"),
+            F.col("supp_nation"),
+        )
+    )
+    zero = F.lit(0).cast(_REV_DEC)
+    return base.groupBy("order_year").agg(
+        (
+            F.sum(F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(zero)).cast("double")
+            / F.sum("volume").cast("double")
+        ).alias("mkt_share"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def product_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9: profit per (supplier nation, year) for a part slice. The cost
+    term (no partsupp) is p_retailprice·quantity, carried as exact integer
+    cents; revenue is the exact decimal sum; profit is one binary64
+    subtraction of the two exact totals."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "LARGE"
+    ).select("p_partkey", "p_retailprice")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_REV_DEC)
+    cost_c = F.expr(
+        "CAST(round(p_retailprice * 100) AS BIGINT) * CAST(l_quantity AS BIGINT)"
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("o_year"),
+            rev.alias("rev_dec"),
+            cost_c.alias("cost_c"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(
+            (
+                F.sum("rev_dec").cast("double")
+                - F.sum("cost_c").cast("double") / 100.0
+            ).alias("sum_profit"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def customer_distribution_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13: distribution of customers by order count — the two-level
+    aggregate (per-customer count, then histogram of counts) with the left
+    join keeping zero-order customers. Pure integers end-to-end."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def parts_supplier_counts_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16: distinct-supplier counts per part attribute slice, excluding a
+    supplier denylist (NOT IN → broadcast anti join). The distinct count
+    dedups map-side on (brand, type, size, suppkey) before the final
+    count — no row-level shuffle of the join output."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def excess_share_suppliers_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 analog: suppliers that dominate a part's shipments (their
+    shipped quantity exceeds half the part's total) within a part-type
+    slice. The correlated threshold decorrelates into a part-level
+    aggregate joined back; the dominance test is 2·supp_qty > part_qty —
+    INTEGER comparison, no float threshold. Quantities are integer-valued
+    doubles: exact under plain sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "SMALL"
+    ).select("p_partkey")
+    slice_li = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_partkey", "l_suppkey", F.col("l_quantity").cast("bigint").alias("qty")
+    )
+    per_supp = slice_li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("qty").alias("supp_qty")
+    )
+    per_part = slice_li.groupBy("l_partkey").agg(F.sum("qty").alias("part_qty"))
+    dominated = (
+        per_supp.join(per_part, "l_partkey")
+        .filter(2 * F.col("supp_qty") > F.col("part_qty"))
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        dominated.groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_dominated_parts"), F.sum("supp_qty").alias("total_qty"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "n_dominated_parts", "total_qty")
+    )
+
+
+def idle_rich_customers_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 analog: per nation (a fixed nation subset), customers with
+    above-average positive balance and no recent orders (anti join). The
+    scalar average is an exact decimal sum ÷ count broadcast back — the
+    uncorrelated scalar subquery decorrelation."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(1, 3, 5, 7, 9)
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(27,2)")).cast("double")
+            / F.count("c_acctbal")
+        ).alias("avg_bal")
+    )
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "1999-01-01"
+    ).select("o_custkey")
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(27,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
+
+
+def priority_shipping_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 analog (no shipmode column): per ship year, how many shipped
+    lines belonged to critical-priority orders vs not — the conditional
+    two-way count over a fact→orders join."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
 QUERIES = {
     "discount_revenue_q6": discount_revenue_q6,
     "nation_trade_balance_q7": nation_trade_balance_q7,
@@ -219,6 +475,14 @@ QUERIES = {
     "top_revenue_suppliers_q15": top_revenue_suppliers_q15,
     "big_quantity_orders_q18": big_quantity_orders_q18,
     "brand_size_or_revenue_q19": brand_size_or_revenue_q19,
+    "cheapest_supplier_q2": cheapest_supplier_q2,
+    "national_market_share_q8": national_market_share_q8,
+    "product_profit_q9": product_profit_q9,
+    "customer_distribution_q13": customer_distribution_q13,
+    "parts_supplier_counts_q16": parts_supplier_counts_q16,
+    "excess_share_suppliers_q20": excess_share_suppliers_q20,
+    "idle_rich_customers_q22": idle_rich_customers_q22,
+    "priority_shipping_q12": priority_shipping_q12,
 }
 
 ORACLE = {
@@ -293,5 +557,120 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 50 AND l_quantity BETWEEN 20 AND 30)
+""",
+    "cheapest_supplier_q2": """
+WITH per_offer AS (
+  SELECT l_partkey, l_suppkey,
+         min((CAST(round(l_extendedprice * 100) AS BIGINT) * 1000)
+             // CAST(l_quantity AS BIGINT)) AS supply_cost_k
+  FROM lineitem GROUP BY 1, 2
+), best AS (
+  SELECT l_partkey, min(supply_cost_k) AS best_cost_k
+  FROM per_offer GROUP BY 1
+)
+SELECT s_acctbal, s_name, n_name, po.l_partkey, p_brand, supply_cost_k
+FROM per_offer po
+JOIN best b ON po.l_partkey = b.l_partkey AND po.supply_cost_k = b.best_cost_k
+JOIN part ON po.l_partkey = p_partkey
+JOIN supplier ON po.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE p_size = 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+ORDER BY s_acctbal DESC, n_name, po.l_partkey, s_name
+LIMIT 100
+""",
+    "national_market_share_q8": """
+SELECT year(o_orderdate) AS order_year,
+       CAST(sum(CASE WHEN sn.n_name = 'NATION_1'
+                THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))
+                ELSE CAST(0 AS DECIMAL(27,4)) END) AS DOUBLE)
+         / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))) AS DOUBLE)
+         AS mkt_share,
+       count(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+""",
+    "product_profit_q9": """
+SELECT n_name AS nation, year(l_shipdate) AS o_year,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))) AS DOUBLE)
+         - CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)
+                    * CAST(l_quantity AS BIGINT)) AS DOUBLE) / 100.0
+         AS sum_profit,
+       count(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_type = 'LARGE'
+GROUP BY 1, 2
+""",
+    "customer_distribution_q13": """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) per_cust
+GROUP BY c_count
+""",
+    "parts_supplier_counts_q16": """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#45' AND p_type <> 'MEDIUM'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+""",
+    "excess_share_suppliers_q20": """
+WITH slice AS (
+  SELECT l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'SMALL'
+), per_supp AS (
+  SELECT l_partkey, l_suppkey, sum(qty) AS supp_qty FROM slice GROUP BY 1, 2
+), per_part AS (
+  SELECT l_partkey, sum(qty) AS part_qty FROM slice GROUP BY 1
+), dominated AS (
+  SELECT ps.l_suppkey, ps.supp_qty
+  FROM per_supp ps JOIN per_part pp ON ps.l_partkey = pp.l_partkey
+  WHERE 2 * ps.supp_qty > pp.part_qty
+)
+SELECT s_suppkey, s_name, count(*) AS n_dominated_parts, sum(supp_qty) AS total_qty
+FROM dominated JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY 1, 2
+""",
+    "idle_rich_customers_q22": """
+WITH cands AS (
+  SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+  WHERE c_nationkey IN (1, 3, 5, 7, 9)
+), avg_bal AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(27,2))) AS DOUBLE) / count(c_acctbal) AS avg_bal
+  FROM cands WHERE c_acctbal > 0
+)
+SELECT c_nationkey, count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(27,2))) AS DOUBLE) AS totacctbal
+FROM cands, avg_bal
+WHERE c_acctbal > avg_bal
+  AND c_custkey NOT IN (
+    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY 1
+""",
+    "priority_shipping_q12": """
+SELECT year(l_shipdate) AS ship_year,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
 """,
 }
