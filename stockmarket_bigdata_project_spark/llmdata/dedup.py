@@ -35,8 +35,16 @@ def _normalized(col: str = "text") -> F.Column:
     return F.regexp_replace(F.trim(F.lower(F.col(col))), r"\s+", " ")
 
 
-def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingles_df(
+    spark: SparkSession, sf_dir: str, doc_filter: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, shingle) — distinct word 3-grams.
+
+    ``doc_filter`` (a 1-column ``doc_id`` relation, assumed small) semi-joins
+    the documents scan BEFORE shingling, so downstream consumers that only
+    need a subset (LSH verification needs candidate docs only) pay
+    explode+distinct proportional to the subset, not the corpus — at 100 TB
+    verification cost must track |candidates|, not |corpus|.
 
     Shingle assembly is ``explode(arrays_zip(slice, slice, slice))`` over the
     split words: the zipped trigram array is built once per document inside
@@ -51,6 +59,8 @@ def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         into every array reference (22s).
     """
     docs = load_table(spark, sf_dir, "documents")
+    if doc_filter is not None:
+        docs = docs.join(F.broadcast(doc_filter), "doc_id", "left_semi")
     base = docs.select("doc_id", F.split("text", " ").alias("ws"))
     n = F.greatest(F.size("ws") - 2, F.lit(0))
     tri = F.arrays_zip(
@@ -121,16 +131,15 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- MinHash + LSH (the scale path) -----------------------------------------
 def _minhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, h0..h15, n_sh): minhash_i = min over shingles of
+    """(doc_id, h0..h15): minhash_i = min over shingles of
     md5(i || '|' || s). Hex-string min is engine-neutral (same total order in
-    Spark and DuckDB). The shingle count rides along in the SAME aggregation so
-    the Jaccard denominators downstream cost zero extra passes over the corpus."""
+    Spark and DuckDB)."""
     sh = _shingles_df(spark, sf_dir)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
         for i in range(N_HASHES)
     ]
-    return sh.groupBy("doc_id").agg(*aggs, F.count("*").alias("n_sh"))
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,6 +178,12 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     l = all_bands.alias("l")
     r = all_bands.alias("r")
+    # The candidate pair set is tiny relative to the corpus; materialize it
+    # (localCheckpoint) so the verification below can (a) reference it twice
+    # without re-running the band self-join and (b) semi-filter the shingle
+    # relation down to candidate docs — without the checkpoint, pushing the
+    # candidate filter into the shingle subplans would re-run the whole
+    # minhash pipeline once per verification side.
     candidates = (
         l.join(
             r,
@@ -180,12 +195,21 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
         )
         .distinct()
+        .localCheckpoint()
     )
-    # exact verification of candidates only; the Jaccard denominators come
-    # from the n_sh that rode along in _minhash_df's aggregation — no second
-    # count pass over the shingle table
-    sh = _shingles_df(spark, sf_dir)
-    counts = mh.select("doc_id", "n_sh")
+    # exact verification of candidates only: the shingle relation is
+    # semi-filtered to candidate docs (explode+distinct ∝ |candidates|, see
+    # _shingles_df), and the Jaccard denominators are counted from that SAME
+    # filtered relation (the doc_id filter commutes with the distinct, so the
+    # counts are exact totals) — the full-corpus minhash aggregation runs
+    # exactly once, in the candidates job above.
+    cand_docs = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .union(candidates.select("doc_b"))
+        .distinct()
+    )
+    sh = _shingles_df(spark, sf_dir, doc_filter=cand_docs)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
@@ -261,6 +285,9 @@ def minhash_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("c").alias("nc"))
             .select(F.col("src").alias("doc_id"), "nc")
         )
+        # The convergence signal rides along in the SAME update join (a
+        # per-row `new < old` flag) — checking it is a filter over the
+        # checkpointed result, not a second labels⋈labels join per round.
         new_labels = (
             labels.join(nbr, "doc_id", "left")
             .select(
@@ -268,16 +295,14 @@ def minhash_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least(
                     "component", F.coalesce("nc", "component")
                 ).alias("component"),
+                F.coalesce(
+                    F.col("nc") < F.col("component"), F.lit(False)
+                ).alias("_changed"),
             )
             .localCheckpoint()
         )
-        converged = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .isEmpty()
-        )
-        labels = new_labels
+        converged = new_labels.filter("_changed").isEmpty()
+        labels = new_labels.drop("_changed")
         if converged:
             break
     if not converged:
