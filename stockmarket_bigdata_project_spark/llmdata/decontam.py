@@ -1,0 +1,161 @@
+"""Benchmark decontamination + boilerplate n-gram mining (north-star
+extension, BASELINE.json) — the two corpus-hygiene passes every LLM training
+pipeline runs besides dedup:
+
+  * decontamination: find training documents sharing long word n-grams with a
+    held-out benchmark set (the GPT-3/PaLM recipe: 8- to 13-gram collision ⇒
+    the example leaked into training data). The benchmark set here is a
+    deterministic hash-slice of the corpus (doc_id mod 97 — a stand-in for
+    an external eval set, keeping the query self-contained and oracle-able).
+  * boilerplate mining: n-grams repeated across many distinct documents
+    (headers, disclaimers, navigation chrome — the C4/RefinedWeb repeated-
+    line filter generalized to n-grams, since the synthetic corpus has no
+    line structure).
+
+Design for 100 TB:
+  * the benchmark n-gram set is tiny → broadcast; training docs stream
+    through a map-side explode + broadcast semi join — the corpus is never
+    shuffled, the only exchange is the per-doc overlap count (doc_id, 1)
+    pairs.
+  * boilerplate mining is explode → distinct → count per gram: two linear
+    shuffles of (gram, doc_id), standard word-count shape with map-side
+    partial aggregation.
+
+The reference has no decontamination at all (it trains directly on the raw
+split from split_data.py:77-84); this extends SURVEY §2.10's M4 split
+hygiene to content-level leakage.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+
+# Gram lengths are tuned DOWN to the synthetic corpus (30-word vocabulary,
+# 25-80-word docs): real pipelines over natural text use 8-13-gram collisions
+# (GPT-3: 13), which over this vocabulary never fire across the holdout
+# boundary — a vacuously-empty oracle check proves nothing, so 4-grams keep
+# the check value-bearing (dozens of contaminated docs at every SF).
+NGRAM_N = 4  # contamination gram length
+BOILER_N = 4  # boilerplate gram length
+BOILER_MIN_DOCS = 3  # gram must appear in ≥ this many distinct docs
+BENCH_MOD = 13  # doc_id % BENCH_MOD == 0 → "benchmark" holdout (~8%)
+
+
+def _word_ngrams(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, gram): distinct word n-grams via arrays_zip of n shifted
+    slices — built and exploded inside one codegen stage with the scan
+    (same technique as dedup._shingles_df, which measured 2.5× faster than
+    lead() windows and 10× faster than HOF lambdas)."""
+    base = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    cnt = F.greatest(F.size("ws") - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice("ws", i + 1, cnt) for i in range(n)])
+    return (
+        base.select("doc_id", F.explode(zipped).alias("g"))
+        .select(
+            "doc_id",
+            F.concat_ws(" ", *[F.col(f"g.{i}") for i in range(n)]).alias("gram"),
+        )
+        .distinct()
+    )
+
+
+def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per training doc: how many distinct benchmark 8-grams it contains.
+    Only contaminated docs (≥1 shared gram) are emitted — the remediation
+    list a pipeline would quarantine before the next training run."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % BENCH_MOD == 0)
+    train = docs.filter(F.col("doc_id") % BENCH_MOD != 0)
+    bench_grams = _word_ngrams(bench, NGRAM_N).select("gram").distinct()
+    train_grams = _word_ngrams(train, NGRAM_N)
+    return (
+        train_grams.join(F.broadcast(bench_grams), "gram", "inner")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+
+
+def decontam_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline report: contaminated-doc count and total training docs
+    per source (what decides whether a source is dropped wholesale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % BENCH_MOD != 0).select("doc_id", "source")
+    contaminated = decontam_overlap(spark, sf_dir).select(
+        "doc_id", F.lit(1).alias("is_contaminated")
+    )
+    return (
+        train.join(F.broadcast(contaminated), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_train_docs"),
+            F.sum(F.coalesce("is_contaminated", F.lit(0))).alias("n_contaminated"),
+        )
+    )
+
+
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-grams appearing in ≥ BOILER_MIN_DOCS distinct documents, with their
+    document frequency — the repeated-boilerplate candidates a cleaning pass
+    would strip."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = _word_ngrams(docs, BOILER_N)
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= BOILER_MIN_DOCS)
+    )
+
+
+def _ngram_sql(n: int, source: str = "documents") -> str:
+    """DuckDB CTE body for distinct word n-grams of ``source``(doc_id, text)."""
+    parts = " || ' ' || ".join(f"ws[i+{j}]" for j in range(n))
+    return f"""
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(string_split(text, ' ')) - {n - 2}),
+                  i -> {parts})) AS gram
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws, text FROM {source})
+  )
+"""
+
+
+QUERIES = {
+    "decontam_overlap": decontam_overlap,
+    "decontam_stats": decontam_stats,
+    "boilerplate_ngrams": boilerplate_ngrams,
+}
+
+ORACLE = {
+    "decontam_overlap": f"""
+WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % {BENCH_MOD} = 0),
+train AS (SELECT doc_id, text FROM documents WHERE doc_id % {BENCH_MOD} <> 0),
+bench_grams AS (SELECT DISTINCT gram FROM ({_ngram_sql(NGRAM_N, "bench")})),
+train_grams AS ({_ngram_sql(NGRAM_N, "train")})
+SELECT t.doc_id, count(*) AS n_shared_grams
+FROM train_grams t JOIN bench_grams b USING (gram)
+GROUP BY t.doc_id
+""",
+    "decontam_stats": f"""
+WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % {BENCH_MOD} = 0),
+train AS (SELECT doc_id, text FROM documents WHERE doc_id % {BENCH_MOD} <> 0),
+bench_grams AS (SELECT DISTINCT gram FROM ({_ngram_sql(NGRAM_N, "bench")})),
+train_grams AS ({_ngram_sql(NGRAM_N, "train")}),
+contaminated AS (
+  SELECT t.doc_id FROM train_grams t JOIN bench_grams b USING (gram)
+  GROUP BY t.doc_id
+)
+SELECT d.source, count(*) AS n_train_docs,
+       sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated
+FROM documents d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+WHERE d.doc_id % {BENCH_MOD} <> 0
+GROUP BY d.source
+""",
+    "boilerplate_ngrams": f"""
+WITH grams AS ({_ngram_sql(BOILER_N)})
+SELECT gram, count(*) AS n_docs
+FROM grams GROUP BY gram HAVING count(*) >= {BOILER_MIN_DOCS}
+""",
+}

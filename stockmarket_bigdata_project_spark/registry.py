@@ -47,6 +47,7 @@ _MODULE_PATHS = [
     "llmdata.multimodal",
     "llmdata.corpus",
     "llmdata.sampling",
+    "llmdata.decontam",
 ]
 
 
