@@ -125,6 +125,58 @@ def test_not_exists_decorrelates_to_anti_join(spark, sf_dir):
     assert "LeftAnti" in plan, plan
 
 
+def test_q2_argmin_joinback_no_cartesian(spark, sf_dir):
+    """The argmin-per-group decorrelation joins back on (partkey, exact
+    BIGINT cost): must stay an equi-join (hash/broadcast), never a
+    BNLJ/cartesian — and the top-100 must be TakeOrderedAndProject."""
+    from stockmarket_bigdata_project_spark.operators.decision_support import (
+        cheapest_supplier_q2,
+    )
+
+    plan = _plan(cheapest_supplier_q2(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q22_scalar_subquery_is_single_row_broadcast(spark, sf_dir):
+    """The uncorrelated scalar average must broadcast as a 1-row relation
+    (BroadcastNestedLoopJoin over a broadcast exchange) — the decorrelation
+    must NOT shuffle the customer side or degenerate to a cartesian."""
+    from stockmarket_bigdata_project_spark.operators.decision_support import (
+        idle_rich_customers_q22,
+    )
+
+    plan = _plan(idle_rich_customers_q22(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_q16_denylist_is_anti_join(spark, sf_dir):
+    from stockmarket_bigdata_project_spark.operators.decision_support import (
+        parts_supplier_counts_q16,
+    )
+
+    plan = _plan(parts_supplier_counts_q16(spark, sf_dir))
+    assert "LeftAnti" in plan, plan
+    # part-attribute predicates must push into the part scan
+    assert "PushedFilters" in plan, plan
+
+
+def test_decontam_corpus_never_shuffles_text(spark, sf_dir):
+    """The benchmark gram set must broadcast; the only hash exchange is the
+    final per-doc overlap count — the training text itself never crosses an
+    exchange (at 100 TB the corpus streams map-side through the gram join)."""
+    from stockmarket_bigdata_project_spark.llmdata.decontam import (
+        decontam_overlap,
+    )
+
+    plan = _plan(decontam_overlap(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_partitioned_read_prunes_partitions(spark, sf_dir):
     """The date filter over the partitionBy(trade_date) layout must become a
     PartitionFilter (directory skip), not a row-level post-scan filter."""
