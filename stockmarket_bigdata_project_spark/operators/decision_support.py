@@ -23,6 +23,24 @@ partsupp/shipmode/container):
   * brand_size_or_revenue_q19 — OR-of-ANDs predicate: Catalyst extracts the
     common `p_brand IN (...)` / quantity envelope as a pushable filter, the
     residual disjunction evaluates map-side after the broadcast join.
+  * cheapest_supplier_q2 — correlated `= (SELECT min ...)` decorrelated to
+    an argmin aggregate joined back on (key, exact-BIGINT cost); top-100 via
+    TakeOrderedAndProject.
+  * national_market_share_q8 — one nation's share of a region's market per
+    year: conditional/total exact-decimal sums, one shared binary64 divide.
+  * product_profit_q9 — profit = exact decimal revenue − integer-cents cost,
+    grouped by (supplier nation, year).
+  * priority_shipping_q12 — conditional two-way counts over a fact→orders
+    join.
+  * customer_distribution_q13 — two-level aggregate (orders per customer →
+    histogram of counts) with a zero-keeping left join.
+  * parts_supplier_counts_q16 — count(DISTINCT supplier) per attribute slice
+    with a NOT-IN denylist executed as a broadcast anti join.
+  * excess_share_suppliers_q20 — dominance threshold decorrelated to a
+    part-level aggregate joined back; `2·supp_qty > part_qty` keeps the
+    comparison in integers.
+  * idle_rich_customers_q22 — uncorrelated scalar-avg subquery broadcast as
+    a 1-row relation + anti join on recent orders.
 
 All revenue math follows the determinism playbook (COVERAGE.md): 4-decimal
 DECIMAL(27,4) sums for price×(1±discount) terms, integer-valued doubles

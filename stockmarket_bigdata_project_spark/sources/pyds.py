@@ -25,12 +25,19 @@ value-checked end to end, not rows-only.
 
 from __future__ import annotations
 
+import ast
+import itertools
+import json
 import math
+import os
 from typing import Iterator
+
+_STREAM_SEQ = itertools.count()
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     Filter,
     GreaterThan,
     GreaterThanOrEqual,
@@ -110,8 +117,50 @@ class _TickReader(DataSourceReader):
         )
 
 
+class _TickStreamReader(DataSourceStreamReader):
+    """Streaming face of the same feed: offset = row watermark into the
+    deterministic tick sequence. Each microbatch advances the offset by
+    `rows_per_batch` (the backpressure cap — the Python-source analog of
+    Kafka's maxOffsetsPerTrigger, T6), `partitions()` splits the offset
+    range into independent slices exactly like the batch planner, and
+    `read()` reuses the batch reader's Arrow generation. The feed is bounded
+    at `n_rows` so replay queries terminate; a live source would return its
+    real high-water mark from latestOffset() instead."""
+
+    def __init__(self, options: dict):
+        self.n_rows = int(options.get("n_rows", 100_000))
+        self.rows_per_batch = int(options.get("rows_per_batch", 25_000))
+        self.n_partitions = int(options.get("n_partitions", 8))
+        self._latest = 0
+
+    def initialOffset(self) -> dict:
+        return {"tick": 0}
+
+    def latestOffset(self) -> dict:
+        self._latest = min(self._latest + self.rows_per_batch, self.n_rows)
+        return {"tick": self._latest}
+
+    def partitions(self, start: dict, end: dict) -> list[_TickSlice]:
+        lo, hi = start["tick"], end["tick"]
+        if hi <= lo:
+            return [_TickSlice(lo, lo)]
+        step = max(1, math.ceil((hi - lo) / self.n_partitions))
+        return [_TickSlice(s, min(s + step, hi)) for s in range(lo, hi, step)]
+
+    def read(self, partition: _TickSlice):
+        # identical Arrow-batch generation as the batch reader — offsets are
+        # absolute row indices, so batch and stream agree value-for-value
+        yield from _TickReader({}).read(partition)
+
+    def commit(self, end: dict) -> None:
+        # nothing to release: the generator is stateless; a real source
+        # would garbage-collect data at offsets < end here
+        pass
+
+
 class TickDataSource(DataSource):
-    """`spark.read.format("ticks")` — deterministic synthetic market feed."""
+    """`spark.read.format("ticks")` — deterministic synthetic market feed,
+    batch and streaming."""
 
     @classmethod
     def name(cls) -> str:
@@ -122,6 +171,9 @@ class TickDataSource(DataSource):
 
     def reader(self, schema) -> _TickReader:
         return _TickReader(self.options)
+
+    def streamReader(self, schema) -> _TickStreamReader:
+        return _TickStreamReader(self.options)
 
 
 # --- registered queries ------------------------------------------------------
@@ -167,6 +219,66 @@ def python_datasource_pushdown(spark, sf_dir):
     )
 
 
+def python_datasource_stream_ticks(spark, sf_dir):
+    """The custom source consumed as a STREAM: 4 genuine microbatches
+    (25k-row offset advances over the bounded 100k feed, the
+    maxOffsetsPerTrigger analog), appended to a memory sink, aggregated
+    after the feed drains. Python streaming sources don't support
+    Trigger.AvailableNow (Spark falls back to one batch), so the query runs
+    on a tight processing-time trigger and stops once the offset log reaches
+    the end of the feed — the bounded-replay idiom for a custom source.
+    Batch/stream parity: read() is the same Arrow generator, so the result
+    equals python_datasource_ticks and shares its oracle shape."""
+    import tempfile
+    import time
+
+    import pyspark.sql.functions as F
+
+    _register(spark)
+    sdf = (
+        spark.readStream.format("ticks")
+        .option("n_rows", 100_000)
+        .option("rows_per_batch", 25_000)
+        .load()
+    )
+    name = f"pyds_stream_{os.getpid()}_{next(_STREAM_SEQ)}"
+    chk = tempfile.mkdtemp(prefix="spark_graft_pyds_chk_")
+    q = (
+        sdf.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", chk)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            p = q.lastProgress
+            if p and p.get("sources"):
+                end = p["sources"][0].get("endOffset")
+                if isinstance(end, str):
+                    # progress offsets arrive serialized; Python-source
+                    # offsets render as a dict repr ({'tick': N}), not JSON
+                    try:
+                        end = json.loads(end)
+                    except json.JSONDecodeError:
+                        end = ast.literal_eval(end)
+                if end and end.get("tick") == 100_000:
+                    break
+            time.sleep(0.2)
+        else:
+            raise TimeoutError("tick stream did not drain within 120s")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).groupBy("symbol").agg(
+        F.count("*").alias("n_ticks"),
+        F.sum(F.col("px").cast("decimal(27,2)")).cast("double").alias("total_px"),
+        F.sum("qty").alias("total_qty"),
+    )
+
+
 _TICKS_SQL = """
 SELECT CAST(i AS BIGINT) AS tick_id,
        TIMESTAMP '1996-01-01 00:00:00' + INTERVAL (i) SECOND AS ts,
@@ -179,6 +291,7 @@ FROM range(100000) t(i)
 QUERIES = {
     "python_datasource_ticks": python_datasource_ticks,
     "python_datasource_pushdown": python_datasource_pushdown,
+    "python_datasource_stream_ticks": python_datasource_stream_ticks,
 }
 
 ORACLE = {
@@ -196,5 +309,12 @@ SELECT symbol, count(*) AS n_ticks,
        CAST(sum(CAST(px AS DECIMAL(27,2))) AS DOUBLE) AS total_px
 FROM ticks WHERE tick_id >= 90000 AND tick_id < 95000
 GROUP BY symbol
+""",
+    "python_datasource_stream_ticks": f"""
+WITH ticks AS ({_TICKS_SQL})
+SELECT symbol, count(*) AS n_ticks,
+       CAST(sum(CAST(px AS DECIMAL(27,2))) AS DOUBLE) AS total_px,
+       sum(qty) AS total_qty
+FROM ticks GROUP BY symbol
 """,
 }

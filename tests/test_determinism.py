@@ -30,6 +30,9 @@ _SENSITIVE = [
     "sentiment_features",
     "eval_metrics",
     "corpus_clean_stats",
+    "product_profit_q9",
+    "national_market_share_q8",
+    "idle_rich_customers_q22",
 ]
 
 
