@@ -149,8 +149,33 @@ def cast_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface [extension — the reference's closest is its implicit
+    JSON documents, §1.2]: JSON payload → map<string,bigint> via from_json,
+    exploded to (key, value) rows with map_keys/element_at exercised in the
+    same projection, then aggregated per key. Map-side: the explode fans out
+    ≤|keys| rows per event inside the scan stage; the only shuffle is the
+    tiny per-key aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    kv = ev.select(
+        F.explode(m).alias("k", "v"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.element_at(m, "k").alias("k_direct"),
+    )
+    return kv.groupBy("k").agg(
+        F.count("*").alias("n_events"),
+        F.sum("v").alias("total_v"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+        F.sum("n_keys").alias("total_keys"),
+        F.sum(F.coalesce("k_direct", F.lit(0))).alias("total_k_direct"),
+    )
+
+
 QUERIES = {
     "string_functions": string_functions,
+    "map_functions": map_functions,
     "datetime_functions": datetime_functions,
     "math_functions": math_functions,
     "conditional_rules": conditional_rules,
@@ -240,6 +265,24 @@ SELECT event_id,
        CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_path,
        CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_schema
 FROM events
+""",
+    "map_functions": """
+WITH kv AS (
+  SELECT unnest(json_keys(props::JSON)) AS k,
+         len(json_keys(props::JSON)) AS n_keys,
+         props
+  FROM events
+), typed AS (
+  SELECT k, n_keys,
+         CAST(json_extract(props::JSON, '$.' || k) AS BIGINT) AS v,
+         CAST(json_extract(props::JSON, '$.k') AS BIGINT) AS k_direct
+  FROM kv
+)
+SELECT k, count(*) AS n_events, sum(v) AS total_v,
+       min(v) AS min_v, max(v) AS max_v,
+       sum(n_keys) AS total_keys,
+       sum(coalesce(k_direct, 0)) AS total_k_direct
+FROM typed GROUP BY k
 """,
     "xml_functions": """
 SELECT event_type, count(*) AS n,
