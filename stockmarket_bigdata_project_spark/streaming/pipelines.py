@@ -295,6 +295,54 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(joined, "append")
 
 
+def _click_purchase_sides(spark: SparkSession, sf_dir: str):
+    left = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", WATERMARK)
+    )
+    right = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", WATERMARK)
+    )
+    return left, right
+
+
+def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join — the state-EVICTION
+    semantic the inner join doesn't exercise: an unmatched click emits its
+    null-extended row only when the global watermark passes the end of its
+    match window (click_ts + 1h), i.e. when the engine can prove no future
+    purchase can match. Clicks whose window is still open when the bounded
+    replay ends are never emitted. The oracle encodes exactly that rule:
+    matched pairs unconditionally, plus unmatched clicks with
+    click_ts + 1h < min(max click_ts, max purchase_ts) − 10min (the final
+    global watermark = min over sources of per-source max − delay)."""
+    left, right = _click_purchase_sides(spark, sf_dir)
+    joined = left.join(
+        right,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select(
+        "click_id", "purchase_id", "user_id", "click_ts", "purchase_ts", "purchase_value"
+    )
+    return _run_to_memory(joined, "append")
+
+
 # --- extension: streaming dedup within watermark -----------------------------
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicatesWithinWatermark on event_id — the streaming exactly-once
@@ -317,6 +365,7 @@ QUERIES = {
     "streaming_session_window": streaming_session_window,
     "streaming_static_join": streaming_static_join,
     "streaming_stream_stream_join": streaming_stream_stream_join,
+    "streaming_stream_stream_left_join": streaming_stream_stream_left_join,
     "streaming_dedup": streaming_dedup,
 }
 
@@ -396,6 +445,32 @@ JOIN events p
   ON p.user_id = c.user_id
  AND c.event_type = 'click' AND p.event_type = 'purchase'
  AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL '1 hour'
+""",
+    # left outer: matched pairs unconditionally; null rows only for clicks
+    # whose 1h match window closed under the FINAL global watermark
+    # (min over sources of per-source max event time, minus the 10min delay)
+    "streaming_stream_stream_left_join": """
+WITH wm AS (
+  SELECT least((SELECT max(ts) FROM events WHERE event_type = 'click'),
+               (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+         - INTERVAL '10 minutes' AS final_wm
+), matched AS (
+  SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+         c.ts AS click_ts, p.ts AS purchase_ts, p.value AS purchase_value
+  FROM events c
+  JOIN events p
+    ON p.user_id = c.user_id
+   AND c.event_type = 'click' AND p.event_type = 'purchase'
+   AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL '1 hour'
+)
+SELECT * FROM matched
+UNION ALL
+SELECT c.event_id AS click_id, NULL AS purchase_id, c.user_id,
+       c.ts AS click_ts, NULL AS purchase_ts, NULL AS purchase_value
+FROM events c, wm
+WHERE c.event_type = 'click'
+  AND c.event_id NOT IN (SELECT click_id FROM matched)
+  AND c.ts + INTERVAL '1 hour' < wm.final_wm
 """,
     "streaming_dedup": """
 SELECT event_id, user_id, event_type, value FROM events
