@@ -298,6 +298,31 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BUILT-IN session_window aggregation in batch mode (the engine
+    twin of streaming_session_window, and the declarative counterpart of
+    sessionize_events' manual lag+cumsum): Spark merges per-user event
+    windows with a 30-min inactivity gap inside one hash aggregate —
+    window.end is last-event + gap by definition. Same single shuffle on
+    user_id as the manual form, no window-function sort pass."""
+    ev = load_table(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        ev.groupBy(sw.alias("sw"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            dec_sum("value").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_close"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
 QUERIES = {
     "lead_target": lead_target,
     "lag_features": lag_features,
@@ -313,6 +338,7 @@ QUERIES = {
     "topk_per_group": topk_per_group,
     "running_total": running_total,
     "sessionize_events": sessionize_events,
+    "session_window_batch": session_window_batch,
 }
 
 ORACLE = {
@@ -438,6 +464,29 @@ WITH g AS (
 )
 SELECT user_id, session_id, count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end,
+       CAST(sum(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS session_value
+FROM s GROUP BY user_id, session_id
+""",
+    # same gap-islands; session_window's end = last event + the 30-min gap
+    "session_window_batch": """
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, value,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_id
+  FROM g
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL '30 minutes' AS session_close,
+       count(*) AS n_events,
        CAST(sum(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS session_value
 FROM s GROUP BY user_id, session_id
 """,
