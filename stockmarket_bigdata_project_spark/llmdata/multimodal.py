@@ -154,6 +154,46 @@ def image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def image_features_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same feature extraction via mapInArrow — the zero-pandas Arrow
+    path (RecordBatch in, RecordBatch out). For fixed-width binary payloads
+    pandas adds only conversion overhead; operating on the Arrow buffers
+    directly skips the Series round-trip, which matters when the payload
+    column dominates batch bytes (images/audio at 100 TB). Same oracle as
+    image_features: the two must agree value-for-value."""
+
+    def feats(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            payloads = batch.column("payload")
+            bad = {len(p.as_py()) for p in payloads} - {N_FRAMES * FRAME_LEN}
+            if bad:
+                raise ValueError(
+                    f"image payloads must be exactly {N_FRAMES * FRAME_LEN} "
+                    f"bytes for the {N_FRAMES}-feature schema; got sizes {bad}"
+                )
+            arr = np.frombuffer(
+                b"".join(p.as_py() for p in payloads), dtype=np.uint8
+            ).astype(np.float64)
+            means = arr.reshape(batch.num_rows, N_FRAMES, FRAME_LEN).mean(
+                axis=2
+            ).round(6)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("media_id")]
+                + [pa.array(means[:, b]) for b in range(N_FRAMES)],
+                names=["media_id"] + [f"f{b}" for b in range(N_FRAMES)],
+            )
+
+    m = media_table(spark, sf_dir).filter(F.col("kind") == "image")
+    schema = "media_id long, " + ", ".join(f"f{b} double" for b in range(N_FRAMES))
+    return (
+        m.select("media_id", "payload").repartition("media_id").mapInArrow(feats, schema)
+    )
+
+
 # --- audio: windowed RMS over byte chunks (mapInPandas) ----------------------
 def audio_chunk_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fake DSP: RMS of byte values per FRAME_LEN chunk — the shape of a real
@@ -215,6 +255,7 @@ QUERIES = {
     "media_catalog": media_catalog,
     "video_frame_sample": video_frame_sample,
     "image_features": image_features,
+    "image_features_arrow": image_features_arrow,
     "audio_chunk_rms": audio_chunk_rms,
     "image_resize_meta": image_resize_meta,
 }
@@ -251,6 +292,17 @@ WHERE kind = 'video'
 """,
     # byte buckets of ASCII hex == avg of character codes per slice
     "image_features": f"""
+WITH {_MEDIA_SQL}
+SELECT media_id,
+       {", ".join(
+           f"round(list_aggregate(list_transform(string_split_regex("
+           f"substring(payload_hex, {b * FRAME_LEN + 1}, {FRAME_LEN}), ''), "
+           f"c -> ascii(c)), 'sum') / {FRAME_LEN}.0, 6) AS f{b}"
+           for b in range(N_FRAMES)
+       )}
+FROM media WHERE kind = 'image'
+""",
+    "image_features_arrow": f"""
 WITH {_MEDIA_SQL}
 SELECT media_id,
        {", ".join(
