@@ -134,11 +134,50 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fp.alias("fingerprint"))
 
 
+N_RARE_TOKENS = 8  # the corpus-frequency tail treated as "rare"
+
+
+def rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM-filter proxy without transcendentals: the share of a
+    doc's tokens drawn from the corpus-frequency tail (the N_RARE_TOKENS
+    least-frequent tokens, ties lexicographic). Real pipelines score docs
+    with an LM perplexity; the deterministic integer form keeps the same
+    plan shape — corpus-wide term frequencies (one word-count aggregate,
+    tiny result → broadcast) joined back to the exploded token stream —
+    while staying value-checkable (log() is not bit-identical across
+    engines; integer counts and one shared division are).
+
+    Scale: the vocab aggregate is word-count over the corpus (linear, one
+    shuffle of (token, 1) partials); the rare set is top-k of the SMALL
+    vocab relation; the per-doc pass re-explodes map-side and shuffles only
+    (doc_id) count pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_tok()).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("tok_freq"))
+    rare = (
+        vocab.orderBy(F.asc("tok_freq"), F.asc("tok"))
+        .limit(N_RARE_TOKENS)
+        .select("tok", F.lit(1).alias("is_rare"))
+    )
+    return (
+        toks.join(F.broadcast(rare), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.coalesce("is_rare", F.lit(0))).alias("n_rare"),
+            (
+                F.sum(F.coalesce("is_rare", F.lit(0))) / F.count("*")
+            ).alias("rare_ratio"),
+        )
+    )
+
+
 QUERIES = {
     "lang_id_scores": lang_id_scores,
     "quality_scores": quality_scores,
     "token_counts": token_counts,
     "doc_fingerprints": doc_fingerprints,
+    "rare_token_ratio": rare_token_ratio,
 }
 
 _MARK = {
@@ -204,5 +243,20 @@ SELECT doc_id,
          (acc, v) -> (acc * {FP_BASE} + v) % {FP_MOD}
        ) AS fingerprint
 FROM documents
+""",
+    "rare_token_ratio": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), vocab AS (
+  SELECT tok, count(*) AS tok_freq FROM toks GROUP BY tok
+), rare AS (
+  SELECT tok FROM vocab ORDER BY tok_freq ASC, tok ASC LIMIT """ + str(N := 8) + """
+)
+SELECT doc_id, count(*) AS n_tokens,
+       sum(CASE WHEN r.tok IS NOT NULL THEN 1 ELSE 0 END) AS n_rare,
+       sum(CASE WHEN r.tok IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*)
+         AS rare_ratio
+FROM toks t LEFT JOIN rare r USING (tok)
+GROUP BY doc_id
 """,
 }
