@@ -167,3 +167,37 @@ def test_corpus_clean_consistent_with_parts(spark, sf_dir):
     expected = quality_ok & exact_keep & near_keep
     got = {r.doc_id for r in C.corpus_clean(spark, sf_dir).collect()}
     assert got == expected
+
+
+def test_word_ngrams_short_docs(spark):
+    """Docs shorter than n yield zero grams (no underflow/negative slice);
+    docs of exactly n yield one."""
+    from stockmarket_bigdata_project_spark.llmdata.decontam import _word_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c d"), (3, "a b c d e"), (4, "")],
+        "doc_id long, text string",
+    )
+    rows = _word_ngrams(df, 4).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, set()).add(r.gram)
+    assert 1 not in per_doc and 4 not in per_doc
+    assert per_doc[2] == {"a b c d"}
+    assert per_doc[3] == {"a b c d", "b c d e"}
+
+
+def test_decontam_never_flags_benchmark_docs(spark, sf_dir):
+    """The contamination report is over TRAINING docs only — benchmark
+    (holdout) docs must never appear, and every flagged doc must really
+    share >=1 gram with the benchmark side."""
+    from stockmarket_bigdata_project_spark.llmdata.decontam import (
+        BENCH_MOD,
+        decontam_overlap,
+    )
+
+    flagged = decontam_overlap(spark, sf_dir).collect()
+    assert flagged, "tuned gram length should flag at least one doc"
+    for r in flagged:
+        assert r.doc_id % BENCH_MOD != 0
+        assert r.n_shared_grams >= 1
