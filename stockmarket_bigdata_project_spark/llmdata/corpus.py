@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import load_table
 from .dedup import _CC_CHAIN, _normalized, minhash_dup_components
-from .textstats import quality_exprs
+from .textstats import QUALITY_MICRO_SQL, STOPWORDS, quality_exprs
 
 QUALITY_MIN = 0.5
 
@@ -85,21 +85,24 @@ QUERIES = {
 }
 
 _CLEAN_SQL = f"""
+qbase AS (
+  SELECT doc_id, lang, source, text,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+         CAST(length(text) - (len(string_split(text, ' ')) - 1) AS BIGINT) AS c,
+         CAST(len(list_filter(string_split(text, ' '),
+                  t -> t IN ('{{stop_list}}'))) AS BIGINT) AS stop
+  FROM documents
+),
 quality AS (
   SELECT doc_id, lang, source,
-         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
-         CASE WHEN len(string_split(text, ' ')) < 10 THEN 0.0
-              ELSE round(0.5 * least(1.0, len(string_split(text, ' ')) / 200.0)
-                       + 0.3 * (1 - len(list_filter(string_split(text, ' '),
-                                    t -> t IN ('the', 'a', 'of', 'and'))) * 1.0
-                                    / len(string_split(text, ' ')))
-                       + 0.2 * least(1.0, ((length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
-                                    / len(string_split(text, ' '))) / 8.0), 6)
+         CAST(n AS INTEGER) AS n_tokens,
+         CASE WHEN n < 10 THEN 0.0
+              ELSE {{quality_micro}} / 1000000.0
          END AS quality_score,
          min(doc_id) OVER (
            PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
          ) AS exact_keeper
-  FROM documents
+  FROM qbase
 ),
 clean AS (
   SELECT doc_id, lang, source, n_tokens, quality_score
@@ -108,7 +111,11 @@ clean AS (
     AND doc_id = exact_keeper
     AND doc_id NOT IN (SELECT doc_id FROM comps WHERE doc_id != component)
 )
-"""
+""".format(
+    stop_list="', '".join(STOPWORDS),
+    quality_micro=QUALITY_MICRO_SQL,
+    QUALITY_MIN=QUALITY_MIN,
+)
 
 ORACLE = {
     "corpus_clean": f"""

@@ -56,27 +56,54 @@ def lang_id_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _idiv(a: "F.Column", b: "F.Column") -> "F.Column":
+    """Exact integer division of positive longs as Columns: the quotient is
+    far below 2^53, so (a - a%b)/b is one exact binary64 division."""
+    return (a - F.pmod(a, b)) / b
+
+
+def _round_div_micro(num: "F.Column", den: "F.Column") -> "F.Column":
+    """round-half-up(num/den) for positive integer Columns — the
+    engine-neutral quantizer. `round(double, 6)` is NOT: Spark rounds the
+    shortest-repr decimal of the binary64, DuckDB rounds after a float
+    multiply by 10^6, and at sf0.1 a document's score lands exactly on a
+    half-microunit boundary where they disagree (caught by the sf0.1
+    oracle sweep, round 2)."""
+    return _idiv(2 * num + den, 2 * den)
+
+
 def quality_exprs() -> dict[str, "F.Column"]:
     """The quality-formula expressions over a `text` column — the single
     source of truth shared by quality_scores and the corpus pipeline
-    (corpus._quality_cols delegates here, so the two can't diverge)."""
+    (corpus._quality_cols delegates here, so the two can't diverge).
+
+    The score is defined in exact integer micro-units (one rational,
+    rounded half-up, then one division by 10^6 that both engines perform
+    identically):
+        score = [500000·min(1, n/200) + 300000·(1 − stop/n)
+                 + 200000·min(1, c/(8n))]  over common denominator 8n,
+    with n = token count, stop = stopword count, c = chars − (n−1)."""
     toks = _tok()
     n_tokens = F.size(toks)
+    n = n_tokens.cast("long")
     n_chars = F.length("text")
-    avg_tok_len = (n_chars - (n_tokens - 1)) / n_tokens  # chars minus spaces
-    stop = F.size(F.filter(toks, lambda t: t.isin(*[F.lit(w) for w in STOPWORDS])))
-    stop_ratio = stop / n_tokens
-    score = F.when(n_tokens < 10, 0.0).otherwise(
-        F.round(
-            0.5 * F.least(F.lit(1.0), n_tokens / F.lit(200.0))
-            + 0.3 * (1 - stop_ratio)
-            + 0.2 * F.least(F.lit(1.0), avg_tok_len / F.lit(8.0)),
-            6,
-        )
-    )
+    c = (n_chars - (n_tokens - 1)).cast("long")  # chars minus spaces
+    avg_tok_len = c / n
+    stop = F.size(
+        F.filter(toks, lambda t: t.isin(*[F.lit(w) for w in STOPWORDS]))
+    ).cast("long")
+    stop_ratio = stop / n
+    t1 = F.least(F.lit(500000).cast("long"), 2500 * n) * (8 * n)
+    t2 = 2400000 * (n - stop)
+    t3 = F.least(1600000 * n, 200000 * c)
+    micro = _round_div_micro(t1 + t2 + t3, 8 * n)
+    score = F.when(n_tokens < 10, 0.0).otherwise(micro / 1000000.0)
     return {
         "n_tokens": n_tokens,
         "n_chars": n_chars,
+        "n_long": n,
+        "c_long": c,
+        "stop_long": stop,
         "avg_tok_len": avg_tok_len,
         "stop_ratio": stop_ratio,
         "quality_score": score,
@@ -88,12 +115,16 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     score — the C4/Gopher-style heuristic-filter shape."""
     docs = load_table(spark, sf_dir, "documents")
     q = quality_exprs()
+    # ratios quantized at 6dp via the same integer-rational rounding as the
+    # score (round(double, 6) is not engine-neutral at half boundaries)
+    avg_len_6 = _round_div_micro(1000000 * q["c_long"], q["n_long"]) / 1000000.0
+    stop_6 = _round_div_micro(1000000 * q["stop_long"], q["n_long"]) / 1000000.0
     return docs.select(
         "doc_id",
         q["n_tokens"].alias("n_tokens"),
         q["n_chars"].cast("long").alias("n_chars_actual"),
-        F.round(q["avg_tok_len"], 6).alias("avg_token_len"),
-        F.round(q["stop_ratio"], 6).alias("stopword_ratio"),
+        avg_len_6.alias("avg_token_len"),
+        stop_6.alias("stopword_ratio"),
         q["quality_score"].alias("quality_score"),
     )
 
@@ -185,6 +216,16 @@ _MARK = {
 }
 _STOP_SQL = "', '".join(STOPWORDS)
 
+# DuckDB twin of quality_exprs' integer micro-unit score, over columns
+# n (token count), stop (stopword count), c (chars minus spaces) — all BIGINT.
+# Kept as a shared fragment so corpus.py's pipeline oracle can't diverge.
+QUALITY_MICRO_SQL = (
+    "((2 * (least(500000, 2500 * n) * 8 * n"
+    " + 2400000 * (n - stop)"
+    " + least(1600000 * n, 200000 * c))"
+    " + 8 * n) // (16 * n))"
+)
+
 ORACLE = {
     "lang_id_scores": f"""
 WITH scored AS (
@@ -208,16 +249,16 @@ WITH t AS (
   SELECT doc_id,
          CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
          length(text) AS n_chars_actual,
-         len(list_filter(string_split(text, ' '), t -> t IN ('{_STOP_SQL}'))) AS stop
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+         CAST(length(text) - (len(string_split(text, ' ')) - 1) AS BIGINT) AS c,
+         CAST(len(list_filter(string_split(text, ' '), t -> t IN ('{_STOP_SQL}'))) AS BIGINT) AS stop
   FROM documents
 )
 SELECT doc_id, n_tokens, n_chars_actual,
-       round((n_chars_actual - (n_tokens - 1)) * 1.0 / n_tokens, 6) AS avg_token_len,
-       round(stop * 1.0 / n_tokens, 6) AS stopword_ratio,
+       ((2 * 1000000 * c + n) // (2 * n)) / 1000000.0 AS avg_token_len,
+       ((2 * 1000000 * stop + n) // (2 * n)) / 1000000.0 AS stopword_ratio,
        CASE WHEN n_tokens < 10 THEN 0.0
-            ELSE round(0.5 * least(1.0, n_tokens / 200.0)
-                     + 0.3 * (1 - stop * 1.0 / n_tokens)
-                     + 0.2 * least(1.0, ((n_chars_actual - (n_tokens - 1)) * 1.0 / n_tokens) / 8.0), 6)
+            ELSE {QUALITY_MICRO_SQL} / 1000000.0
        END AS quality_score
 FROM t
 """,

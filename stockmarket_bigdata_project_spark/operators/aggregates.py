@@ -23,6 +23,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
+from ..functions.exact import big_sum, sql_big_sum
 
 
 # --- A6: global counts -------------------------------------------------------
@@ -131,32 +132,35 @@ def summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- A9: correlation ---------------------------------------------------------
 def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corr from exact power sums (see summary_stats: built-in corr merges
+    partial co-moments in shuffle order). Correlation is scale-invariant, so
+    the variables go to INTEGER cents first and every sum runs through
+    big_sum's decimal-string route: at sf0.1 the squared-price sums exceed
+    2^53 in raw scaled units, where a plain DECIMAL(27,4)→double cast is
+    1-ulp-off between engines (DuckDB divides the int128 raw value; caught
+    by the sf0.1 oracle sweep, round 2)."""
     li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.expr("CAST(l_quantity AS BIGINT)").alias("q"),
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("p"),
+        F.expr("CAST(round(l_discount * 100) AS BIGINT)").alias("d"),
+    )
 
-    # corr from exact decimal sums (see summary_stats: built-in corr merges
-    # partial co-moments in shuffle order). Inputs are k-decimal, so every
-    # product below is (k1+k2)-decimal and the quantized sums are lossless.
-    def _corr(x: str, xs: int, y: str, ys: int) -> F.Column:
+    def _corr(x: str, y: str) -> F.Column:
         n = F.count("*")  # columns are non-null in lineitem
-        sx = F.sum(F.col(x).cast(f"decimal(27,{xs})")).cast("double")
-        sy = F.sum(F.col(y).cast(f"decimal(27,{ys})")).cast("double")
-        sxy = F.sum((F.col(x) * F.col(y)).cast(f"decimal(27,{xs + ys})")).cast(
-            "double"
-        )
-        sxx = F.sum((F.col(x) * F.col(x)).cast(f"decimal(27,{xs * 2})")).cast(
-            "double"
-        )
-        syy = F.sum((F.col(y) * F.col(y)).cast(f"decimal(27,{ys * 2})")).cast(
-            "double"
-        )
+        sx = big_sum(F.col(x))
+        sy = big_sum(F.col(y))
+        sxy = big_sum(F.col(x) * F.col(y))
+        sxx = big_sum(F.col(x) * F.col(x))
+        syy = big_sum(F.col(y) * F.col(y))
         return (n * sxy - sx * sy) / F.sqrt(
             (n * sxx - sx * sx) * (n * syy - sy * sy)
         )
 
-    return li.agg(
-        _corr("l_quantity", 0, "l_extendedprice", 2).alias("corr_qty_price"),
-        _corr("l_quantity", 0, "l_discount", 2).alias("corr_qty_disc"),
-        _corr("l_extendedprice", 2, "l_discount", 2).alias("corr_price_disc"),
+    return base.agg(
+        _corr("q", "p").alias("corr_qty_price"),
+        _corr("q", "d").alias("corr_qty_disc"),
+        _corr("p", "d").alias("corr_price_disc"),
     )
 
 
@@ -477,17 +481,23 @@ SELECT count(l_quantity) AS cnt,
        quantile_cont(l_quantity, 0.5) AS median_qty
 FROM lineitem
 """,
-    "correlation_matrix": """
-SELECT (count(*) * CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) - CAST(sum(CAST(l_quantity AS DECIMAL(27,0))) AS DOUBLE) * CAST(sum(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE))
-         / sqrt((count(*) * CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(27,0))) AS DOUBLE) - CAST(sum(CAST(l_quantity AS DECIMAL(27,0))) AS DOUBLE) * CAST(sum(CAST(l_quantity AS DECIMAL(27,0))) AS DOUBLE))
-                * (count(*) * CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(27,4))) AS DOUBLE) - CAST(sum(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) * CAST(sum(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE))) AS corr_qty_price,
-       (count(*) * CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(27,2))) AS DOUBLE) - CAST(sum(CAST(l_quantity AS DECIMAL(27,0))) AS DOUBLE) * CAST(sum(CAST(l_discount AS DECIMAL(27,2))) AS DOUBLE))
-         / sqrt((count(*) * CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(27,0))) AS DOUBLE) - CAST(sum(CAST(l_quantity AS DECIMAL(27,0))) AS DOUBLE) * CAST(sum(CAST(l_quantity AS DECIMAL(27,0))) AS DOUBLE))
-                * (count(*) * CAST(sum(CAST(l_discount * l_discount AS DECIMAL(27,4))) AS DOUBLE) - CAST(sum(CAST(l_discount AS DECIMAL(27,2))) AS DOUBLE) * CAST(sum(CAST(l_discount AS DECIMAL(27,2))) AS DOUBLE))) AS corr_qty_disc,
-       (count(*) * CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(27,4))) AS DOUBLE) - CAST(sum(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) * CAST(sum(CAST(l_discount AS DECIMAL(27,2))) AS DOUBLE))
-         / sqrt((count(*) * CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(27,4))) AS DOUBLE) - CAST(sum(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) * CAST(sum(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE))
-                * (count(*) * CAST(sum(CAST(l_discount * l_discount AS DECIMAL(27,4))) AS DOUBLE) - CAST(sum(CAST(l_discount AS DECIMAL(27,2))) AS DOUBLE) * CAST(sum(CAST(l_discount AS DECIMAL(27,2))) AS DOUBLE))) AS corr_price_disc
-FROM lineitem
+    "correlation_matrix": f"""
+WITH b AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+         CAST(round(l_discount * 100) AS BIGINT) AS d
+  FROM lineitem
+)
+SELECT (count(*) * {sql_big_sum("q * p")} - {sql_big_sum("q")} * {sql_big_sum("p")})
+         / sqrt((count(*) * {sql_big_sum("q * q")} - {sql_big_sum("q")} * {sql_big_sum("q")})
+                * (count(*) * {sql_big_sum("p * p")} - {sql_big_sum("p")} * {sql_big_sum("p")})) AS corr_qty_price,
+       (count(*) * {sql_big_sum("q * d")} - {sql_big_sum("q")} * {sql_big_sum("d")})
+         / sqrt((count(*) * {sql_big_sum("q * q")} - {sql_big_sum("q")} * {sql_big_sum("q")})
+                * (count(*) * {sql_big_sum("d * d")} - {sql_big_sum("d")} * {sql_big_sum("d")})) AS corr_qty_disc,
+       (count(*) * {sql_big_sum("p * d")} - {sql_big_sum("p")} * {sql_big_sum("d")})
+         / sqrt((count(*) * {sql_big_sum("p * p")} - {sql_big_sum("p")} * {sql_big_sum("p")})
+                * (count(*) * {sql_big_sum("d * d")} - {sql_big_sum("d")} * {sql_big_sum("d")})) AS corr_price_disc
+FROM b
 """,
     "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
