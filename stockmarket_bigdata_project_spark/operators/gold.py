@@ -19,10 +19,11 @@ Mapped onto testdata: `lineitem` plays the per-(ticker=l_suppkey) price facts,
 
 Determinism note (SURVEY §7.2c): the reference's first()/last() open/close are
 order-nondeterministic in Spark. We make them deterministic with
-min_by/max_by over a packed row-identity key (l_orderkey·16 +
-l_linenumber — unique per row, so a total order); DuckDB's
-arg_min/arg_max declare the identical key — this is the engine's documented
-improvement over the reference, not a semantic drift. The min_by form keeps
+min_by/max_by over a packed TOTAL-order key (see _ord_key: row identity
+prefix + price-cents tie-break, because the synthetic testdata does not
+keep (orderkey, linenumber) unique); DuckDB's arg_min/arg_max declare the
+identical key — this is the engine's documented improvement over the
+reference, not a semantic drift. The min_by form keeps
 the whole OHLCV build ONE hash aggregate: the earlier window-function form
 paid a full shuffle+sort of the fact table before aggregating (measured
 2.5s → 1.6s for the flagship at sf0.1; at 100 TB the sort is the bottleneck).
@@ -41,12 +42,23 @@ from ..catalog import load_table
 
 
 def _ord_key() -> F.Column:
-    """Deterministic row-identity ordering key, packed into one BIGINT:
-    l_orderkey·16 + l_linenumber (TPC-H linenumber ∈ [1,7] < 16; orderkey
-    < 2^59 — holds far past 100 TB). A string composite key was measured 2×
-    slower in the aggregate (per-row formatting + string min comparisons);
-    the numeric key keeps min_by/max_by at integer-compare cost."""
-    return F.col("l_orderkey") * 16 + F.col("l_linenumber")
+    """Deterministic TOTAL-order key for min_by/max_by, packed numeric:
+    (l_orderkey·16 + l_linenumber)·10⁸ + price-cents.
+
+    The (orderkey, linenumber) prefix is the row identity in real TPC-H,
+    but the synthetic testdata does NOT keep it unique (sf0.1: 457k
+    distinct pairs over 600k rows — caught by the sf0.1 oracle sweep when
+    a min_by tie let each engine pick a different row's price). The
+    price-cents suffix (< 10⁸) makes the order total over everything the
+    aggregate can return: ties resolve to the LOWEST price for open
+    (min_by) and the HIGHEST for close (max_by) — documented, deterministic
+    OHLC semantics. DECIMAL(38,0) carries the packing: at TPC-H sf ≈ 10⁵
+    (100 TB) orderkey·16·10⁸ passes 2^63, so BIGINT would overflow; DuckDB
+    mirrors with HUGEINT. A string composite key was measured 2× slower;
+    the numeric key keeps the aggregate at fixed-width compares."""
+    base = (F.col("l_orderkey") * 16 + F.col("l_linenumber")).cast("decimal(38,0)")
+    cents = F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+    return base * 100000000 + cents
 
 
 def supplier_daily_ohlcv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -136,7 +148,8 @@ GOLD_ORACLE_SQL = """
 WITH base AS (
   SELECT l_suppkey, CAST(l_shipdate AS DATE) AS trade_date,
          l_extendedprice, l_quantity,
-         l_orderkey * 16 + l_linenumber AS ord_key
+         CAST(l_orderkey * 16 + l_linenumber AS HUGEINT) * 100000000
+           + CAST(round(l_extendedprice * 100) AS BIGINT) AS ord_key
   FROM lineitem
 ), stock AS (
   SELECT l_suppkey, trade_date,
@@ -176,7 +189,8 @@ SUPPLIER_DAILY_SQL = """
 WITH base AS (
   SELECT l_suppkey, CAST(l_shipdate AS DATE) AS trade_date,
          l_extendedprice, l_quantity,
-         l_orderkey * 16 + l_linenumber AS ord_key
+         CAST(l_orderkey * 16 + l_linenumber AS HUGEINT) * 100000000
+           + CAST(round(l_extendedprice * 100) AS BIGINT) AS ord_key
   FROM lineitem
 )
 SELECT l_suppkey, trade_date,
