@@ -307,7 +307,7 @@ WITH scored AS (
                             ORDER BY cos DESC, cand_id ASC) AS rank
   FROM scored
 )
-SELECT query_id, cand_id, round(cos, 6) AS cosine, CAST(rank AS INTEGER) AS rank
+SELECT query_id, cand_id, round(cos, 6) + 0.0 AS cosine, CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= {TOP_K}
 """,
     "embedding_near_dup_pairs": f"""
@@ -352,7 +352,7 @@ WITH e AS (
                             ORDER BY cos DESC, cand_id ASC) AS rank
   FROM cands
 )
-SELECT query_id, cand_id, round(cos, 6) AS cosine, CAST(rank AS INTEGER) AS rank
+SELECT query_id, cand_id, round(cos, 6) + 0.0 AS cosine, CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= {TOP_K}
 """,
     # LSH oracle: same md5-derived PLANES constants inlined as list

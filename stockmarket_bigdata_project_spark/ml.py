@@ -382,7 +382,7 @@ WHERE chunk <= f
     "predict_returns": f"""
 WITH p AS ({_PRED_SQL})
 SELECT l_suppkey, trade_date, close_px,
-       round(pred, 6) AS pred_return,
+       round(pred, 6) + 0.0 AS pred_return,
        round(close_px * (1 + pred), 4) AS predicted_price
 FROM p
 """,
@@ -451,8 +451,8 @@ SELECT l_suppkey AS ticker,
        CAST(trade_date + 1 AS TIMESTAMP) AS prediction_date,
        predicted_price,
        close_px AS actual_price,
-       round(predicted_price - close_px, 4) AS prediction_error,
-       round((predicted_price - close_px) / close_px * 100, 6) AS prediction_pct_error,
+       round(predicted_price - close_px, 4) + 0.0 AS prediction_error,
+       round((predicted_price - close_px) / close_px * 100, 6) + 0.0 AS prediction_pct_error,
        'linear_momentum_v1' AS model_type,
        round(greatest(0.5, 1 - abs((predicted_price - close_px) / close_px)), 6)
          AS confidence

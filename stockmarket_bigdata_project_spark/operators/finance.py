@@ -218,7 +218,7 @@ SELECT l_suppkey, trade_date,
        round((avg(ret * mret) OVER w - avg(ret) OVER w * avg(mret) OVER w)
              / NULLIF(avg(mret * mret) OVER w
                       - avg(mret) OVER w * avg(mret) OVER w, 0.0),
-             6) AS beta_10d
+             6) + 0.0 AS beta_10d
 FROM j
 WINDOW w AS (PARTITION BY l_suppkey ORDER BY trade_date
              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
@@ -232,10 +232,10 @@ dd AS (
   WINDOW w AS (PARTITION BY l_suppkey ORDER BY trade_date
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
-SELECT l_suppkey, trade_date, round(dd, 6) AS drawdown,
+SELECT l_suppkey, trade_date, round(dd, 6) + 0.0 AS drawdown,
        round(min(dd) OVER (PARTITION BY l_suppkey ORDER BY trade_date
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-             6) AS max_drawdown_to_date
+             6) + 0.0 AS max_drawdown_to_date
 FROM dd
 """,
     "cumulative_return": _RETURNS_SQL
@@ -244,7 +244,7 @@ SELECT l_suppkey, trade_date,
        round(exp(sum(ln(1 + ret)) OVER (PARTITION BY l_suppkey
                                         ORDER BY trade_date
                                         ROWS BETWEEN UNBOUNDED PRECEDING
-                                        AND CURRENT ROW)) - 1, 6) AS cum_return
+                                        AND CURRENT ROW)) - 1, 6) + 0.0 AS cum_return
 FROM rets
 WHERE ret IS NOT NULL
 """,

@@ -359,9 +359,9 @@ FROM stock WINDOW w AS (PARTITION BY l_suppkey ORDER BY trade_date)
 """),
     "pct_change": _stock_cte("""
 SELECT l_suppkey, trade_date,
-       round(close_px / lag(close_px, 1) OVER w - 1, 6) AS ret,
-       round(lead(close_px, 1) OVER w / close_px - 1, 6) AS next_ret,
-       round((close_px - open_px) / open_px, 6) AS intraday_ret
+       round(close_px / lag(close_px, 1) OVER w - 1, 6) + 0.0 AS ret,
+       round(lead(close_px, 1) OVER w / close_px - 1, 6) + 0.0 AS next_ret,
+       round((close_px - open_px) / open_px, 6) + 0.0 AS intraday_ret
 FROM stock WINDOW w AS (PARTITION BY l_suppkey ORDER BY trade_date)
 """),
     "rolling_mean": _stock_cte("""
