@@ -175,15 +175,16 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     all_bands = mh.select("doc_id", F.explode(band_structs).alias("bs")).select(
         "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
-    )
+    ).localCheckpoint()
     l = all_bands.alias("l")
     r = all_bands.alias("r")
-    # The candidate pair set is tiny relative to the corpus; materialize it
-    # (localCheckpoint) so the verification below can (a) reference it twice
-    # without re-running the band self-join and (b) semi-filter the shingle
-    # relation down to candidate docs — without the checkpoint, pushing the
-    # candidate filter into the shingle subplans would re-run the whole
-    # minhash pipeline once per verification side.
+    # The band table is materialized above (localCheckpoint — the runtime
+    # analog of staging the sketch as a table at cluster scale), so the
+    # candidate self-join below is cheap to reference from BOTH its
+    # consumers (the verification join input and the semi-filter's doc set);
+    # without any materialization, pushing the candidate filter into the
+    # shingle subplans re-runs the whole minhash pipeline once per
+    # verification side (measured 2x worse — PERFORMANCE.md).
     candidates = (
         l.join(
             r,
@@ -195,7 +196,6 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
         )
         .distinct()
-        .localCheckpoint()
     )
     # exact verification of candidates only: the shingle relation is
     # semi-filtered to candidate docs (explode+distinct ∝ |candidates|, see
