@@ -197,12 +197,50 @@ def stateful_running_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(out, "update")
 
 
+def observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.observe(Observation, ...) — inline pipeline metrics collected
+    DURING a pass (count, exact value mass, error-row count), no second
+    action over the data. This is how a production job audits itself (row
+    counts per stage, quality counters) without doubling its I/O; the
+    observed metrics are returned AS the result so the oracle can recompute
+    them from the raw table and value-check the mechanism end to end.
+
+    Scale: observations are accumulator-backed — per-task partials merge on
+    the driver, no shuffle, no extra scan."""
+    from pyspark.sql import Observation
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = Observation("scan_metrics")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("value_cents"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+        # DISTINCT aggregates are rejected in observed metrics
+        F.max("user_id").alias("max_user"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["value_cents"], m["n_errors"], m["max_user"])],
+        "n_rows long, value_cents long, n_errors long, max_user long",
+    )
+
+
 QUERIES = {
     "streaming_multi_query": streaming_multi_query,
     "stateful_running_vwap": stateful_running_vwap,
+    "observed_scan_metrics": observed_scan_metrics,
 }
 
 ORACLE = {
+    "observed_scan_metrics": """
+SELECT count(*) AS n_rows,
+       sum(CAST(round(value * 100) AS BIGINT)) AS value_cents,
+       count(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors,
+       max(user_id) AS max_user
+FROM events
+""",
     "streaming_multi_query": """
 SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
        time_bucket(INTERVAL '15 minutes', ts) + INTERVAL '15 minutes' AS window_end,
