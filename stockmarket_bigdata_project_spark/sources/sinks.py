@@ -106,10 +106,54 @@ def single_file_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance pass every long-lived
+    100 TB table needs (streaming appends and fine-grained backfills leave
+    thousands of KB-sized files per partition; scan cost then tracks file
+    COUNT, not bytes). Simulate the degraded state (8-way fragmented write
+    per date partition), compact by rewriting with one file per partition
+    (repartition on the partition column so each lands in one task), and
+    return the compacted table's per-month rollup so the oracle value-checks
+    that compaction changed LAYOUT, not data. The file-count drop itself is
+    pinned in tests/test_bucketing.py::test_compaction_reduces_files."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            dec_sum("o_totalprice").alias("day_total"),
+        )
+    )
+    monthly = daily.withColumn(
+        "month", F.date_trunc("month", "day").cast("date")
+    )
+    frag = tempfile.mkdtemp(prefix="spark_graft_frag_")
+    compacted = tempfile.mkdtemp(prefix="spark_graft_compact_")
+    with _lock:
+        # fragmented state: round-robin repartition scatters each month's
+        # ~30 daily rows across 8 tasks → up to 8 small files per partition
+        monthly.repartition(8).write.mode("overwrite").partitionBy("month").parquet(
+            frag
+        )
+        # compaction: cluster rows by partition key → one file per partition
+        spark.read.parquet(frag).repartition("month").write.mode(
+            "overwrite"
+        ).partitionBy("month").parquet(compacted)
+    back = spark.read.parquet(compacted)
+    return back.groupBy("month").agg(
+        F.count("*").alias("n_days"),
+        F.sum("n_orders").alias("n_orders"),
+        F.sum(F.col("day_total").cast("decimal(27,2)")).cast("double").alias(
+            "month_total"
+        ),
+    )
+
+
 QUERIES = {
     "partitioned_gold_write": partitioned_gold_write,
     "upsert_merge_daily": upsert_merge_daily,
     "single_file_export": single_file_export,
+    "compact_small_files": compact_small_files,
 }
 
 ORACLE = {
@@ -131,5 +175,17 @@ FROM ({SUPPLIER_DAILY_SQL})
 SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders,
        CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS day_total
 FROM orders GROUP BY 1
+""",
+    "compact_small_files": """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS day_total
+  FROM orders GROUP BY 1
+)
+SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+       count(*) AS n_days,
+       sum(n_orders) AS n_orders,
+       CAST(sum(CAST(day_total AS DECIMAL(27,2))) AS DOUBLE) AS month_total
+FROM daily GROUP BY 1
 """,
 }
