@@ -216,8 +216,37 @@ def orc_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+# --- [extension] schema evolution on read ------------------------------------
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mergeSchema scan across parquet batches written under DIFFERENT
+    schemas — the long-lived-table reality: a column (`score`) added
+    mid-stream. Old batches surface it as NULL, new batches carry values;
+    the merged schema is the union. At 100 TB this is how a table absorbs
+    producer upgrades without a rewrite (footer-schema merge at planning,
+    no data pass).
+
+    Batches are split on event_id parity so the oracle can recompute which
+    rows carry the evolved column."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="spark_graft_evo_")
+    old_batch = ev.filter(F.col("event_id") % 2 == 0)
+    new_batch = ev.filter(F.col("event_id") % 2 == 1).withColumn(
+        "score", F.expr("CAST(round(value * 100) AS BIGINT) % 97")
+    )
+    with _lock:
+        old_batch.write.mode("overwrite").parquet(os.path.join(root, "b0"))
+        new_batch.write.mode("overwrite").parquet(os.path.join(root, "b1"))
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "b0"), os.path.join(root, "b1")
+    )
+    return back.select("event_id", "user_id", "event_type", "value", "score")
+
+
 QUERIES = {
     "orc_scan_roundtrip": orc_scan_roundtrip,
+    "schema_evolution_read": schema_evolution_read,
     "csv_scan_events": csv_scan_events,
     "csv_scan_dropmalformed": csv_scan_dropmalformed,
     "json_payload_decode": json_payload_decode,
@@ -227,6 +256,13 @@ QUERIES = {
 ORACLE = {
     "orc_scan_roundtrip": """
 SELECT event_id, ts, user_id, event_type, value FROM events
+""",
+    "schema_evolution_read": """
+SELECT event_id, user_id, event_type, value,
+       CASE WHEN event_id % 2 = 1
+            THEN CAST(round(value * 100) AS BIGINT) % 97
+            ELSE NULL END AS score
+FROM events
 """,
     "csv_scan_events": """
 SELECT event_id, ts, user_id, event_type, value FROM events
