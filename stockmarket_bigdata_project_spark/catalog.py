@@ -48,13 +48,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    if name == "events":
-        # Runtime SQL confs, set here rather than at session build — callers
-        # (the driver included) hand us an arbitrary SparkSession that won't
-        # have them preconfigured. UTC makes the NTZ→LTZ normalization below
-        # (and every to_date/window over ts) engine-portable.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Runtime SQL confs, set here rather than at session build — callers
+    # (the driver included) hand us an arbitrary SparkSession that won't
+    # have them preconfigured. UTC makes the NTZ→LTZ normalization below
+    # (and every to_date/window over ts) engine-portable. Pinned on EVERY
+    # load, not just events, so session semantics never depend on which
+    # table happened to load first (order-independent global state).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         from pyspark.sql import functions as F

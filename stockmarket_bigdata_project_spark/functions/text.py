@@ -76,7 +76,12 @@ def extract_tickers_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sentiment_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1: deterministic lexicon polarity ∈ [-1, 1]:
-    (pos_hits − neg_hits) / total_tokens, rounded."""
+    (pos_hits − neg_hits) / total_tokens, quantized at 6dp.
+
+    The quantization is integer-rational (round-half-away on |d|/n in
+    micro-units), not `round(double, 6)` — engines disagree on rounding a
+    genuine-real quotient at half-microunit boundaries (playbook rule 1;
+    the sf0.1 sweep caught exactly this class on quality scores in r2)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
 
@@ -87,10 +92,18 @@ def sentiment_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pos = sum(count_word(w) for w in POS_WORDS)
     neg = sum(count_word(w) for w in NEG_WORDS)
+    d = (pos - neg).cast("long")
+    nt = F.size(toks).cast("long")
+    num = F.abs(d) * F.lit(2_000_000).cast("long") + nt
+    den = 2 * nt
+    q = ((num - F.pmod(num, den)) / den).cast("long")
+    sign = (
+        F.when(d > 0, F.lit(1)).when(d < 0, F.lit(-1)).otherwise(F.lit(0))
+    ).cast("long")
     return docs.select(
         "doc_id",
         "lang",
-        F.round((pos - neg) / F.size(toks), 6).alias("sentiment"),
+        ((sign * q).cast("double") / F.lit(1.0e6)).alias("sentiment"),
     )
 
 
@@ -130,11 +143,19 @@ _KNOWN_SQL = "', '".join(KNOWN_TICKERS)
 
 _SENTIMENT_SQL = f"""
 SELECT doc_id, lang,
-       round(
-         (len(list_filter(string_split(text, ' '), t -> t IN ('{POS_WORDS[0]}', '{POS_WORDS[1]}')))
-          - len(list_filter(string_split(text, ' '), t -> t IN ('{NEG_WORDS[0]}', '{NEG_WORDS[1]}'))))
-         / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS sentiment
-FROM documents
+       CAST((CASE WHEN d > 0 THEN 1 WHEN d < 0 THEN -1 ELSE 0 END)
+            * CAST((num - (num % den)) / den AS BIGINT) AS DOUBLE)
+         / 1000000.0 AS sentiment
+FROM (
+  SELECT doc_id, lang, d, abs(d) * 2000000 + nt AS num, 2 * nt AS den
+  FROM (
+    SELECT doc_id, lang,
+           CAST(len(list_filter(string_split(text, ' '), t -> t IN ('{POS_WORDS[0]}', '{POS_WORDS[1]}')))
+            - len(list_filter(string_split(text, ' '), t -> t IN ('{NEG_WORDS[0]}', '{NEG_WORDS[1]}'))) AS BIGINT) AS d,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+    FROM documents
+  )
+)
 """
 
 ORACLE = {

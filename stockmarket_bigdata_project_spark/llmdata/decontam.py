@@ -63,9 +63,10 @@ def _word_ngrams(docs: DataFrame, n: int) -> DataFrame:
 
 
 def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per training doc: how many distinct benchmark 8-grams it contains.
-    Only contaminated docs (≥1 shared gram) are emitted — the remediation
-    list a pipeline would quarantine before the next training run."""
+    """Per training doc: how many distinct benchmark NGRAM_N-grams it
+    contains. Only contaminated docs (≥1 shared gram) are emitted — the
+    remediation list a pipeline would quarantine before the next training
+    run."""
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % BENCH_MOD == 0)
     train = docs.filter(F.col("doc_id") % BENCH_MOD != 0)
@@ -97,7 +98,7 @@ def decontam_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """5-grams appearing in ≥ BOILER_MIN_DOCS distinct documents, with their
+    """BOILER_N-grams appearing in ≥ BOILER_MIN_DOCS distinct documents, with their
     document frequency — the repeated-boilerplate candidates a cleaning pass
     would strip."""
     docs = load_table(spark, sf_dir, "documents")

@@ -173,9 +173,12 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for band in range(N_HASHES // BAND_SIZE)
         ]
     )
+    # eager=False: merely CONSTRUCTING this DataFrame (queries() enumeration,
+    # explain()) must not run Spark jobs; the band table materializes at the
+    # first action and is reused by both join sides from then on.
     all_bands = mh.select("doc_id", F.explode(band_structs).alias("bs")).select(
         "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     l = all_bands.alias("l")
     r = all_bands.alias("r")
     # The band table is materialized above (localCheckpoint — the runtime

@@ -141,11 +141,17 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = docs.select(
         "doc_id", "source", ws.alias("ws_tokens"), bpe_ish.alias("bpe_tokens")
     )
+    # avg quantized at 6dp by the integer-rational idiom — round(avg(), 6)
+    # of a genuine-real quotient is engine-divergent at half-microunit
+    # boundaries (playbook rule 1)
     return per_doc.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("ws_tokens").alias("total_ws_tokens"),
         F.sum("bpe_tokens").alias("total_bpe_tokens"),
-        F.round(F.avg("bpe_tokens"), 6).alias("avg_bpe_tokens"),
+        (
+            _round_div_micro(1000000 * F.sum("bpe_tokens"), F.count("*"))
+            / 1000000.0
+        ).alias("avg_bpe_tokens"),
     )
 
 
@@ -269,11 +275,16 @@ WITH per_doc AS (
          len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens
   FROM documents
 )
-SELECT source, count(*) AS n_docs,
-       sum(ws_tokens) AS total_ws_tokens,
-       sum(bpe_tokens) AS total_bpe_tokens,
-       round(avg(bpe_tokens), 6) AS avg_bpe_tokens
-FROM per_doc GROUP BY source
+SELECT source, n_docs, total_ws_tokens, total_bpe_tokens,
+       ((num - (num % den)) / den) / 1000000.0 AS avg_bpe_tokens
+FROM (
+  SELECT source, count(*) AS n_docs,
+         sum(ws_tokens) AS total_ws_tokens,
+         sum(bpe_tokens) AS total_bpe_tokens,
+         2 * 1000000 * sum(bpe_tokens) + count(*) AS num,
+         2 * count(*) AS den
+  FROM per_doc GROUP BY source
+)
 """,
     "doc_fingerprints": f"""
 SELECT doc_id,
@@ -285,13 +296,13 @@ SELECT doc_id,
        ) AS fingerprint
 FROM documents
 """,
-    "rare_token_ratio": """
+    "rare_token_ratio": f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
 ), vocab AS (
   SELECT tok, count(*) AS tok_freq FROM toks GROUP BY tok
 ), rare AS (
-  SELECT tok FROM vocab ORDER BY tok_freq ASC, tok ASC LIMIT """ + str(N := 8) + """
+  SELECT tok FROM vocab ORDER BY tok_freq ASC, tok ASC LIMIT {N_RARE_TOKENS}
 )
 SELECT doc_id, count(*) AS n_tokens,
        sum(CASE WHEN r.tok IS NOT NULL THEN 1 ELSE 0 END) AS n_rare,

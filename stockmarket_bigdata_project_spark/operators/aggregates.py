@@ -51,7 +51,18 @@ def distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- A3: two-level (partial→final) re-aggregation across granularities ------
 def two_level_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """15m-window aggregates re-aggregated to daily (avg-of-avgs preserved
-    deliberately — the reference's unweighted semantics, SURVEY §7.2d)."""
+    deliberately — the reference's unweighted semantics, SURVEY §7.2d).
+
+    Determinism: the slot mean is a genuine real (decimal-sum / count), and
+    double→decimal quantization of a real differs per-row between engines
+    (r2's one red gate row was exactly the cast(decimal(27,12)) form here).
+    Instead the slot mean is carried as an exact integer rational
+    (cents, n) and quantized at 9dp by pure integer arithmetic:
+        q_nano = round_half_up(cents·10^7 / n) = (2·cents·10^7 + n) div (2·n)
+    (value ≥ 0 in events, so floor-div == both engines' semantics). The
+    div is one exact binary64 division (quotient < 2^53); the outer mean is
+    then sum(q_nano)/count/1e9 — identical binary64 ops on identical exact
+    integers on both engines."""
     ev = load_table(spark, sf_dir, "events")
     win15 = (
         ev.groupBy(
@@ -61,24 +72,29 @@ def two_level_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("post_count"),
-            # exact decimal sum / non-null count: deterministic under any
-            # shuffle-merge order (value is 2-decimal, the cast is lossless)
-            (
-                F.sum(F.col("value").cast("decimal(27,2)")).cast("double")
-                / F.count("value")
-            ).alias("avg_value"),
+            # exact integer cents (value is 2-decimal; same idiom as
+            # correlation_matrix, hash-proven r1)
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias(
+                "val_cents"
+            ),
+            F.count("value").alias("n_vals"),
         )
     )
+    num = (
+        2 * F.col("val_cents") * F.lit(10_000_000).cast("long")
+        + F.col("n_vals")
+    )
+    den = 2 * F.col("n_vals")
+    q_nano = ((num - F.pmod(num, den)) / den).cast("long")
     return (
-        win15.groupBy("day", "event_type")
+        win15.withColumn("q_nano", q_nano)
+        .groupBy("day", "event_type")
         .agg(
             F.sum("post_count").alias("total_posts"),
-            # outer mean over slot means: quantize the (deterministic) slot
-            # mean at 12dp so the second-level sum is exact too; emit the raw
-            # quotient — round(float) itself differs between engines
             (
-                F.sum(F.col("avg_value").cast("decimal(27,12)")).cast("double")
-                / F.count("avg_value")
+                F.sum("q_nano").cast("double")
+                / F.count("q_nano")
+                / F.lit(1.0e9)
             ).alias("avg_of_avg_value"),
             F.max("post_count").alias("max_slot_posts"),
         )
@@ -449,15 +465,25 @@ WITH win15 AS (
          CAST(floor((epoch(ts) % 86400) / 900) AS BIGINT) AS slot,
          event_type,
          count(*) AS post_count,
-         CAST(sum(CAST(value AS DECIMAL(27,2))) AS DOUBLE) / count(value) AS avg_value
+         sum(CAST(round(value * 100) AS BIGINT)) AS val_cents,
+         count(value) AS n_vals
   FROM events GROUP BY 1, 2, 3
+), q AS (
+  SELECT day, event_type, post_count,
+         CAST((num - (num % den)) / den AS BIGINT) AS q_nano
+  FROM (
+    SELECT *,
+           2 * val_cents * 10000000 + n_vals AS num,
+           2 * n_vals AS den
+    FROM win15
+  )
 )
 SELECT day, event_type,
        sum(post_count) AS total_posts,
-       CAST(sum(CAST(avg_value AS DECIMAL(27,12))) AS DOUBLE)
-         / count(avg_value) AS avg_of_avg_value,
+       CAST(sum(q_nano) AS DOUBLE) / count(q_nano) / 1000000000.0
+         AS avg_of_avg_value,
        max(post_count) AS max_slot_posts
-FROM win15 GROUP BY day, event_type
+FROM q GROUP BY day, event_type
 """,
     "conditional_agg_ratios": """
 SELECT event_type, count(*) AS n,

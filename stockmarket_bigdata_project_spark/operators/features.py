@@ -61,22 +61,46 @@ def silver_15m_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def medallion_e2e_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gold: daily rollup of the silver windows ⟕ customer daily order
-    totals, null-filled — the complete reference pipeline in one plan."""
-    silver = silver_15m_features(spark, sf_dir)
-    daily_features = (
-        silver.groupBy(
-            F.to_date("window_start").alias("day"), "user_id"
+    totals, null-filled — the complete reference pipeline in one plan.
+
+    The daily avg-of-avgs carries each window mean as an exact integer
+    rational (cents, n) and quantizes at 9dp with pure integer arithmetic —
+    double→decimal casts of a genuine-real mean are the op class behind
+    r2's one red gate row (playbook rule 2, two_level_rollup)."""
+    ev = load_table(spark, sf_dir, "events")
+    silver = (
+        ev.groupBy(F.window("ts", "15 minutes").alias("win"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias(
+                "val_cents"
+            ),
+            F.count("value").alias("n_vals"),
+            F.max("value").alias("max_value"),
         )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "user_id", "n_events", "val_cents", "n_vals", "max_value",
+        )
+    )
+    num = (
+        2 * F.col("val_cents") * F.lit(10_000_000).cast("long")
+        + F.col("n_vals")
+    )
+    den = 2 * F.col("n_vals")
+    q_nano = ((num - F.pmod(num, den)) / den).cast("long")
+    daily_features = (
+        silver.withColumn("q_nano", q_nano)
+        .groupBy(F.to_date("window_start").alias("day"), "user_id")
         .agg(
             F.sum("n_events").alias("n_events"),
-            # avg-of-avgs: reference semantics (unweighted), kept + documented;
-            # quantize the (deterministic) window means at 12dp so this outer
-            # sum is exact too. sum_value values are 2-decimal, re-sum exactly.
+            # avg-of-avgs: reference semantics (unweighted), kept + documented
             (
-                F.sum(F.col("avg_value").cast("decimal(27,12)")).cast("double")
-                / F.count("avg_value")
+                F.sum("q_nano").cast("double")
+                / F.count("q_nano")
+                / F.lit(1.0e9)
             ).alias("avg_value"),
-            F.sum(F.col("sum_value").cast("decimal(27,2)")).cast("double").alias(
+            (F.sum("val_cents").cast("double") / F.lit(100.0)).alias(
                 "sum_value"
             ),
             F.max("max_value").alias("max_value"),
@@ -125,16 +149,33 @@ WITH {_SILVER_SQL.strip()}
 SELECT window_start, user_id, n_events, avg_value, sum_value, max_value
 FROM silver
 """,
-    "medallion_e2e_daily": f"""
-WITH {_SILVER_SQL.strip()},
+    "medallion_e2e_daily": """
+WITH silver_cents AS (
+  SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start, user_id,
+         count(*) AS n_events,
+         sum(CAST(round(value * 100) AS BIGINT)) AS val_cents,
+         count(value) AS n_vals,
+         max(value) AS max_value
+  FROM events GROUP BY 1, 2
+),
+q AS (
+  SELECT *,
+         CAST((num - (num % den)) / den AS BIGINT) AS q_nano
+  FROM (
+    SELECT *,
+           2 * val_cents * 10000000 + n_vals AS num,
+           2 * n_vals AS den
+    FROM silver_cents
+  )
+),
 daily AS (
   SELECT CAST(window_start AS DATE) AS day, user_id,
          sum(n_events) AS n_events,
-         CAST(sum(CAST(avg_value AS DECIMAL(27,12))) AS DOUBLE)
-           / count(avg_value) AS avg_value,
-         CAST(sum(CAST(sum_value AS DECIMAL(27,2))) AS DOUBLE) AS sum_value,
+         CAST(sum(q_nano) AS DOUBLE) / count(q_nano) / 1000000000.0
+           AS avg_value,
+         CAST(sum(val_cents) AS DOUBLE) / 100.0 AS sum_value,
          max(max_value) AS max_value
-  FROM silver GROUP BY 1, 2
+  FROM q GROUP BY 1, 2
 ),
 od AS (
   SELECT o_custkey AS user_id, CAST(o_orderdate AS DATE) AS day,

@@ -95,15 +95,40 @@ def twap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def rolling_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 5-day sample stddev of daily returns (annualization is a
-    constant factor, left to the caller)."""
+    constant factor, left to the caller).
+
+    Exact-sum form (playbook rule 2): built-in windowed stddev folds partial
+    moments with engine-specific recurrences, and round(·, 6) of the result
+    is boundary-divergent (rule 1). Instead the per-row return is quantized
+    at 7dp as an integer rational of the price cents, the frame sums S1/S2
+    are exact BIGINT window sums, and the stddev is pure shared binary64:
+    sqrt((S2 - S1²/n)/(n-1)) / 10^7. S2 goes long→double through a digit
+    string (rule 3b) — DuckDB's window sum yields HUGEINT whose direct
+    double cast is not correctly rounded past 2^53."""
     r = _returns(spark, sf_dir)
+    w = Window.partitionBy("l_suppkey").orderBy("trade_date")
+    c = F.expr("CAST(round(close_px * 100) AS BIGINT)")
+    p = F.lag(c, 1).over(w)
+    num = F.abs(c - p) * F.lit(20_000_000).cast("long") + p
+    den = 2 * p
+    sign = F.when(c > p, F.lit(1)).when(c < p, F.lit(-1)).otherwise(F.lit(0))
+    q7 = sign.cast("long") * ((num - F.pmod(num, den)) / den).cast("long")
     w5 = (
         Window.partitionBy("l_suppkey").orderBy("trade_date").rowsBetween(-4, 0)
     )
-    return r.select(
+    base = r.withColumn("q7", q7)
+    s1 = F.sum("q7").over(w5).cast("double")
+    s2 = F.sum(F.col("q7") * F.col("q7")).over(w5).cast("string").cast("double")
+    n = F.count("q7").over(w5).cast("double")
+    return base.select(
         "l_suppkey",
         "trade_date",
-        F.round(F.stddev("ret").over(w5), 6).alias("vol_5d"),
+        (
+            F.sqrt(
+                (s2 - s1 * s1 / n) / F.nullif(n - 1, F.lit(0.0))
+            )
+            / F.lit(1.0e7)
+        ).alias("vol_5d"),
     )
 
 
@@ -113,12 +138,29 @@ def rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     beta = (avg(xm) - avg(x)avg(m)) / (avg(m²) - avg(m)²)."""
     r = _returns(spark, sf_dir)
     # unordered avg of inexact doubles is not run-to-run stable: quantize
-    # the (deterministic, per-row) return at 14dp so the sum is exact
-    market = r.groupBy("trade_date").agg(
-        (
-            F.sum(F.col("ret").cast("decimal(27,14)")).cast("double")
-            / F.count("ret")
-        ).alias("mret")
+    # the per-row return at 9dp as an exact integer rational of the price
+    # cents — double→decimal casts of a genuine real are the engine-divergent
+    # op class behind r2's red gate row (playbook rule 2). ret = (c-p)/p with
+    # c,p integer cents, so q_nano = sign(c-p)·round_half_up(|c-p|·10^9, p)
+    # is pure integer arithmetic (9dp keeps |c-p|·2·10^9 far inside BIGINT
+    # even for $10M price swings); the sum is then exact in any merge order.
+    w = Window.partitionBy("l_suppkey").orderBy("trade_date")
+    c = F.expr("CAST(round(close_px * 100) AS BIGINT)")
+    p = F.lag(c, 1).over(w)
+    num = F.abs(c - p) * F.lit(2_000_000_000).cast("long") + p
+    den = 2 * p
+    sign = F.when(c > p, F.lit(1)).when(c < p, F.lit(-1)).otherwise(F.lit(0))
+    q_nano = sign.cast("long") * ((num - F.pmod(num, den)) / den).cast("long")
+    market = (
+        r.withColumn("q_nano", q_nano)
+        .groupBy("trade_date")
+        .agg(
+            (
+                F.sum("q_nano").cast("double")
+                / F.count("q_nano")
+                / F.lit(1.0e9)
+            ).alias("mret")
+        )
     )
     j = r.join(market, "trade_date").filter(
         F.col("ret").isNotNull() & F.col("mret").isNotNull()
@@ -141,33 +183,56 @@ def rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running-peak drawdown per supplier + the max drawdown to date."""
+    """Running-peak drawdown per supplier + the max drawdown to date.
+
+    dd = (close − peak)/peak quantized at 6dp as an integer rational of the
+    price cents (q = round_half_up((P−c)·10^6, P), dd = −q/10^6): exact and
+    engine-identical, where round(double, 6) of the raw ratio is
+    boundary-divergent (playbook rule 1). min(dd) = −max(q) is an integer
+    window max, so the running drawdown floor is exact too."""
     s = supplier_daily_ohlcv(spark, sf_dir)
     w = Window.partitionBy("l_suppkey").orderBy("trade_date").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    peak = F.max("close_px").over(w)
+    c = F.expr("CAST(round(close_px * 100) AS BIGINT)")
+    peak_c = F.max(c).over(w)
+    num = (peak_c - c) * F.lit(2_000_000).cast("long") + peak_c
+    den = 2 * peak_c
     # two steps: window functions can't nest (same restriction in DuckDB)
-    with_dd = s.withColumn("dd", (F.col("close_px") - peak) / peak)
-    return with_dd.select(
+    with_q = s.withColumn(
+        "q", ((num - F.pmod(num, den)) / den).cast("long")
+    )
+    # negate the INTEGER before the division: -(0/1e6) would emit -0.0
+    return with_q.select(
         "l_suppkey",
         "trade_date",
-        F.round("dd", 6).alias("drawdown"),
-        F.round(F.min("dd").over(w), 6).alias("max_drawdown_to_date"),
+        ((-F.col("q")).cast("double") / F.lit(1.0e6)).alias("drawdown"),
+        (
+            (-F.max("q").over(w)).cast("double") / F.lit(1.0e6)
+        ).alias("max_drawdown_to_date"),
     )
 
 
 def cumulative_return(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Compounded return since inception: exp(sum(ln(1+r))) - 1 — the
-    shuffle-free way to express a cumulative product."""
-    r = _returns(spark, sf_dir).filter(F.col("ret").isNotNull())
+    """Compounded return since inception. The generic shuffle-free cumprod
+    idiom is exp(sum(ln(1+r))) − 1, but returns TELESCOPE —
+    ∏(c_i/c_{i−1}) = c_t/c_0 — so the compounded return is computed as the
+    exact price-cents ratio (close − first_close)/first_close: one shared
+    binary64 division instead of a transcendental chain whose low bits
+    differ per engine under any frame-sum association."""
+    s = supplier_daily_ohlcv(spark, sf_dir)
+    wo = Window.partitionBy("l_suppkey").orderBy("trade_date")
+    c = F.expr("CAST(round(close_px * 100) AS BIGINT)")
+    r = s.withColumn("c", c).withColumn("p", F.lag("c", 1).over(wo))
+    r = r.filter(F.col("p").isNotNull())
     w = Window.partitionBy("l_suppkey").orderBy("trade_date").rowsBetween(
         Window.unboundedPreceding, 0
     )
+    c0 = F.first("p").over(w)
     return r.select(
         "l_suppkey",
         "trade_date",
-        F.round(F.exp(F.sum(F.log1p("ret")).over(w)) - 1, 6).alias("cum_return"),
+        ((F.col("c") - c0).cast("double") / c0).alias("cum_return"),
     )
 
 
@@ -194,20 +259,51 @@ SELECT user_id, date_trunc('hour', ts) AS hour,
        count(*) AS n_obs
 FROM events GROUP BY 1, 2
 """,
-    "rolling_volatility": _RETURNS_SQL
-    + """
+    "rolling_volatility": f"""
+WITH stock AS ({SUPPLIER_DAILY_SQL}),
+cents AS (
+  SELECT l_suppkey, trade_date,
+         CAST(round(close_px * 100) AS BIGINT) AS c,
+         lag(CAST(round(close_px * 100) AS BIGINT), 1)
+           OVER (PARTITION BY l_suppkey ORDER BY trade_date) AS p
+  FROM stock
+),
+qr AS (
+  SELECT l_suppkey, trade_date,
+         (CASE WHEN c > p THEN 1 WHEN c < p THEN -1 ELSE 0 END)
+           * CAST((num - (num % den)) / den AS BIGINT) AS q7
+  FROM (SELECT *, abs(c - p) * 20000000 + p AS num, 2 * p AS den FROM cents)
+)
 SELECT l_suppkey, trade_date,
-       round(stddev_samp(ret) OVER (PARTITION BY l_suppkey ORDER BY trade_date
-                                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
-             6) AS vol_5d
-FROM rets
+       sqrt((CAST(CAST(sum(q7 * q7) OVER w AS VARCHAR) AS DOUBLE)
+             - CAST(sum(q7) OVER w AS DOUBLE) * CAST(sum(q7) OVER w AS DOUBLE)
+               / CAST(count(q7) OVER w AS DOUBLE))
+            / NULLIF(CAST(count(q7) OVER w AS DOUBLE) - 1, 0.0))
+         / 10000000.0 AS vol_5d
+FROM qr
+WINDOW w AS (PARTITION BY l_suppkey ORDER BY trade_date
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
 """,
     "rolling_beta": _RETURNS_SQL
     + """,
+cents AS (
+  SELECT l_suppkey, trade_date, ret,
+         CAST(round(close_px * 100) AS BIGINT) AS c,
+         lag(CAST(round(close_px * 100) AS BIGINT), 1)
+           OVER (PARTITION BY l_suppkey ORDER BY trade_date) AS p
+  FROM rets
+),
+qp AS (
+  SELECT l_suppkey, trade_date, ret,
+         (CASE WHEN c > p THEN 1 WHEN c < p THEN -1 ELSE 0 END)
+           * CAST((num - (num % den)) / den AS BIGINT) AS q_nano
+  FROM (SELECT *, abs(c - p) * 2000000000 + p AS num, 2 * p AS den
+        FROM cents)
+),
 market AS (
   SELECT trade_date,
-         CAST(sum(CAST(ret AS DECIMAL(27,14))) AS DOUBLE) / count(ret) AS mret
-  FROM rets GROUP BY trade_date
+         CAST(sum(q_nano) AS DOUBLE) / count(q_nano) / 1000000000.0 AS mret
+  FROM qp GROUP BY trade_date
 ),
 j AS (
   SELECT r.l_suppkey, r.trade_date, r.ret, m.mret
@@ -225,27 +321,45 @@ WINDOW w AS (PARTITION BY l_suppkey ORDER BY trade_date
 """,
     "max_drawdown": f"""
 WITH stock AS ({SUPPLIER_DAILY_SQL}),
-dd AS (
+qd AS (
   SELECT l_suppkey, trade_date,
-         (close_px - max(close_px) OVER w) / max(close_px) OVER w AS dd
-  FROM stock
-  WINDOW w AS (PARTITION BY l_suppkey ORDER BY trade_date
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         CAST((num - (num % den)) / den AS BIGINT) AS q
+  FROM (
+    SELECT l_suppkey, trade_date,
+           (peak_c - c) * 2000000 + peak_c AS num,
+           2 * peak_c AS den
+    FROM (
+      SELECT l_suppkey, trade_date,
+             CAST(round(close_px * 100) AS BIGINT) AS c,
+             max(CAST(round(close_px * 100) AS BIGINT))
+               OVER (PARTITION BY l_suppkey ORDER BY trade_date
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak_c
+      FROM stock
+    )
+  )
 )
-SELECT l_suppkey, trade_date, round(dd, 6) + 0.0 AS drawdown,
-       round(min(dd) OVER (PARTITION BY l_suppkey ORDER BY trade_date
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-             6) + 0.0 AS max_drawdown_to_date
-FROM dd
-""",
-    "cumulative_return": _RETURNS_SQL
-    + """
 SELECT l_suppkey, trade_date,
-       round(exp(sum(ln(1 + ret)) OVER (PARTITION BY l_suppkey
-                                        ORDER BY trade_date
-                                        ROWS BETWEEN UNBOUNDED PRECEDING
-                                        AND CURRENT ROW)) - 1, 6) + 0.0 AS cum_return
-FROM rets
-WHERE ret IS NOT NULL
+       CAST(-q AS DOUBLE) / 1000000.0 AS drawdown,
+       CAST(-max(q) OVER (PARTITION BY l_suppkey ORDER BY trade_date
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) / 1000000.0 AS max_drawdown_to_date
+FROM qd
+""",
+    "cumulative_return": f"""
+WITH stock AS ({SUPPLIER_DAILY_SQL}),
+cents AS (
+  SELECT l_suppkey, trade_date,
+         CAST(round(close_px * 100) AS BIGINT) AS c,
+         lag(CAST(round(close_px * 100) AS BIGINT), 1)
+           OVER (PARTITION BY l_suppkey ORDER BY trade_date) AS p
+  FROM stock
+)
+SELECT l_suppkey, trade_date,
+       CAST(c - first_value(p) OVER w AS DOUBLE) / first_value(p) OVER w
+         AS cum_return
+FROM cents
+WHERE p IS NOT NULL
+WINDOW w AS (PARTITION BY l_suppkey ORDER BY trade_date
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """,
 }

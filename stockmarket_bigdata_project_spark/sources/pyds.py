@@ -153,9 +153,12 @@ class _TickStreamReader(DataSourceStreamReader):
         yield from _TickReader({}).read(partition)
 
     def commit(self, end: dict) -> None:
-        # nothing to release: the generator is stateless; a real source
-        # would garbage-collect data at offsets < end here
-        pass
+        # the generator is stateless, so there is no data to release — but
+        # ratchet the high-water mark to the committed offset so a query
+        # restarted from an existing checkpoint (where initialOffset is NOT
+        # called and _latest would restart at 0) never reports latestOffset
+        # behind what is already committed
+        self._latest = max(self._latest, int(end["tick"]))
 
 
 class TickDataSource(DataSource):
@@ -229,6 +232,7 @@ def python_datasource_stream_ticks(spark, sf_dir):
     the end of the feed — the bounded-replay idiom for a custom source.
     Batch/stream parity: read() is the same Arrow generator, so the result
     equals python_datasource_ticks and shares its oracle shape."""
+    import shutil
     import tempfile
     import time
 
@@ -272,6 +276,7 @@ def python_datasource_stream_ticks(spark, sf_dir):
         q.processAllAvailable()
     finally:
         q.stop()
+        shutil.rmtree(chk, ignore_errors=True)
     return spark.table(name).groupBy("symbol").agg(
         F.count("*").alias("n_ticks"),
         F.sum(F.col("px").cast("decimal(27,2)")).cast("double").alias("total_px"),

@@ -358,9 +358,78 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(dedup, "append")
 
 
+# --- T8: RocksDB state store — same agg, different state backend -------------
+def streaming_rocksdb_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete-mode window agg run on the RocksDB state store
+    (session.enable_rocksdb_state_store). State backends must be
+    result-invisible, so this shares streaming_window_complete's oracle —
+    a value-level check that switching the 100 TB state backend changes
+    nothing but capacity. The provider conf is restored afterwards so the
+    session's other streaming queries keep their configured backend."""
+    from ..session import ROCKSDB_STATE_STORE_PROVIDER
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_STATE_STORE_PROVIDER)
+    try:
+        agg = (
+            _events_stream(spark, sf_dir)
+            .groupBy(F.window("ts", WINDOW), "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                dec_sum("value").alias("total_value"),
+            )
+        )
+        out = _run_to_memory(agg, "complete")
+        # materialize while the provider conf is still in force: the memory
+        # table is lazily backed by the streaming result, already final here
+        return out.select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+# --- S11: console sink (debug surface) ---------------------------------------
+def console_sink_debug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's console sink (test_spark.py:22) — debug-only output.
+    The stream runs availableNow into format('console'); since the console
+    itself is not queryable, the observable contract is the query's input
+    cardinality: total rows fed through the sink == count(*) of the replay
+    corpus, returned as a 1-row DataFrame (value-checked against the
+    events table)."""
+    sdf = _events_stream(spark, sf_dir).select("event_id", "ts", "event_type")
+    chk = tempfile.mkdtemp(prefix="spark_graft_console_chk_")
+    q = (
+        sdf.writeStream.outputMode("append")
+        .format("console")
+        .option("numRows", 3)
+        .option("truncate", "true")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    total = sum(
+        int(p["numInputRows"]) for p in (q.recentProgress or []) if p
+    )
+    return spark.createDataFrame(
+        [(total,)], "total_input_rows bigint"
+    )
+
+
 QUERIES = {
     "streaming_window_counts": streaming_window_counts,
     "streaming_window_complete": streaming_window_complete,
+    "streaming_rocksdb_window": streaming_rocksdb_window,
+    "console_sink_debug": console_sink_debug,
     "streaming_sliding_window": streaming_sliding_window,
     "streaming_session_window": streaming_session_window,
     "streaming_static_join": streaming_static_join,
@@ -395,6 +464,20 @@ SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
        count(*) AS n_events,
        CAST(sum(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS total_value
 FROM events GROUP BY 1, 2, 3
+""",
+    # T8: the state backend must be result-invisible — same oracle as the
+    # default-provider complete-mode agg
+    "streaming_rocksdb_window": """
+SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+       time_bucket(INTERVAL '15 minutes', ts) + INTERVAL '15 minutes' AS window_end,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2, 3
+""",
+    # S11: the console sink's observable contract is input cardinality
+    "console_sink_debug": """
+SELECT count(*) AS total_input_rows FROM events
 """,
     # each event covers the two 30-min windows starting at bucket and bucket-15m
     "streaming_sliding_window": """

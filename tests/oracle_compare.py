@@ -1,25 +1,25 @@
 """Spark-vs-DuckDB result comparison mirroring the driver's correctness gate:
 row-count + column-name set + order-insensitive value comparison.
 
-Floats are compared EXACTLY (bit equality) by default — the driver hashes raw
-values, so any tolerance here would hide a hash_match=false in the real gate
-(round 1 lost gold_daily_features/orders_daily_rollup/join_daily_market_activity
-to exactly this: local 1e-6 tolerance passed, driver hash failed). Queries must
-make float outputs cross-engine deterministic (exact integer/decimal
-aggregation, identical post-arithmetic), not merely close.
+Floats are compared by BIT PATTERN (``struct.pack('>d', v)``) by default — the
+driver hashes raw values, so any equivalence granted here that the hash does
+not grant hides a future hash_match=false. Two rounds proved this the hard
+way: round 1 lost three queries to a 1e-6 tolerance the driver doesn't have,
+and round 2 lost ``two_level_rollup`` while this file still passed it —
+Python ``==`` treats ``-0.0 == 0.0`` and ``2 == 2.0``, the driver's hash does
+not. Queries must make float outputs cross-engine bit-identical (exact
+integer/decimal aggregation, identical post-arithmetic), not merely close,
+and must not rely on int/float type coercion between the engines.
 """
 
 from __future__ import annotations
 
 import datetime as dt
 import math
+import struct
 
 
 def _canon(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return ("nan",)
-        return round(v, 9)
     if isinstance(v, dt.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, dt.date):
@@ -31,19 +31,46 @@ def _canon(v):
     return v
 
 
-def _float_eq(a, b, rel=0.0, abs_tol=0.0):
+def _values_eq(a, b, rel=0.0):
+    """Driver-faithful value equality: None only equals None; floats equal
+    iff their IEEE-754 bit patterns match (NaN==NaN as the one concession —
+    both engines surface the canonical quiet NaN); a float never equals an
+    int (the driver hashes the value as typed); containers recurse."""
     if a is None or b is None:
-        return a is b
-    if isinstance(a, float) and math.isnan(a):
-        return isinstance(b, float) and math.isnan(b)
-    if rel == 0.0 and abs_tol == 0.0:
-        return a == b  # exact, like the driver's value hash
-    return math.isclose(a, b, rel_tol=rel, abs_tol=abs_tol)
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        if not (isinstance(a, float) and isinstance(b, float)):
+            return False
+        if math.isnan(a) or math.isnan(b):
+            return math.isnan(a) and math.isnan(b)
+        if rel:
+            return math.isclose(a, b, rel_tol=rel)
+        return struct.pack(">d", a) == struct.pack(">d", b)
+    if isinstance(a, bool) != isinstance(b, bool):
+        return False
+    if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
+        return len(a) == len(b) and all(
+            _values_eq(x, y, rel) for x, y in zip(a, b)
+        )
+    if type(a).__name__ != type(b).__name__:
+        return False
+    return _canon(a) == _canon(b)
+
+
+def _sort_canon(v):
+    """Total-order sort key (used only to align rows before the element-wise
+    compare; equality itself is _values_eq). Floats key on bit pattern so
+    -0.0 and 0.0 rows can't mask each other."""
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("nan",)
+        return (v, struct.pack(">d", v))
+    return _canon(v)
 
 
 def _row_sort_key(row):
     return tuple(
-        (v is None, str(type(v).__name__), str(_canon(v))) for v in row
+        (v is None, str(type(v).__name__), str(_sort_canon(v))) for v in row
     )
 
 
@@ -64,7 +91,6 @@ def compare(spark_df, duck_con, sql, name="query", float_rel=0.0):
     )
 
     # align column order by sorted name (the driver sorts columns by name)
-    order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
     s_perm = [spark_cols.index(c) for c in sorted(spark_cols)]
     d_perm = [duck_cols.index(c) for c in sorted(duck_cols)]
     s_rows = sorted(
@@ -73,20 +99,12 @@ def compare(spark_df, duck_con, sql, name="query", float_rel=0.0):
     d_rows = sorted(
         (tuple(r[i] for i in d_perm) for r in duck_rows), key=_row_sort_key
     )
-    del order
 
+    cols_sorted = sorted(spark_cols)
     for rn, (sr, dr) in enumerate(zip(s_rows, d_rows)):
         for cn, (sv, dv) in enumerate(zip(sr, dr)):
-            col = sorted(spark_cols)[cn]
-            if isinstance(sv, float) or isinstance(dv, float):
-                ok = _float_eq(
-                    float(sv) if sv is not None else None,
-                    float(dv) if dv is not None else None,
-                    rel=float_rel,
-                )
-            else:
-                ok = _canon(sv) == _canon(dv)
-            assert ok, (
-                f"{name}: value mismatch at sorted-row {rn} col {col!r}: "
-                f"spark={sv!r} duck={dv!r}\n spark row={sr}\n duck row={dr}"
+            assert _values_eq(sv, dv, rel=float_rel), (
+                f"{name}: value mismatch at sorted-row {rn} col "
+                f"{cols_sorted[cn]!r}: spark={sv!r} duck={dv!r}\n"
+                f" spark row={sr}\n duck row={dr}"
             )

@@ -189,3 +189,34 @@ def test_partitioned_read_prunes_partitions(spark, sf_dir):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "trade_date" in m.group(1), plan
+
+
+def test_lsh_band_checkpoint_is_lazy(spark, sf_dir):
+    """Constructing the LSH plan must not materialize anything: the band
+    table's localCheckpoint is eager=False, so queries() enumeration /
+    explain() stays metadata-only. Parquet READS legitimately run one
+    single-task footer/schema job each — the eager checkpoint, by contrast,
+    ran the whole multi-stage shingle→minhash pipeline at plan-build time."""
+    from stockmarket_bigdata_project_spark.llmdata.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    df = minhash_lsh_pairs(spark, sf_dir)
+    assert df.columns == ["doc_a", "doc_b", "jaccard"]
+    new_jobs = set(tracker.getJobIdsForGroup(None)) - before
+    assert len(new_jobs) <= 4, f"too many build-time jobs: {sorted(new_jobs)}"
+    for jid in new_jobs:
+        info = tracker.getJobInfo(jid)
+        assert info is not None
+        assert len(info.stageIds) == 1, (
+            f"job {jid} has stages {info.stageIds}: a multi-stage job at "
+            "build time means the band-table checkpoint ran eagerly"
+        )
+        st = tracker.getStageInfo(info.stageIds[0])
+        if st is not None:
+            assert st.numTasks <= 2, (
+                f"job {jid} ran {st.numTasks} tasks at build time — "
+                "that is a materialization, not a schema read"
+            )
