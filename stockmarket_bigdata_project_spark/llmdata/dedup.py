@@ -123,7 +123,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         inter.join(ca, "doc_a")
         .join(cb, "doc_b")
-        .withColumn("jaccard", F.round(jac, 6))
+        .withColumn("jaccard", jac)
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -227,7 +227,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         inter.join(ca, "doc_a")
         .join(cb, "doc_b")
-        .withColumn("jaccard", F.round(jac, 6))
+        .withColumn("jaccard", jac)
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -427,7 +427,7 @@ inter AS (
   GROUP BY p.doc_a, p.doc_b
 )
 SELECT i.doc_a, i.doc_b,
-       round(i.n_inter * 1.0 / (ca.n_sh + cb.n_sh - i.n_inter), 6) AS jaccard
+       CAST(i.n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - i.n_inter) AS jaccard
 FROM inter i
 JOIN counts ca ON ca.doc_id = i.doc_a
 JOIN counts cb ON cb.doc_id = i.doc_b
@@ -505,7 +505,7 @@ inter AS (
   GROUP BY 1, 2
 )
 SELECT i.doc_a, i.doc_b,
-       round(i.n_inter * 1.0 / (ca.n_sh + cb.n_sh - i.n_inter), 6) AS jaccard
+       CAST(i.n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - i.n_inter) AS jaccard
 FROM inter i
 JOIN counts ca ON ca.doc_id = i.doc_a
 JOIN counts cb ON cb.doc_id = i.doc_b

@@ -87,8 +87,10 @@ def mixture_sampling_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "source",
         "n_docs",
-        F.round(actual, 6).alias("actual_share"),
-        F.round(F.least(F.lit(1.0), target / actual), 6).alias("keep_rate"),
+        # raw exact divisions of integers — identical binary64 on both
+        # engines; round(double, 6) here is the r2-class boundary risk
+        actual.alias("actual_share"),
+        F.least(F.lit(1.0), target / actual).alias("keep_rate"),
     )
 
 
@@ -162,8 +164,8 @@ FROM documents
 WITH per_src AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
 tot AS (SELECT sum(n_docs) AS total, count(*) AS n_sources FROM per_src)
 SELECT source, n_docs,
-       round(n_docs * 1.0 / total, 6) AS actual_share,
-       round(least(1.0, (1.0 / n_sources) / (n_docs * 1.0 / total)), 6) AS keep_rate
+       CAST(n_docs AS DOUBLE) / total AS actual_share,
+       least(1.0, (1.0 / n_sources) / (CAST(n_docs AS DOUBLE) / total)) AS keep_rate
 FROM per_src CROSS JOIN tot
 """,
 }

@@ -7,10 +7,16 @@ probe only the query's nearest `nprobe` buckets (candidate set ∝ n/k·nprobe).
 At 100 TB the bucket assignment is a broadcast-join + argmin (linear, no
 shuffle of the big side beyond the final bucket grouping).
 
-Dot products use F.aggregate over zipped arrays (sequential left fold in
-doubles) — the same accumulation order DuckDB's list_cosine_similarity uses,
-so cosine values are bit-comparable and the ranking is oracle-stable with a
-(rounded-cos, vec_id) tie-break.
+Exactness (playbook rule 2, hardened r3): every vector is quantized to
+integer micros (`round(x·10^6)`) BEFORE any arithmetic. Dot products and
+norms over 64 micro components are integers ≤ ~2·10^13 — far below 2^53 —
+so the double fold is EXACT in any accumulation order (cluster, DuckDB,
+anything); sqrt is IEEE-correctly-rounded in every engine; and the closing
+division is one shared binary64 op. Raw cosines are therefore bit-identical
+across engines with NO rounding anywhere — the previous round-9/round-6
+absorption existed only because the float fold and DuckDB's
+list_cosine_similarity (a different accumulation) disagreed in low bits,
+which is exactly the environment-sensitive class that cost r2 a gate row.
 
 All in built-in higher-order functions — no Python UDF in the hot path.
 """
@@ -29,11 +35,16 @@ NPROBE = 4
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, mvec): components as exact integer micros (doubles
+    holding integer values — both engines round the same binary64 product
+    to the same integer, scale-0 rounding has no decimal-shift step)."""
     e = load_table(spark, sf_dir, "embeddings")
     return e.select(
         "vec_id",
         "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1000000, 0)
+        ).alias("mvec"),
     )
 
 
@@ -48,18 +59,21 @@ def _norm(a) -> F.Column:
 
 
 def _cosine(a, b) -> F.Column:
+    """Bit-exact across engines when a and b hold integer micros (exact
+    integer dot/norms → IEEE sqrt → one division)."""
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector (vec_id < N_QUERIES).
-    Ranking key = (round(cos, 9) DESC, candidate id ASC): rounding absorbs any
-    last-ulp engine difference, id breaks true ties deterministically."""
+    Ranking key = (cos DESC, candidate id ASC): the cosine is bit-exact
+    (integer-micros basis), so the ordering needs no rounding absorption;
+    id breaks true ties deterministically."""
     e = _emb(spark, sf_dir)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+        F.col("vec_id").alias("query_id"), F.col("mvec").alias("qvec")
     )
-    c = e.select(F.col("vec_id").alias("cand_id"), F.col("vec").alias("cvec"))
+    c = e.select(F.col("vec_id").alias("cand_id"), F.col("mvec").alias("cvec"))
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -67,14 +81,14 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "cand_id",
-            F.round(_cosine(F.col("qvec"), F.col("cvec")), 9).alias("cos"),
+            _cosine(F.col("qvec"), F.col("cvec")).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "cand_id", F.round("cos", 6).alias("cosine"), "rank")
+        .select("query_id", "cand_id", F.col("cos").alias("cosine"), "rank")
     )
 
 
@@ -84,12 +98,12 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator). Each vector → nearest centroid; each query probes its NPROBE
     nearest buckets. Approximate w.r.t. true kNN (recall pinned against
     knn_bruteforce in tests) but fully deterministic — fixed centroids,
-    round-9 cosine + id tie-breaks — so it is value-level oracle-checked."""
+    bit-exact cosines + id tie-breaks — so it is value-level oracle-checked."""
     e = _emb(spark, sf_dir)
     cent = e.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"), F.col("vec").alias("cvec")
+        F.col("vec_id").alias("centroid_id"), F.col("mvec").alias("cvec")
     )
-    # assign: argmin over centroids of negative cosine (broadcast, linear)
+    # assign: argmax over centroids of cosine (broadcast, linear)
     assign_w = Window.partitionBy("vec_id").orderBy(
         F.desc("ccos"), F.asc("centroid_id")
     )
@@ -97,13 +111,13 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.crossJoin(F.broadcast(cent))
         .select(
             "vec_id",
-            "vec",
+            "mvec",
             "centroid_id",
-            F.round(_cosine(F.col("vec"), F.col("cvec")), 9).alias("ccos"),
+            _cosine(F.col("mvec"), F.col("cvec")).alias("ccos"),
         )
         .withColumn("rn", F.row_number().over(assign_w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "vec", F.col("centroid_id").alias("bucket"))
+        .select("vec_id", "mvec", F.col("centroid_id").alias("bucket"))
     )
     # queries probe their NPROBE nearest centroid buckets
     probe_w = Window.partitionBy("query_id").orderBy(
@@ -111,13 +125,13 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probes = (
         assigned.filter(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"))
+        .select(F.col("vec_id").alias("query_id"), F.col("mvec").alias("qvec"))
         .crossJoin(F.broadcast(cent))
         .select(
             "query_id",
             "qvec",
             "centroid_id",
-            F.round(_cosine(F.col("qvec"), F.col("cvec")), 9).alias("ccos"),
+            _cosine(F.col("qvec"), F.col("cvec")).alias("ccos"),
         )
         .withColumn("rn", F.row_number().over(probe_w))
         .filter(F.col("rn") <= NPROBE)
@@ -132,11 +146,11 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         cands.select(
             "query_id",
             F.col("vec_id").alias("cand_id"),
-            F.round(_cosine(F.col("qvec"), F.col("vec")), 9).alias("cos"),
+            _cosine(F.col("qvec"), F.col("mvec")).alias("cos"),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "cand_id", F.round("cos", 6).alias("cosine"), "rank")
+        .select("query_id", "cand_id", F.col("cos").alias("cosine"), "rank")
     )
 
 
@@ -144,12 +158,12 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold tuned to testdata's
     max inter-vector cosine ~0.51 so the query has signal)."""
     e = _emb(spark, sf_dir)
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("mvec").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("mvec").alias("vb"))
     cos = _cosine(F.col("va"), F.col("vb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= 0.40)
     )
 
@@ -180,16 +194,12 @@ def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine verifies. Linear shuffle (bucket join); recall vs the
     brute-force baseline pinned in tests/test_properties.py.
 
-    Exactness: components are quantized to integer micros before the dot,
-    so every partial sum is an integer < 2^53 — double arithmetic on them
-    is exact and associative, and the sign bit cannot flip with
-    accumulation order (on a cluster or in DuckDB)."""
+    Exactness: integer-micros components, so every partial sum is an
+    integer < 2^53 — double arithmetic on them is exact and associative,
+    and the sign bit cannot flip with accumulation order (on a cluster or
+    in DuckDB). The verification cosine shares the same basis, so it is
+    emitted raw (bit-identical), unrounded."""
     e = _emb(spark, sf_dir)
-    micro = e.select(
-        "vec_id",
-        "vec",
-        F.transform("vec", lambda x: F.round(x * 1000000, 0)).alias("mvec"),
-    )
     # bit p = dot(mvec, h_p) >= 0 — exact integer-valued double arithmetic
     bits = [
         (
@@ -206,7 +216,7 @@ def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("int").alias(f"b{p}")
         for p in range(N_PLANES)
     ]
-    sigs = micro.select("vec_id", "vec", *bits)
+    sigs = e.select("vec_id", *bits)
     bands = []
     for band in range(LSH_BANDS):
         cols = [f"b{band * BITS_PER_BAND + j}" for j in range(BITS_PER_BAND)]
@@ -231,15 +241,15 @@ def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l.vec_id").alias("vec_a"), F.col("r.vec_id").alias("vec_b"))
         .distinct()
     )
-    va = e.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
-    vb = e.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
+    va = e.select(F.col("vec_id").alias("vec_a"), F.col("mvec").alias("va"))
+    vb = e.select(F.col("vec_id").alias("vec_b"), F.col("mvec").alias("vb"))
     return (
         cands.join(va, "vec_a")
         .join(vb, "vec_b")
         .select(
             "vec_a",
             "vec_b",
-            F.round(_cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+            _cosine(F.col("va"), F.col("vb")).alias("cosine"),
         )
         .filter(F.col("cosine") >= 0.40)
     )
@@ -249,38 +259,40 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean-vector (centroid) per label + each vector's cosine to its own
     label centroid — the 'cluster cohesion' diagnostic of an embedding table.
 
-    Components are quantized to DECIMAL(20,6) before summing: decimal
-    addition is exact and associative, so the centroid is independent of
-    partition/accumulation order — the same value bit-for-bit on any
-    cluster layout, and in DuckDB, which makes this query value-level
-    oracle-checkable (a raw double sum is order-sensitive at the last ulp
-    and flips round-6 outputs near boundaries). Still one hash aggregate."""
+    The centroid is computed in exact integers end-to-end: per-dim BIGINT
+    sums of the micro components (associative — bit-identical on any
+    cluster layout and in DuckDB), then quantized back to integer micros
+    with the rational round-half-away idiom (cosine is scale-invariant, so
+    dividing by n only to re-quantize loses nothing). The per-row cosine to
+    that integer centroid is then bit-exact raw — no decimal casts of
+    genuine reals, no output rounding (both were the r2-class
+    environment-sensitive ops). Still one hash aggregate + broadcast join."""
     e = _emb(spark, sf_dir)
-    dims = 64
     sums = e.groupBy("label").agg(
         F.count("*").alias("n"),
         *[
-            F.sum(
-                F.element_at("vec", d + 1).cast("decimal(20,6)")
-            ).alias(f"s{d}")
-            for d in range(dims)
+            F.sum(F.element_at("mvec", d + 1).cast("long")).alias(f"s{d}")
+            for d in range(EMB_DIMS)
         ],
     )
+
+    def _cm(d: int) -> F.Column:
+        s, n = F.col(f"s{d}"), F.col("n")
+        num = F.abs(s) * 2 + n
+        den = 2 * n
+        sign = F.when(s < 0, F.lit(-1)).otherwise(F.lit(1)).cast("long")
+        return (sign * ((num - F.pmod(num, den)) / den).cast("long")).cast(
+            "double"
+        )
+
     centroid = sums.select(
-        "label",
-        F.array(
-            *[(F.col(f"s{d}").cast("double") / F.col("n")) for d in range(dims)]
-        ).alias("centroid"),
+        "label", F.array(*[_cm(d) for d in range(EMB_DIMS)]).alias("cmvec")
     )
     joined = e.join(F.broadcast(centroid), "label")
-    return (
-        joined.select(
-            "label",
-            "vec_id",
-            F.round(_cosine(F.col("vec"), F.col("centroid")), 6).alias(
-                "cos_to_centroid"
-            ),
-        )
+    return joined.select(
+        "label",
+        "vec_id",
+        _cosine(F.col("mvec"), F.col("cmvec")).alias("cos_to_centroid"),
     )
 
 
@@ -292,14 +304,27 @@ QUERIES = {
     "label_centroid_similarity": label_centroid_similarity,
 }
 
-_COS_SQL = "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+_MVEC_SQL = "list_transform(embedding, x -> round(x::DOUBLE * 1000000))"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """Mirror of _cosine over integer-micros lists: exact dot/norms, IEEE
+    sqrt, one division — bit-identical to the Spark fold."""
+    return (
+        f"list_dot_product({a}, {b})"
+        f" / (sqrt(list_dot_product({a}, {a}))"
+        f" * sqrt(list_dot_product({b}, {b})))"
+    )
+
 
 ORACLE = {
     "knn_bruteforce": f"""
-WITH scored AS (
+WITH e AS (
+  SELECT vec_id, {_MVEC_SQL} AS mvec FROM embeddings
+), scored AS (
   SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
-         round({_COS_SQL}, 9) AS cos
-  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+         {_cos_sql("a.mvec", "b.mvec")} AS cos
+  FROM e a JOIN e b ON b.vec_id <> a.vec_id
   WHERE a.vec_id < {N_QUERIES}
 ), ranked AS (
   SELECT query_id, cand_id, cos,
@@ -307,43 +332,45 @@ WITH scored AS (
                             ORDER BY cos DESC, cand_id ASC) AS rank
   FROM scored
 )
-SELECT query_id, cand_id, round(cos, 6) + 0.0 AS cosine, CAST(rank AS INTEGER) AS rank
+SELECT query_id, cand_id, cos AS cosine, CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= {TOP_K}
 """,
     "embedding_near_dup_pairs": f"""
+WITH e AS (
+  SELECT vec_id, {_MVEC_SQL} AS mvec FROM embeddings
+)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round({_COS_SQL}, 6) AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE round({_COS_SQL}, 6) >= 0.40
+       {_cos_sql("a.mvec", "b.mvec")} AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {_cos_sql("a.mvec", "b.mvec")} >= 0.40
 """,
-    # IVF mirrors the Spark pipeline stage-for-stage: argmin assignment,
-    # nprobe probe, bucket-join, rank — same round-9 + id tie-breaks
+    # IVF mirrors the Spark pipeline stage-for-stage: argmax assignment,
+    # nprobe probe, bucket-join, rank — same bit-exact cos + id tie-breaks
     "knn_ivf": f"""
 WITH e AS (
-  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
-  FROM embeddings
+  SELECT vec_id, {_MVEC_SQL} AS mvec FROM embeddings
 ), cent AS (
-  SELECT vec_id AS centroid_id, vec AS cvec FROM e WHERE vec_id < {N_CENTROIDS}
+  SELECT vec_id AS centroid_id, mvec AS cvec FROM e WHERE vec_id < {N_CENTROIDS}
 ), assigned AS (
-  SELECT vec_id, vec, centroid_id AS bucket FROM (
-    SELECT e.vec_id, e.vec, c.centroid_id,
+  SELECT vec_id, mvec, centroid_id AS bucket FROM (
+    SELECT e.vec_id, e.mvec, c.centroid_id,
            row_number() OVER (
              PARTITION BY e.vec_id
-             ORDER BY round(list_cosine_similarity(e.vec, c.cvec), 9) DESC,
+             ORDER BY {_cos_sql("e.mvec", "c.cvec")} DESC,
                       c.centroid_id ASC) AS rn
     FROM e CROSS JOIN cent c) WHERE rn = 1
 ), probes AS (
   SELECT query_id, qvec, bucket FROM (
-    SELECT a.vec_id AS query_id, a.vec AS qvec, c.centroid_id AS bucket,
+    SELECT a.vec_id AS query_id, a.mvec AS qvec, c.centroid_id AS bucket,
            row_number() OVER (
              PARTITION BY a.vec_id
-             ORDER BY round(list_cosine_similarity(a.vec, c.cvec), 9) DESC,
+             ORDER BY {_cos_sql("a.mvec", "c.cvec")} DESC,
                       c.centroid_id ASC) AS rn
     FROM assigned a CROSS JOIN cent c WHERE a.vec_id < {N_QUERIES}
   ) WHERE rn <= {NPROBE}
 ), cands AS (
   SELECT p.query_id, a.vec_id AS cand_id,
-         round(list_cosine_similarity(p.qvec, a.vec), 9) AS cos
+         {_cos_sql("p.qvec", "a.mvec")} AS cos
   FROM probes p JOIN assigned a
     ON a.bucket = p.bucket AND a.vec_id <> p.query_id
 ), ranked AS (
@@ -352,18 +379,16 @@ WITH e AS (
                             ORDER BY cos DESC, cand_id ASC) AS rank
   FROM cands
 )
-SELECT query_id, cand_id, round(cos, 6) + 0.0 AS cosine, CAST(rank AS INTEGER) AS rank
+SELECT query_id, cand_id, cos AS cosine, CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= {TOP_K}
 """,
     # LSH oracle: same md5-derived PLANES constants inlined as list
     # literals; micro-quantized dot → exact sign bits (see docstring)
     "embedding_lsh_near_dup": f"""
 WITH e AS (
-  SELECT vec_id,
-         list_transform(embedding, x -> round(x::DOUBLE * 1000000)) AS mvec
-  FROM embeddings
+  SELECT vec_id, {_MVEC_SQL} AS mvec FROM embeddings
 ), sigs AS (
-  SELECT vec_id, concat({", ".join(
+  SELECT vec_id, mvec, concat({", ".join(
       "CASE WHEN list_dot_product(mvec, ["
       + ", ".join(f"{float(s)}" for s in PLANES[p])
       + "]) >= 0 THEN '1' ELSE '0' END"
@@ -379,28 +404,33 @@ WITH e AS (
   FROM bands l JOIN bands r
     ON l.band = r.band AND l.sig = r.sig AND l.vec_id < r.vec_id
 )
-SELECT c.vec_a, c.vec_b, round({_COS_SQL}, 6) AS cosine
+SELECT c.vec_a, c.vec_b, {_cos_sql("a.mvec", "b.mvec")} AS cosine
 FROM cand c
-JOIN embeddings a ON a.vec_id = c.vec_a
-JOIN embeddings b ON b.vec_id = c.vec_b
-WHERE round({_COS_SQL}, 6) >= 0.40
+JOIN e a ON a.vec_id = c.vec_a
+JOIN e b ON b.vec_id = c.vec_b
+WHERE {_cos_sql("a.mvec", "b.mvec")} >= 0.40
 """,
-    # centroid via exact DECIMAL(20,6) component sums — bit-identical to the
-    # Spark aggregate regardless of accumulation order (see docstring above)
-    "label_centroid_similarity": """
+    # centroid via exact per-dim BIGINT sums re-quantized to integer micros
+    # (rational round-half-away) — bit-identical to the Spark aggregate
+    # regardless of accumulation order (see docstring above)
+    "label_centroid_similarity": f"""
 WITH e AS (
-  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS vec
-  FROM embeddings
+  SELECT vec_id, label, {_MVEC_SQL} AS mvec FROM embeddings
 ), comp AS (
-  SELECT label, d, sum(vec[d]::DECIMAL(20,6)) AS s, count(*) AS n
-  FROM e, generate_series(1, 64) AS t(d)
+  SELECT label, d, sum(CAST(mvec[d] AS BIGINT)) AS s, count(*) AS n
+  FROM e, generate_series(1, {EMB_DIMS}) AS t(d)
   GROUP BY label, d
+), cm AS (
+  SELECT label, d,
+         (CASE WHEN s < 0 THEN -1 ELSE 1 END)
+           * CAST((num - (num % den)) / den AS BIGINT) AS c
+  FROM (SELECT *, abs(s) * 2 + n AS num, 2 * n AS den FROM comp)
 ), cent AS (
-  SELECT label, list(s::DOUBLE / n ORDER BY d) AS centroid
-  FROM comp GROUP BY label
+  SELECT label, list(CAST(c AS DOUBLE) ORDER BY d) AS cmvec
+  FROM cm GROUP BY label
 )
 SELECT e.label, e.vec_id,
-       round(list_cosine_similarity(e.vec, c.centroid), 6) AS cos_to_centroid
+       {_cos_sql("e.mvec", "c.cmvec")} AS cos_to_centroid
 FROM e JOIN cent c ON e.label = c.label
 """,
 }
