@@ -209,12 +209,68 @@ def rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals, entirely per-row (zero shuffle —
+    the scalable form of 'measure repetition' is map-side expressions, not
+    an exploded token shuffle):
+
+      * distinct_ratio — unique tokens / tokens (low ⇒ looping text),
+      * dup_bigram_ratio — repeated bigrams / bigrams (the Gopher
+        duplicate-n-gram-fraction signal at n=2),
+      * max_token_run — longest run of the same consecutive token, a
+        sequential fold (F.aggregate with a struct accumulator; the DuckDB
+        twin is the gap-and-islands window form because DuckDB 1.0's
+        list_reduce mis-carries list-typed struct fields).
+
+    Ratios are single binary64 divisions of exact integers — bit-identical
+    across engines; no round() anywhere (playbook rule 1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tok()
+    n_tokens = F.size(toks)
+    nd = F.size(F.array_distinct(toks)).cast("long")
+    n_bi = (n_tokens - 1).cast("long")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n_tokens - 1),
+        F.slice(toks, 2, n_tokens - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    n_bi_distinct = F.size(F.array_distinct(bigrams)).cast("long")
+    dup_bi = F.when(n_tokens >= 2, (n_bi - n_bi_distinct) / n_bi).otherwise(
+        F.lit(0.0)
+    )
+    seed = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def _step(acc, t):
+        run = F.when(t == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            t.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    max_run = F.aggregate(toks, seed, _step, lambda acc: acc["best"])
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        (nd / n_tokens).alias("distinct_ratio"),
+        dup_bi.alias("dup_bigram_ratio"),
+        max_run.alias("max_token_run"),
+    )
+
+
 QUERIES = {
     "lang_id_scores": lang_id_scores,
     "quality_scores": quality_scores,
     "token_counts": token_counts,
     "doc_fingerprints": doc_fingerprints,
     "rare_token_ratio": rare_token_ratio,
+    "repetition_stats": repetition_stats,
 }
 
 _MARK = {
@@ -310,5 +366,39 @@ SELECT doc_id, count(*) AS n_tokens,
          AS rare_ratio
 FROM toks t LEFT JOIN rare r USING (tok)
 GROUP BY doc_id
+""",
+    "repetition_stats": """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS l,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nd
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(list_transform(l, (x, i) -> {tok: x, pos: i})) AS u
+  FROM base
+), runs AS (
+  SELECT doc_id, u.tok AS tok,
+         u.pos - row_number() OVER (PARTITION BY doc_id, u.tok ORDER BY u.pos)
+           AS grp
+  FROM toks
+), islands AS (
+  SELECT doc_id, count(*) AS run_len FROM runs GROUP BY doc_id, tok, grp
+), mr AS (
+  SELECT doc_id, max(run_len) AS max_token_run FROM islands GROUP BY doc_id
+), bi AS (
+  SELECT doc_id, n_tokens, nd,
+    CASE WHEN n_tokens >= 2
+      THEN CAST(len(list_distinct(list_transform(
+             l[1:n_tokens-1], (x, i) -> x || ' ' || l[i+1]))) AS BIGINT)
+      ELSE CAST(0 AS BIGINT) END AS n_bi_distinct
+  FROM base
+)
+SELECT b.doc_id, b.n_tokens,
+       nd / b.n_tokens AS distinct_ratio,
+       CASE WHEN b.n_tokens >= 2
+         THEN (b.n_tokens - 1 - n_bi_distinct) / (b.n_tokens - 1)
+         ELSE 0.0 END AS dup_bigram_ratio,
+       mr.max_token_run
+FROM bi b JOIN mr USING (doc_id)
 """,
 }

@@ -41,6 +41,16 @@ partsupp/shipmode/container):
     comparison in integers.
   * idle_rich_customers_q22 — uncorrelated scalar-avg subquery broadcast as
     a 1-row relation + anti join on recent orders.
+  * important_parts_q11 — group-share-of-global-total threshold: the HAVING
+    `> (SELECT frac * total)` scalar subquery decorrelates to a 1-row
+    broadcast; the share compare stays in exact decimals (rev·n·2 >
+    total·3, i.e. share > 1.5× the average share) so no engine divides.
+  * blamed_suppliers_q21 — the double correlated EXISTS / NOT EXISTS
+    decorrelated to per-order distinct-supplier aggregates joined back on
+    the order key: `EXISTS other-supplier line` ⟺ order has ≥2 distinct
+    suppliers, `NOT EXISTS other late supplier` ⟺ the order's late lines
+    come from exactly 1 supplier. Two per-order aggregates replace two
+    fact×fact semi/anti shuffles.
 
 All revenue math follows the determinism playbook (COVERAGE.md): 4-decimal
 DECIMAL(27,4) sums for price×(1±discount) terms, integer-valued doubles
@@ -485,6 +495,83 @@ def priority_shipping_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def important_parts_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape (no partsupp table — value = lineitem revenue): parts whose
+    revenue share exceeds 1.5× the average part's share. The scalar
+    `frac * sum(..)` HAVING subquery decorrelates to a 1-row broadcast of
+    (total, n_parts); the threshold compare multiplies the exact decimal
+    sums by integers (rev·n·2 > total·3) instead of dividing, so both
+    engines compare the same exact rationals and the only double ever
+    emitted is the final single cast. Reference parity:
+    build_training_dataset.py:50-56 is the reference's only grouped-share
+    idiom; this pins the warehouse form."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_REV_DEC)
+        ).alias("rev_dec")
+    )
+    total = per_part.agg(
+        F.sum("rev_dec").alias("total_dec"), F.count("*").alias("n_parts")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(
+            F.col("rev_dec") * F.col("n_parts") * 2 > F.col("total_dec") * 3
+        )
+        .select(
+            "l_partkey", F.col("rev_dec").cast("double").alias("part_revenue")
+        )
+    )
+
+
+def blamed_suppliers_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape (lateness = shipped >180 days after order date; no
+    commit/receipt dates in the schema): suppliers who were the SOLE late
+    shipper in finished multi-supplier orders, counted per supplier, top 20.
+
+    Decorrelation: instead of the textbook correlated EXISTS (semi join
+    lineitem×lineitem) + NOT EXISTS (anti join late×late) — two fact-to-fact
+    shuffles whose probe side is the whole lineitem table — both predicates
+    collapse into per-order aggregates: `n_supp = count(DISTINCT supp)` over
+    the order's lines (≥2 ⟺ another supplier EXISTS) and `n_late_supp`
+    over its late lines (=1 ⟺ NOT EXISTS another late supplier, since the
+    candidate line itself is late). Everything joins on l_orderkey, so after
+    one shuffle all three relations are co-partitioned; the supplier dim is
+    a broadcast; top-20 is TakeOrderedAndProject, never a global sort."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 180)
+    )
+    n_supp = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp")
+    )
+    n_late_supp = (
+        late.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("n_late_supp"))
+        .withColumnRenamed("l_orderkey", "late_orderkey")
+    )
+    return (
+        late.join(n_supp.withColumnRenamed("l_orderkey", "ns_orderkey"),
+                  F.col("l_orderkey") == F.col("ns_orderkey"))
+        .join(n_late_supp, F.col("l_orderkey") == F.col("late_orderkey"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
 QUERIES = {
     "discount_revenue_q6": discount_revenue_q6,
     "nation_trade_balance_q7": nation_trade_balance_q7,
@@ -501,6 +588,8 @@ QUERIES = {
     "excess_share_suppliers_q20": excess_share_suppliers_q20,
     "idle_rich_customers_q22": idle_rich_customers_q22,
     "priority_shipping_q12": priority_shipping_q12,
+    "important_parts_q11": important_parts_q11,
+    "blamed_suppliers_q21": blamed_suppliers_q21,
 }
 
 ORACLE = {
@@ -690,5 +779,35 @@ SELECT year(l_shipdate) AS ship_year,
          AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1
+""",
+    "important_parts_q11": """
+WITH per_part AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))) AS rev_dec
+  FROM lineitem GROUP BY 1
+), tot AS (SELECT sum(rev_dec) AS total_dec, count(*) AS n_parts FROM per_part)
+SELECT l_partkey, CAST(rev_dec AS DOUBLE) AS part_revenue
+FROM per_part, tot
+WHERE rev_dec * n_parts * 2 > total_dec * 3
+""",
+    "blamed_suppliers_q21": """
+WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F' AND l_shipdate > o_orderdate + INTERVAL 180 DAY
+), n_supp AS (
+  SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp FROM lineitem GROUP BY 1
+), n_late AS (
+  SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_late_supp FROM late GROUP BY 1
+)
+SELECT s_name, count(*) AS numwait
+FROM late
+JOIN n_supp USING (l_orderkey)
+JOIN n_late USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE n_supp >= 2 AND n_late_supp = 1
+GROUP BY 1
+ORDER BY numwait DESC, s_name
+LIMIT 20
 """,
 }
