@@ -251,6 +251,64 @@ def image_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_mediafile_lock = __import__("threading").Lock()
+
+
+def _stage_media_files(spark: SparkSession, sf_dir: str) -> str:
+    """Write each media payload as its own file (media_<id>.bin) — the
+    on-disk shape raw media actually arrives in. Distributed write: each
+    task writes its partition's assets (at scale the target is object
+    storage; locally a shared tmpdir). Idempotent via a done-marker, so
+    the files stage once per (process, sf_dir)."""
+    import os
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(tempfile.gettempdir(), f"spark_graft_mediafiles_{tag}")
+    done = os.path.join(out, "_STAGED")
+    with _mediafile_lock:
+        if os.path.exists(done):
+            return out
+        os.makedirs(out, exist_ok=True)
+
+        def write_partition(rows) -> None:
+            for r in rows:
+                path = os.path.join(out, f"media_{r.media_id}.bin")
+                tmp = f"{path}.tmp{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    f.write(bytes(r.payload))
+                os.replace(tmp, path)
+
+        media_table(spark, sf_dir).select(
+            "media_id", "payload"
+        ).foreachPartition(write_partition)
+        with open(done, "w"):
+            pass
+        return out
+
+
+def binary_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's binaryFile source over a directory of raw media files — the
+    ingest path for media that does NOT arrive in parquet. pathGlobFilter
+    prunes non-media files at listing time; the `content` column is pruned
+    from the read when a query selects only path/length metadata, so a
+    catalog pass over 100 TB of media reads bytes proportional to the file
+    LISTING, not the corpus. Value-level oracle: file name, byte length and
+    content md5 are all recomputable from `documents` (the payload is a
+    deterministic md5-hex chain, ASCII ⇒ byte==char)."""
+    d = _stage_media_files(spark, sf_dir)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(d)
+    )
+    return files.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length").alias("payload_len"),
+        F.md5("content").alias("payload_md5"),
+    )
+
+
 QUERIES = {
     "media_catalog": media_catalog,
     "video_frame_sample": video_frame_sample,
@@ -258,6 +316,7 @@ QUERIES = {
     "image_features_arrow": image_features_arrow,
     "audio_chunk_rms": audio_chunk_rms,
     "image_resize_meta": image_resize_meta,
+    "binary_file_scan": binary_file_scan,
 }
 
 # payload reconstructed on the STRING domain (ASCII ⇒ char==byte)
@@ -331,5 +390,14 @@ SELECT media_id, chunk::INT AS chunk,
                 c -> ascii(c) * ascii(c)), 'sum') / {FRAME_LEN}.0), 6) AS rms
 FROM media, generate_series(0, {N_FRAMES - 1}) AS t(chunk)
 WHERE kind = 'audio'
+""",
+    # the staged file-per-asset tree is bit-derivable from documents, so the
+    # oracle never touches the filesystem
+    "binary_file_scan": f"""
+WITH {_MEDIA_SQL}
+SELECT 'media_' || media_id || '.bin' AS file_name,
+       CAST(length(payload_hex) AS BIGINT) AS payload_len,
+       md5(payload_hex) AS payload_md5
+FROM media
 """,
 }
