@@ -220,3 +220,55 @@ def test_lsh_band_checkpoint_is_lazy(spark, sf_dir):
                 f"job {jid} ran {st.numTasks} tasks at build time — "
                 "that is a materialization, not a schema read"
             )
+
+
+def test_q11_total_is_broadcast_no_cartesian(spark, sf_dir):
+    from stockmarket_bigdata_project_spark.operators.decision_support import (
+        important_parts_q11,
+    )
+
+    plan = _plan(important_parts_q11(spark, sf_dir))
+    # the 1-row (total, n_parts) scalar relation joins by broadcast; the
+    # share filter must not become a cartesian over per-part rows
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q21_aggregates_not_fact_semi_joins(spark, sf_dir):
+    from stockmarket_bigdata_project_spark.operators.decision_support import (
+        blamed_suppliers_q21,
+    )
+
+    plan = _plan(blamed_suppliers_q21(spark, sf_dir))
+    # the EXISTS/NOT-EXISTS decorrelation is per-order aggregates joined on
+    # l_orderkey: top-20 via TakeOrderedAndProject, supplier dim broadcast,
+    # and no cartesian / nested-loop anywhere
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_binary_file_catalog_prunes_content(spark, sf_dir):
+    from stockmarket_bigdata_project_spark.llmdata.multimodal import (
+        _stage_media_files,
+    )
+
+    d = _stage_media_files(spark, sf_dir)
+    meta_only = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(d)
+        .select("path", "length")
+    )
+    plan = _plan(meta_only)
+    # metadata-only projection must not read file bytes
+    assert "content" not in plan.split("ReadSchema:")[-1].splitlines()[0], plan
+
+
+def test_repetition_stats_is_shuffle_free(spark, sf_dir):
+    from stockmarket_bigdata_project_spark.llmdata.textstats import (
+        repetition_stats,
+    )
+
+    plan = _plan(repetition_stats(spark, sf_dir))
+    assert "Exchange" not in plan, plan  # per-row map-side expressions only
