@@ -264,6 +264,57 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (email/phone regex redaction) — the curation pass every
+    training pipeline runs before anything ships. The synthetic corpus
+    contains no PII, so the query first injects a deterministic
+    pseudo-email and pseudo-phone per doc and then redacts them: the regex
+    mechanics are exercised against real hits, per-row map-side, and the
+    result (hit counts + redacted-text digest) is value-checkable. Patterns
+    stay inside the RE2 ∩ java.util.regex common subset (char classes,
+    bounded repetition — no backrefs/lookarounds), so both engines match
+    identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    email_re = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+    phone_re = r"\+1-[0-9]{3}-[0-9]{4}"
+    redacted = F.regexp_replace(
+        F.regexp_replace(injected, email_re, "<EMAIL>"), phone_re, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(injected, F.lit(email_re), 0)).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(injected, F.lit(phone_re), 0)).alias(
+            "n_phones"
+        ),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+def vocab_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary spectrum (frequency-of-frequencies): for each
+    occurrence count, how many distinct token types have it and how much
+    token mass they carry — the Zipf/heaps profile a corpus audit reads to
+    spot boilerplate floods and tokenizer pathologies. Plan shape: word
+    count (partial+final agg over (token) — the only data-sized shuffle),
+    then a second aggregate over the SMALL vocab relation."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_tok()).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("tok_freq"))
+    return vocab.groupBy("tok_freq").agg(
+        F.count("*").alias("n_types"),
+        F.sum("tok_freq").alias("token_mass"),
+    )
+
+
 QUERIES = {
     "lang_id_scores": lang_id_scores,
     "quality_scores": quality_scores,
@@ -271,6 +322,8 @@ QUERIES = {
     "doc_fingerprints": doc_fingerprints,
     "rare_token_ratio": rare_token_ratio,
     "repetition_stats": repetition_stats,
+    "pii_redaction": pii_redaction,
+    "vocab_frequency_spectrum": vocab_frequency_spectrum,
 }
 
 _MARK = {
@@ -400,5 +453,32 @@ SELECT b.doc_id, b.n_tokens,
          ELSE 0.0 END AS dup_bigram_ratio,
        mr.max_token_run
 FROM bi b JOIN mr USING (doc_id)
+""",
+    "pii_redaction": r"""
+WITH inj AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com or +1-555-'
+              || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS injected
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(injected,
+            '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(injected,
+            '\+1-[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phones,
+       md5(regexp_replace(
+             regexp_replace(injected,
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+             '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+FROM inj
+""",
+    "vocab_frequency_spectrum": """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), vocab AS (
+  SELECT tok, count(*) AS tok_freq FROM toks GROUP BY tok
+)
+SELECT tok_freq, count(*) AS n_types, sum(tok_freq) AS token_mass
+FROM vocab GROUP BY tok_freq
 """,
 }
