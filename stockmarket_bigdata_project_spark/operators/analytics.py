@@ -279,6 +279,44 @@ def recursive_calendar_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- ordered funnel ----------------------------------------------------------
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel (view → click → purchase): users counted at
+    step k only if step k's FIRST qualifying event happens strictly after
+    their step-(k−1) anchor — the event-analytics primitive behind every
+    conversion dashboard. Decorrelated to per-user min-timestamp
+    aggregates chained by equi-joins on user_id: each pass filters the fact
+    by type first (pushed to the scan), aggregates map-side to one row per
+    user, and joins user-sized relations — never fact×fact. [extension]"""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count("*").alias("users_viewed"))
+        .crossJoin(c.agg(F.count("*").alias("users_clicked_after")))
+        .crossJoin(p.agg(F.count("*").alias("users_purchased_after")))
+    )
+
+
 QUERIES = {
     "shipping_priority": shipping_priority,
     "null_safe_join_event_mix": null_safe_join_event_mix,
@@ -289,6 +327,7 @@ QUERIES = {
     "large_volume_customers": large_volume_customers,
     "rich_inactive_customers": rich_inactive_customers,
     "order_value_distribution": order_value_distribution,
+    "funnel_conversion": funnel_conversion,
 }
 
 ORACLE = {
@@ -390,5 +429,20 @@ SELECT o_orderkey, o_orderpriority, o_totalprice,
        cume_dist() OVER w AS cum_dist
 FROM orders
 WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+""",
+    "funnel_conversion": """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, min(ts) AS t2 FROM events e JOIN v USING (user_id)
+  WHERE event_type = 'click' AND ts > t1 GROUP BY 1
+), p AS (
+  SELECT e.user_id, min(ts) AS t3 FROM events e JOIN c USING (user_id)
+  WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1
+)
+SELECT (SELECT count(*) FROM v) AS users_viewed,
+       (SELECT count(*) FROM c) AS users_clicked_after,
+       (SELECT count(*) FROM p) AS users_purchased_after
 """,
 }

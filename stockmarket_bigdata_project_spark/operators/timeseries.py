@@ -323,8 +323,36 @@ def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd2_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing history of each user's event_type attribute:
+    consecutive duplicates collapse (run-length compression of the ordered
+    stream) and each surviving row carries [valid_from, valid_to) — the
+    standard SCD2 dimension-build, done with two window passes over one
+    user_id shuffle: lag() marks change points, lead() after the filter
+    closes each validity interval (open interval = NULL valid_to). Ordering
+    is total (ts, event_id) so ties can't flip rows between engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = ev.withColumn(
+        "prev_type", F.lag("event_type").over(w)
+    ).filter(
+        F.col("prev_type").isNull()
+        | (F.col("event_type") != F.col("prev_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changed.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+    )
+
+
 QUERIES = {
     "lead_target": lead_target,
+    "scd2_event_history": scd2_event_history,
     "lag_features": lag_features,
     "pct_change": pct_change,
     "rolling_mean": rolling_mean,
@@ -342,6 +370,20 @@ QUERIES = {
 }
 
 ORACLE = {
+    "scd2_event_history": """
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), changes AS (
+  SELECT user_id, event_type, ts, event_id FROM marked
+  WHERE prev_type IS NULL OR event_type <> prev_type
+)
+SELECT user_id, event_type, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+FROM changes
+""",
     "lead_target": _stock_cte("""
 SELECT l_suppkey, trade_date, close_px,
        lead(close_px, 1) OVER w AS close_next,
