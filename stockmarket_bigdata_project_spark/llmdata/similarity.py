@@ -296,12 +296,57 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of each embedding (per-vector absmax
+    scale) — the storage/serving compression every 100 TB vector corpus
+    applies before ANN. Entirely map-side higher-order functions, zero
+    shuffle, and exactly value-checkable: components are integer micros,
+    the code is sign·round_half_up(|m|·127/scale) computed by pure integer
+    arithmetic (|m|·127·2 < 2^53), and the reconstruction L1 error is
+    emitted in exact integer units of micro/127 (|127·m − code·scale| —
+    no division ever happens, so there is nothing to round)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    mvec = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 1000000, 0)
+    )
+    m = e.select("vec_id", mvec.alias("mvec"))
+    scale = F.array_max(F.transform("mvec", F.abs))
+
+    def _code(x):
+        s = F.col("scale")
+        q = (
+            2 * F.abs(x) * 127 + s - F.pmod(2 * F.abs(x) * 127 + s, 2 * s)
+        ) / (2 * s)
+        return (F.signum(x) * q).cast("long")
+
+    with_scale = m.withColumn("scale", scale).filter(F.col("scale") > 0)
+    coded = with_scale.withColumn(
+        "codes", F.transform("mvec", _code)
+    )
+    resid = F.aggregate(
+        F.zip_with(
+            "mvec",
+            "codes",
+            lambda mv, c: F.abs(127 * mv - c.cast("double") * F.col("scale")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return coded.select(
+        "vec_id",
+        F.col("scale").cast("long").alias("scale_micros"),
+        "codes",
+        resid.cast("long").alias("l1_err_127ths"),
+    )
+
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "knn_ivf": knn_ivf,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "embedding_lsh_near_dup": embedding_lsh_near_dup,
     "label_centroid_similarity": label_centroid_similarity,
+    "embedding_int8_quantization": embedding_int8_quantization,
 }
 
 _MVEC_SQL = "list_transform(embedding, x -> round(x::DOUBLE * 1000000))"
@@ -432,5 +477,30 @@ WITH e AS (
 SELECT e.label, e.vec_id,
        {_cos_sql("e.mvec", "c.cmvec")} AS cos_to_centroid
 FROM e JOIN cent c ON e.label = c.label
+""",
+    # codes via pure integer floor/round arithmetic (// floors; operands
+    # positive) — byte-for-byte the Spark lambda; l1 error never divides
+    "embedding_int8_quantization": f"""
+WITH m AS (
+  SELECT vec_id, {_MVEC_SQL} AS mvec FROM embeddings
+), s AS (
+  SELECT vec_id, mvec,
+         list_max(list_transform(mvec, x -> abs(x))) AS scale
+  FROM m WHERE list_max(list_transform(mvec, x -> abs(x))) > 0
+), q AS (
+  SELECT vec_id, mvec, scale,
+         list_transform(mvec, x ->
+           (CASE WHEN x < 0 THEN CAST(-1 AS BIGINT)
+                 WHEN x > 0 THEN CAST(1 AS BIGINT)
+                 ELSE CAST(0 AS BIGINT) END)
+           * (CAST(2 * abs(x) * 127 + scale AS BIGINT)
+              // CAST(2 * scale AS BIGINT))) AS codes
+  FROM s
+)
+SELECT vec_id, CAST(scale AS BIGINT) AS scale_micros, codes,
+       CAST(list_aggregate(list_transform(mvec,
+              (x, i) -> abs(127 * x - codes[i] * scale)), 'sum') AS BIGINT)
+         AS l1_err_127ths
+FROM q
 """,
 }
