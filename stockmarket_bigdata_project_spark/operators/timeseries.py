@@ -273,6 +273,53 @@ def forward_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- [extension] calendar spine + linear interpolation -----------------------
+def interpolate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-free daily panel with LINEAR interpolation between the bracketing
+    observations (pandas `interpolate(method='time')` at warehouse scale) —
+    the companion to forward_fill_daily's LOCF. Same spine + one
+    per-supplier shuffle; the interpolant is computed as an exact integer
+    rational (cents·day-weights, one closing binary64 division), so the
+    filled values are bit-identical across engines. NULL outside the first/
+    last observation (nothing to bracket)."""
+    s = supplier_daily_ohlcv(spark, sf_dir)
+    dates = s.select("trade_date").distinct()
+    keys = s.select("l_suppkey").distinct()
+    spine = keys.crossJoin(F.broadcast(dates))
+    obs = s.select(
+        "l_suppkey",
+        "trade_date",
+        F.expr("CAST(round(close_px * 100) AS BIGINT)").alias("cents"),
+    )
+    j = spine.join(obs, ["l_suppkey", "trade_date"], "left")
+    d = F.unix_date("trade_date")
+    wb = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("trade_date")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("trade_date")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_d = F.when(F.col("cents").isNotNull(), d)
+    prev_c = F.last("cents", ignorenulls=True).over(wb)
+    prev_d = F.last(obs_d, ignorenulls=True).over(wb)
+    next_c = F.first("cents", ignorenulls=True).over(wf)
+    next_d = F.first(obs_d, ignorenulls=True).over(wf)
+    num = prev_c * (next_d - d) + next_c * (d - prev_d)
+    interp = F.when(
+        F.col("cents").isNotNull(), F.col("cents") / 100.0
+    ).otherwise(num / ((next_d - prev_d) * F.lit(100.0)))
+    return j.select(
+        "l_suppkey",
+        "trade_date",
+        F.col("cents").isNotNull().alias("observed"),
+        interp.alias("close_interp"),
+    )
+
+
 # --- [extension] sessionization ---------------------------------------------
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization: new session when the per-user gap > 30 min.
@@ -358,6 +405,7 @@ QUERIES = {
     "rolling_mean": rolling_mean,
     "rolling_mean_7d_range": rolling_mean_7d_range,
     "forward_fill_daily": forward_fill_daily,
+    "interpolate_daily": interpolate_daily,
     "direction_sign": direction_sign,
     "sequence_assembly": sequence_assembly,
     "daily_event_activity": daily_event_activity,
@@ -432,6 +480,35 @@ SELECT k.l_suppkey, d.trade_date,
 FROM (SELECT DISTINCT l_suppkey FROM stock) k
 CROSS JOIN (SELECT DISTINCT trade_date FROM stock) d
 LEFT JOIN stock s ON s.l_suppkey = k.l_suppkey AND s.trade_date = d.trade_date
+"""),
+    "interpolate_daily": _stock_cte("""
+SELECT l_suppkey, trade_date, cents IS NOT NULL AS observed,
+       CASE WHEN cents IS NOT NULL THEN cents / 100.0
+            ELSE (prev_c * (next_d - dnum) + next_c * (dnum - prev_d))
+                 / ((next_d - prev_d) * 100.0)
+       END AS close_interp
+FROM (
+  SELECT l_suppkey, trade_date, cents, dnum,
+         last_value(cents IGNORE NULLS) OVER wb AS prev_c,
+         last_value(CASE WHEN cents IS NOT NULL THEN dnum END IGNORE NULLS)
+           OVER wb AS prev_d,
+         first_value(cents IGNORE NULLS) OVER wf AS next_c,
+         first_value(CASE WHEN cents IS NOT NULL THEN dnum END IGNORE NULLS)
+           OVER wf AS next_d
+  FROM (
+    SELECT k.l_suppkey, d.trade_date,
+           CAST(round(s.close_px * 100) AS BIGINT) AS cents,
+           CAST(d.trade_date - DATE '1970-01-01' AS BIGINT) AS dnum
+    FROM (SELECT DISTINCT l_suppkey FROM stock) k
+    CROSS JOIN (SELECT DISTINCT trade_date FROM stock) d
+    LEFT JOIN stock s
+      ON s.l_suppkey = k.l_suppkey AND s.trade_date = d.trade_date
+  )
+  WINDOW wb AS (PARTITION BY l_suppkey ORDER BY trade_date
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY l_suppkey ORDER BY trade_date
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
 """),
     "direction_sign": _stock_cte("""
 SELECT l_suppkey, trade_date,
