@@ -133,52 +133,68 @@ def rolling_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trailing 10-day beta vs the market: cov(x,m)/var(m) expressed through
-    window AVGs so Spark and DuckDB accumulate identically:
-    beta = (avg(xm) - avg(x)avg(m)) / (avg(m²) - avg(m)²)."""
+    """Trailing 10-day beta vs the market:
+    beta = (avg(xm) - avg(x)avg(m)) / (avg(m²) - avg(m)²).
+
+    Every input is an exact INTEGER in 1e-5 return units: x is the
+    per-stock return quantized as an integer rational of the price cents
+    (sign·round_half_up(|c−p|·10^5, p)), m is the cross-sectional mean
+    re-quantized the same way from (Σx, n). All windowed means are then a
+    single division of an order-exact sum — integer-valued doubles below
+    2^53 add exactly under ANY association, including DuckDB's
+    segment-tree window accumulation — and the closing algebra is shared
+    binary64, so the raw quotient is bit-identical across engines and is
+    emitted UNROUNDED. (The previous form averaged inexact doubles and
+    rounded at 6dp; the r3 sf0.1 sweep caught a half-boundary row where
+    the engines' low-bit window sums disagreed: -0.359674 vs -0.359673.
+    Unit scale 1e5 bounds |x·m| ≤ (115·10^5)² ≈ 1.3e14, ×10 rows ≈ 1.3e15
+    < 2^53, with measured max |ret| ≈ 114 at sf0.1.)"""
     r = _returns(spark, sf_dir)
-    # unordered avg of inexact doubles is not run-to-run stable: quantize
-    # the per-row return at 9dp as an exact integer rational of the price
-    # cents — double→decimal casts of a genuine real are the engine-divergent
-    # op class behind r2's red gate row (playbook rule 2). ret = (c-p)/p with
-    # c,p integer cents, so q_nano = sign(c-p)·round_half_up(|c-p|·10^9, p)
-    # is pure integer arithmetic (9dp keeps |c-p|·2·10^9 far inside BIGINT
-    # even for $10M price swings); the sum is then exact in any merge order.
     w = Window.partitionBy("l_suppkey").orderBy("trade_date")
     c = F.expr("CAST(round(close_px * 100) AS BIGINT)")
     p = F.lag(c, 1).over(w)
-    num = F.abs(c - p) * F.lit(2_000_000_000).cast("long") + p
+    num = F.abs(c - p) * F.lit(200_000).cast("long") + p
     den = 2 * p
     sign = F.when(c > p, F.lit(1)).when(c < p, F.lit(-1)).otherwise(F.lit(0))
-    q_nano = sign.cast("long") * ((num - F.pmod(num, den)) / den).cast("long")
-    market = (
-        r.withColumn("q_nano", q_nano)
-        .groupBy("trade_date")
-        .agg(
-            (
-                F.sum("q_nano").cast("double")
-                / F.count("q_nano")
-                / F.lit(1.0e9)
-            ).alias("mret")
-        )
+    x_units = sign.cast("long") * ((num - F.pmod(num, den)) / den).cast("long")
+    per_stock = r.withColumn("x_units", x_units)
+    ms = F.sum("x_units")
+    n = F.count("x_units")
+    mnum = 2 * F.abs(ms) + n
+    mden = 2 * n
+    msign = (
+        F.when(ms > 0, F.lit(1)).when(ms < 0, F.lit(-1)).otherwise(F.lit(0))
     )
-    j = r.join(market, "trade_date").filter(
-        F.col("ret").isNotNull() & F.col("mret").isNotNull()
+    market = per_stock.groupBy("trade_date").agg(
+        (
+            msign.cast("long")
+            * ((mnum - F.pmod(mnum, mden)) / mden).cast("long")
+        ).alias("m_units")
+    )
+    j = (
+        per_stock.join(market, "trade_date")
+        .filter(F.col("x_units").isNotNull() & F.col("m_units").isNotNull())
+        .select(
+            "l_suppkey",
+            "trade_date",
+            F.col("x_units").cast("double").alias("x"),
+            F.col("m_units").cast("double").alias("m"),
+        )
     )
     w10 = (
         Window.partitionBy("l_suppkey").orderBy("trade_date").rowsBetween(-9, 0)
     )
-    cov = F.avg(F.col("ret") * F.col("mret")).over(w10) - F.avg("ret").over(
+    cov = F.avg(F.col("x") * F.col("m")).over(w10) - F.avg("x").over(
         w10
-    ) * F.avg("mret").over(w10)
-    var = F.avg(F.col("mret") * F.col("mret")).over(w10) - F.avg("mret").over(
+    ) * F.avg("m").over(w10)
+    var = F.avg(F.col("m") * F.col("m")).over(w10) - F.avg("m").over(
         w10
-    ) * F.avg("mret").over(w10)
+    ) * F.avg("m").over(w10)
     # var(m)=0 on the first window row → NULL beta (try_divide / NULLIF)
     return j.select(
         "l_suppkey",
         "trade_date",
-        F.round(F.try_divide(cov, F.nullif(var, F.lit(0.0))), 6).alias("beta_10d"),
+        F.try_divide(cov, F.nullif(var, F.lit(0.0))).alias("beta_10d"),
     )
 
 
@@ -284,37 +300,43 @@ FROM qr
 WINDOW w AS (PARTITION BY l_suppkey ORDER BY trade_date
              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
 """,
-    "rolling_beta": _RETURNS_SQL
-    + """,
+    "rolling_beta": f"""
+WITH stock AS ({SUPPLIER_DAILY_SQL}),
 cents AS (
-  SELECT l_suppkey, trade_date, ret,
+  SELECT l_suppkey, trade_date,
          CAST(round(close_px * 100) AS BIGINT) AS c,
          lag(CAST(round(close_px * 100) AS BIGINT), 1)
            OVER (PARTITION BY l_suppkey ORDER BY trade_date) AS p
-  FROM rets
+  FROM stock
 ),
 qp AS (
-  SELECT l_suppkey, trade_date, ret,
+  SELECT l_suppkey, trade_date,
          (CASE WHEN c > p THEN 1 WHEN c < p THEN -1 ELSE 0 END)
-           * CAST((num - (num % den)) / den AS BIGINT) AS q_nano
-  FROM (SELECT *, abs(c - p) * 2000000000 + p AS num, 2 * p AS den
+           * CAST((num - (num % den)) / den AS BIGINT) AS x_units
+  FROM (SELECT *, abs(c - p) * 200000 + p AS num, 2 * p AS den
         FROM cents)
 ),
 market AS (
   SELECT trade_date,
-         CAST(sum(q_nano) AS DOUBLE) / count(q_nano) / 1000000000.0 AS mret
-  FROM qp GROUP BY trade_date
+         (CASE WHEN ms > 0 THEN 1 WHEN ms < 0 THEN -1 ELSE 0 END)
+           * CAST((mnum - (mnum % mden)) / mden AS BIGINT) AS m_units
+  FROM (
+    SELECT trade_date, sum(x_units) AS ms,
+           2 * abs(sum(x_units)) + count(x_units) AS mnum,
+           2 * count(x_units) AS mden
+    FROM qp GROUP BY trade_date
+  )
 ),
 j AS (
-  SELECT r.l_suppkey, r.trade_date, r.ret, m.mret
-  FROM rets r JOIN market m USING (trade_date)
-  WHERE r.ret IS NOT NULL AND m.mret IS NOT NULL
+  SELECT q.l_suppkey, q.trade_date,
+         CAST(q.x_units AS DOUBLE) AS x, CAST(m.m_units AS DOUBLE) AS m
+  FROM qp q JOIN market m USING (trade_date)
+  WHERE q.x_units IS NOT NULL AND m.m_units IS NOT NULL
 )
 SELECT l_suppkey, trade_date,
-       round((avg(ret * mret) OVER w - avg(ret) OVER w * avg(mret) OVER w)
-             / NULLIF(avg(mret * mret) OVER w
-                      - avg(mret) OVER w * avg(mret) OVER w, 0.0),
-             6) + 0.0 AS beta_10d
+       (avg(x * m) OVER w - avg(x) OVER w * avg(m) OVER w)
+         / NULLIF(avg(m * m) OVER w - avg(m) OVER w * avg(m) OVER w, 0.0)
+         AS beta_10d
 FROM j
 WINDOW w AS (PARTITION BY l_suppkey ORDER BY trade_date
              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)

@@ -109,6 +109,21 @@ def _stage(spark: SparkSession, sf_dir: str, kind: str) -> str:
             ev.select("event_id", "ts", "user_id", "event_type", "value").write.mode(
                 "overwrite"
             ).orc(out)
+        elif kind == "xml":
+            # Spark 4 ships XML as a first-class source (no external jar).
+            # Timestamp travels as ISO-micros text, like the CSV fixture,
+            # so the roundtrip is exact.
+            ev.select(
+                "event_id",
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                    "ts_iso"
+                ),
+                "user_id",
+                "event_type",
+                "value",
+            ).write.mode("overwrite").format("xml").option(
+                "rootTag", "events"
+            ).option("rowTag", "event").save(out)
         else:
             raise ValueError(kind)
         _staged[key] = out
@@ -216,6 +231,27 @@ def orc_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+# --- [extension] XML scan (built-in source since Spark 4) --------------------
+def xml_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML write -> scan roundtrip through the native rowTag reader with a
+    declared schema (no inference pass): the document-feed ingest shape for
+    XML payloads, same declarative pipeline as CSV/JSON."""
+    path = _stage(spark, sf_dir, "xml")
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "event")
+        .schema(EVENTS_CSV_SCHEMA)
+        .load(path)
+        .select(
+            "event_id",
+            F.to_timestamp("ts_iso").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+    )
+
+
 # --- [extension] schema evolution on read ------------------------------------
 def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mergeSchema scan across parquet batches written under DIFFERENT
@@ -246,6 +282,7 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "orc_scan_roundtrip": orc_scan_roundtrip,
+    "xml_scan_roundtrip": xml_scan_roundtrip,
     "schema_evolution_read": schema_evolution_read,
     "csv_scan_events": csv_scan_events,
     "csv_scan_dropmalformed": csv_scan_dropmalformed,
@@ -255,6 +292,9 @@ QUERIES = {
 
 ORACLE = {
     "orc_scan_roundtrip": """
+SELECT event_id, ts, user_id, event_type, value FROM events
+""",
+    "xml_scan_roundtrip": """
 SELECT event_id, ts, user_id, event_type, value FROM events
 """,
     "schema_evolution_read": """
