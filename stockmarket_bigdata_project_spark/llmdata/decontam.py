@@ -110,6 +110,73 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STRIP_TOP_K = 256  # strip list capped: worst offenders only, by doc-frequency
+
+
+def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaning pass boilerplate_ngrams feeds: REMOVE every word span
+    covered by a top-offender repeated BOILER_N-gram and reassemble the
+    document (C4's repeated-line filter as an actual rewrite, not just a
+    report).
+
+    Scale shape: the strip list is the TOP STRIP_TOP_K grams by document
+    frequency (ties broken on the gram string — total order). Covered
+    positions are found with a broadcast HASH join of the positional
+    gram explode against that K-row list — O(1) probes inside
+    whole-stage codegen — NOT a per-position higher-order set scan: the
+    HOF form (array_contains over a broadcast array, interpreted per
+    element) measured 331 s at sf0.1 vs ~2 s for the join form, because
+    it costs O(words · K) interpreted string compares. Only (doc_id,
+    hit-position) rows — ∝ stripped spans, not corpus size — are then
+    aggregated per doc and joined back (small side, AQE broadcasts it),
+    so the document text itself still never crosses an exchange; the
+    final rewrite is one cheap per-word filter against the doc's own
+    tiny covered-position array."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = boilerplate_ngrams(spark, sf_dir)
+    top = grams.orderBy(F.desc("n_docs"), "gram").limit(STRIP_TOP_K)
+    base = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    cnt = F.greatest(F.size("ws") - (BOILER_N - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice("ws", i + 1, cnt) for i in range(BOILER_N)])
+    pos_grams = base.select(
+        "doc_id", F.posexplode(zipped).alias("i0", "g")
+    ).select(
+        "doc_id",
+        (F.col("i0") + 1).alias("start"),
+        F.concat_ws(" ", *[F.col(f"g.{i}") for i in range(BOILER_N)]).alias(
+            "gram"
+        ),
+    )
+    covered = (
+        pos_grams.join(F.broadcast(top.select("gram")), "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + (BOILER_N - 1))
+            ).alias("pos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("covered"))
+    )
+    # broadcast: covered is (doc_id, positions) for docs hit by the K-gram
+    # strip list only — bounded by the cap; if a deployment's hit set
+    # outgrows broadcast, drop the hint and this becomes one corpus shuffle
+    # with identical semantics
+    j = base.join(F.broadcast(covered), "doc_id", "left")
+    kept = F.filter(
+        "ws",
+        lambda w, i: ~F.coalesce(
+            F.array_contains("covered", i + 1), F.lit(False)
+        ),
+    )
+    return j.select(
+        "doc_id",
+        F.size("ws").alias("n_words"),
+        (F.size("ws") - F.size(kept)).alias("n_removed"),
+        F.concat_ws(" ", kept).alias("cleaned_text"),
+    )
+
+
 def _ngram_sql(n: int, source: str = "documents") -> str:
     """DuckDB CTE body for distinct word n-grams of ``source``(doc_id, text)."""
     parts = " || ' ' || ".join(f"ws[i+{j}]" for j in range(n))
@@ -127,7 +194,10 @@ QUERIES = {
     "decontam_overlap": decontam_overlap,
     "decontam_stats": decontam_stats,
     "boilerplate_ngrams": boilerplate_ngrams,
+    "boilerplate_strip": boilerplate_strip,
 }
+
+_POS_GRAM = " || ' ' || ".join(f"ws[i+{j}]" for j in range(BOILER_N))
 
 ORACLE = {
     "decontam_overlap": f"""
@@ -158,5 +228,42 @@ GROUP BY d.source
 WITH grams AS ({_ngram_sql(BOILER_N)})
 SELECT gram, count(*) AS n_docs
 FROM grams GROUP BY gram HAVING count(*) >= {BOILER_MIN_DOCS}
+""",
+    "boilerplate_strip": f"""
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+pos_grams AS (
+  SELECT doc_id, i, {_POS_GRAM} AS gram
+  FROM ws CROSS JOIN unnest(range(1, len(ws) - {BOILER_N - 2})) AS t(i)
+),
+common AS (
+  SELECT gram FROM (
+    SELECT gram, count(DISTINCT doc_id) AS nd FROM pos_grams
+    GROUP BY gram HAVING count(DISTINCT doc_id) >= {BOILER_MIN_DOCS}
+  ) ORDER BY nd DESC, gram LIMIT {STRIP_TOP_K}
+),
+covered AS (
+  SELECT DISTINCT p.doc_id, p.i + d.d AS pos
+  FROM pos_grams p JOIN common c USING (gram)
+  CROSS JOIN unnest(range(0, {BOILER_N})) AS d(d)
+),
+words AS (
+  SELECT doc_id, p, ws[p] AS w
+  FROM ws CROSS JOIN unnest(range(1, len(ws) + 1)) AS t(p)
+),
+kept AS (
+  SELECT w.doc_id, w.p, w.w
+  FROM words w ANTI JOIN covered c ON w.doc_id = c.doc_id AND w.p = c.pos
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(w, ' ' ORDER BY p) AS cleaned_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, ' ')) AS INTEGER) AS n_words,
+       CAST(len(string_split(d.text, ' ')) - coalesce(a.n_kept, 0) AS INTEGER)
+         AS n_removed,
+       coalesce(a.cleaned_text, '') AS cleaned_text
+FROM documents d LEFT JOIN agg a USING (doc_id)
 """,
 }

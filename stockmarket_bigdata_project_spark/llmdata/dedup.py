@@ -233,6 +233,26 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def near_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: verified near-dup pairs bucketed
+    by (source of A, source of B) — the report that tells a curation team
+    WHERE duplication comes from (mirror sites, cross-posted feeds) before
+    they decide which source to drop. Pure composition: the LSH pair
+    relation joined twice against the doc dimension, then a 2-key count —
+    pairs are tiny relative to the corpus, so both dimension joins
+    broadcast the pair side at scale."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("source_a"))
+    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
 # --- dup-group resolution: distributed connected components ------------------
 _CC_MAX_ITER = 25
 
@@ -378,6 +398,7 @@ QUERIES = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
+    "near_dup_source_matrix": near_dup_source_matrix,
     "minhash_dup_components": minhash_dup_components,
     "minhash_dup_groups": minhash_dup_groups,
     "minhash_dedup_survivors": minhash_dedup_survivors,
@@ -577,4 +598,12 @@ WITH {_SHINGLES_SQL.strip()},
 SELECT CAST(simhash AS BIGINT) AS simhash, count(*) AS n_docs,
        min(doc_id) AS canonical_doc_id
 FROM sigs GROUP BY simhash HAVING count(*) > 1
+"""
+
+ORACLE["near_dup_source_matrix"] = f"""
+SELECT da.source AS source_a, db.source AS source_b, count(*) AS n_pairs
+FROM ({ORACLE["minhash_lsh_pairs"]}) p
+JOIN documents da ON p.doc_a = da.doc_id
+JOIN documents db ON p.doc_b = db.doc_id
+GROUP BY da.source, db.source
 """

@@ -121,12 +121,41 @@ def token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DOCS_PER_SOURCE_CAP = 120
+
+
+def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (the RefinedWeb/C4 'no domain dominates'
+    rule): keep at most DOCS_PER_SOURCE_CAP docs per source, chosen by
+    md5-hash rank — a uniform-but-deterministic subset, so the kept set is
+    stable under reruns and cluster layout (same argument as _bucket_hex).
+
+    Scale shape: one shuffle (partition by source) + a partition-local
+    top-K via row_number. At 100 TB a pathological mega-source makes one
+    partition huge; the production refinement is a two-phase cap (sample
+    the per-source hash-rank threshold, then a map-side filter), which
+    keeps this exact plan as its verification path. Ties are impossible in
+    practice (md5 collision) but doc_id breaks them totally anyway."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    rn = F.row_number().over(w)
+    return (
+        docs.select("doc_id", "lang", "source", rn.alias("pick_rank"))
+        .filter(F.col("pick_rank") <= DOCS_PER_SOURCE_CAP)
+    )
+
+
 QUERIES = {
     "hash_sample_docs": hash_sample_docs,
     "hash_split_docs": hash_split_docs,
     "stratified_hash_sample": stratified_hash_sample,
     "mixture_sampling_rates": mixture_sampling_rates,
     "token_budget_shards": token_budget_shards,
+    "source_quota_cap": source_quota_cap,
 }
 
 _B = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)"
@@ -167,5 +196,17 @@ SELECT source, n_docs,
        CAST(n_docs AS DOUBLE) / total AS actual_share,
        least(1.0, (1.0 / n_sources) / (CAST(n_docs AS DOUBLE) / total)) AS keep_rate
 FROM per_src CROSS JOIN tot
+""",
+    "source_quota_cap": f"""
+SELECT doc_id, lang, source, pick_rank
+FROM (
+  SELECT doc_id, lang, source,
+         CAST(row_number() OVER (
+             PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS INTEGER) AS pick_rank
+  FROM documents
+)
+WHERE pick_rank <= {DOCS_PER_SOURCE_CAP}
 """,
 }

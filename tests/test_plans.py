@@ -272,3 +272,39 @@ def test_repetition_stats_is_shuffle_free(spark, sf_dir):
 
     plan = _plan(repetition_stats(spark, sf_dir))
     assert "Exchange" not in plan, plan  # per-row map-side expressions only
+
+
+def test_boilerplate_strip_rewrite_is_map_side(spark, sf_dir):
+    """The span-removal rewrite must probe the capped strip list via
+    broadcast HASH joins (hit detection and the covered-positions
+    join-back): the document text itself may never cross an exchange —
+    the only shuffles allowed carry gram-mining or hit-position rows,
+    never documents."""
+    from stockmarket_bigdata_project_spark.llmdata.decontam import (
+        boilerplate_strip,
+    )
+
+    plan = _plan(boilerplate_strip(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    # no sort-merge anywhere: nothing big ever joins anything big
+    assert "SortMergeJoin" not in plan, plan
+    # the corpus text column feeds only scan-side projections, never an
+    # exchange: every Exchange in the plan carries gram-mining rows
+    import re
+
+    for m in re.finditer(r"Exchange [^\n]*", plan):
+        assert "text" not in m.group(0), m.group(0)
+
+
+def test_source_quota_cap_single_shuffle_no_global_sort(spark, sf_dir):
+    """Per-source cap = one hash exchange (by source) + partition-local
+    sort; a rangepartitioning/global sort would serialize the corpus."""
+    from stockmarket_bigdata_project_spark.llmdata.sampling import (
+        source_quota_cap,
+    )
+
+    plan = _plan(source_quota_cap(spark, sf_dir))
+    assert plan.count("Exchange") == 2, plan  # tree line + detail block
+    assert "hashpartitioning(source" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "SinglePartition" not in plan, plan
