@@ -315,6 +315,60 @@ def vocab_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SALIENT_TOP_K = 3
+
+
+def salient_terms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K salient tokens per doc by tf/df — the tf-idf ranking with the
+    transcendental idf deliberately replaced: ln() is not bit-portable
+    across engines, but tf/df (one binary64 quotient of two exact BIGINTs)
+    ranks identically to tf·(1/df) and value-checks exactly. Plan shape:
+    token tf (word-count shuffle), doc-frequency over the distinct
+    (doc, tok) relation (vocab-sized), equi-join back, per-doc top-K via
+    row_number — never a global sort. Ties break on the token string
+    (unique within a doc), so the ranking is a total order."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_tok()).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_ = (
+        toks.select("doc_id", "tok")
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+    )
+    scored = tf.join(df_, "tok").withColumn(
+        "salience", F.col("tf").cast("double") / F.col("df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("salience"), "tok")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= SALIENT_TOP_K)
+        .select("doc_id", "tok", "tf", "df", "salience", "rank")
+    )
+
+
+N_FEATURE_BUCKETS = 64
+
+
+def feature_hash_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick vectorizer (Weinberger et al.): token → bucket =
+    (first 16 bits of md5(token)) mod N_FEATURE_BUCKETS; output the per-doc
+    sparse count vector as (doc_id, bucket, n_tokens) rows. Engine-neutral
+    by construction (md5 + integer arithmetic); one (doc, bucket) shuffle
+    with map-side partial counts — the fixed-width featurization step in
+    front of any linear model at corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_tok()).alias("tok"))
+    hv = F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int")
+    return (
+        toks.select("doc_id", (hv % N_FEATURE_BUCKETS).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("n_tokens"))
+    )
+
+
 QUERIES = {
     "lang_id_scores": lang_id_scores,
     "quality_scores": quality_scores,
@@ -324,7 +378,17 @@ QUERIES = {
     "repetition_stats": repetition_stats,
     "pii_redaction": pii_redaction,
     "vocab_frequency_spectrum": vocab_frequency_spectrum,
+    "salient_terms_topk": salient_terms_topk,
+    "feature_hash_counts": feature_hash_counts,
 }
+
+# 16-bit value of the first 4 hex digits of md5(tok), by pure string/integer
+# ops (same idiom as the simhash oracle — no engine-specific hex casts)
+_HEX16_SQL = " + ".join(
+    f"(strpos('0123456789abcdef', substring(md5(tok), {d + 1}, 1)) - 1)"
+    f" * {16 ** (3 - d)}"
+    for d in range(4)
+)
 
 _MARK = {
     lang: "', '".join(words) for lang, words in LANG_MARKERS.items()
@@ -482,3 +546,35 @@ SELECT tok_freq, count(*) AS n_types, sum(tok_freq) AS token_mass
 FROM vocab GROUP BY tok_freq
 """,
 }
+ORACLE["salient_terms_topk"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+), df AS (
+  SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+), scored AS (
+  SELECT t.doc_id, t.tok, t.tf, d.df,
+         CAST(t.tf AS DOUBLE) / d.df AS salience
+  FROM tf t JOIN df d USING (tok)
+)
+SELECT doc_id, tok, tf, df, salience, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY salience DESC, tok
+  ) AS rank
+  FROM scored
+)
+WHERE rank <= {SALIENT_TOP_K}
+"""
+
+ORACLE["feature_hash_counts"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+)
+SELECT doc_id,
+       CAST(({_HEX16_SQL}) % {N_FEATURE_BUCKETS} AS INTEGER) AS bucket,
+       count(*) AS n_tokens
+FROM toks
+GROUP BY doc_id, bucket
+"""

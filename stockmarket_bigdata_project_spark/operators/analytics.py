@@ -317,6 +317,57 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day (cohort),
+    counted distinct per (cohort, day-offset) — the product-analytics
+    primitive behind every retention curve. Decorrelated the same way as
+    the funnel: one per-user min-day aggregate (user-sized) joined back to
+    the fact by user_id, then a two-key distinct count. No fact×fact
+    anywhere; the cohort relation broadcasts. [extension]"""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(F.broadcast(first), "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active_users"))
+    )
+
+
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-row cross-table conformance report: orphaned lineitems (no
+    parent order), childless orders (no lineitems), and dangling customer
+    keys on orders — the dq_profile of the relational layer. Each check is
+    an anti-join key count; the key sets aggregate to distinct keys first,
+    so nothing fact-sized ever sits on a join's build side. [extension]"""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    li_keys = li.distinct()
+    orphan_li = li_keys.join(
+        o.select("o_orderkey"),
+        li_keys["l_orderkey"] == F.col("o_orderkey"),
+        "left_anti",
+    )
+    childless_o = o.select("o_orderkey").join(
+        li_keys, F.col("o_orderkey") == li_keys["l_orderkey"], "left_anti"
+    )
+    dangling_cust = o.select("o_custkey").distinct().join(
+        c, F.col("o_custkey") == c["c_custkey"], "left_anti"
+    )
+    return (
+        orphan_li.agg(F.count("*").alias("n_orphan_lineitem_keys"))
+        .crossJoin(childless_o.agg(F.count("*").alias("n_childless_orders")))
+        .crossJoin(
+            dangling_cust.agg(F.count("*").alias("n_dangling_custkeys"))
+        )
+    )
+
+
 QUERIES = {
     "shipping_priority": shipping_priority,
     "null_safe_join_event_mix": null_safe_join_event_mix,
@@ -328,6 +379,8 @@ QUERIES = {
     "rich_inactive_customers": rich_inactive_customers,
     "order_value_distribution": order_value_distribution,
     "funnel_conversion": funnel_conversion,
+    "cohort_retention": cohort_retention,
+    "referential_integrity_audit": referential_integrity_audit,
 }
 
 ORACLE = {
@@ -446,3 +499,26 @@ SELECT (SELECT count(*) FROM v) AS users_viewed,
        (SELECT count(*) FROM p) AS users_purchased_after
 """,
 }
+
+ORACLE["cohort_retention"] = """
+WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+first AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
+SELECT cohort_day,
+       CAST(datediff('day', cohort_day, day) AS INTEGER) AS day_offset,
+       count(DISTINCT user_id) AS n_active_users
+FROM ev JOIN first USING (user_id)
+GROUP BY cohort_day, day_offset
+"""
+
+ORACLE["referential_integrity_audit"] = """
+SELECT
+  (SELECT count(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem) lk
+   WHERE lk.l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+    AS n_orphan_lineitem_keys,
+  (SELECT count(*) FROM orders o
+   WHERE o.o_orderkey NOT IN (SELECT DISTINCT l_orderkey FROM lineitem))
+    AS n_childless_orders,
+  (SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM orders) ok
+   WHERE ok.o_custkey NOT IN (SELECT c_custkey FROM customer))
+    AS n_dangling_custkeys
+"""

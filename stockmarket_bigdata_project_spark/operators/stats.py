@@ -128,12 +128,66 @@ def nth_value_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Z_THRESHOLD = 2.5
+
+
+def value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outliers (|z| > Z_THRESHOLD): the anomaly-
+    detection shape (per-group moments → broadcast back → map-side score).
+    Moments come from exact power sums (big_sum's decimal-string route —
+    S2 exceeds 2^53), and z is one shared binary64 algebra over
+    bit-identical operands, so even the threshold comparison lands
+    identically in both engines. Scale: the moments relation is
+    |event_type|-sized → broadcast; the fact table never shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    cents_dec = F.expr("CAST(round(value * 100) AS DECIMAL(18,0))")
+    moments = ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        big_sum(cents_dec).alias("s1"),
+        big_sum(cents_dec * cents_dec).alias("s2"),
+    )
+    j = ev.join(F.broadcast(moments), "event_type")
+    n = F.col("n").cast("double")
+    x = F.expr("CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE)")
+    z = (n * x - F.col("s1")) / F.sqrt(
+        n * (n * F.col("s2") - F.col("s1") * F.col("s1")) / (n - 1)
+    )
+    return (
+        j.select("event_id", "event_type", "value", z.alias("zscore"))
+        .filter(F.abs(F.col("zscore")) > Z_THRESHOLD)
+    )
+
+
+def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-row data-quality audit of the events feed — the expectations
+    report (null/negative/duplicate/malformed counts) a pipeline gates
+    ingestion on. One scan, one partial+final aggregate; the props check is
+    an anchored regex in the RE2∩Java-portable subset (same contract as
+    pii_redaction)."""
+    ev = load_table(spark, sf_dir, "events")
+    wellformed = F.col("props").rlike(r'^\{"k": -?\d+\}$')
+    return ev.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias(
+            "n_null_value"
+        ),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias(
+            "n_negative_value"
+        ),
+        (F.count("*") - F.count_distinct("event_id")).alias("n_dup_event_ids"),
+        F.sum(F.when(wellformed, 0).otherwise(1)).alias("n_malformed_props"),
+        F.count_distinct("event_type").alias("n_event_types"),
+    )
+
+
 QUERIES = {
     "exact_price_quantiles": exact_price_quantiles,
     "mode_event_type": mode_event_type,
     "event_type_string_agg": event_type_string_agg,
     "price_quantity_regression": price_quantity_regression,
     "nth_value_order_prices": nth_value_order_prices,
+    "value_zscore_outliers": value_zscore_outliers,
+    "dq_profile": dq_profile,
 }
 
 ORACLE = {
@@ -191,3 +245,31 @@ WINDOW w AS (PARTITION BY o_orderpriority
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """,
 }
+
+ORACLE["value_zscore_outliers"] = f"""
+WITH moments AS (
+  SELECT event_type, count(value) AS n,
+         {sql_big_sum("CAST(round(value * 100) AS HUGEINT)")} AS s1,
+         {sql_big_sum("CAST(round(value * 100) AS HUGEINT) * CAST(round(value * 100) AS HUGEINT)")} AS s2
+  FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type, value,
+       (CAST(n AS DOUBLE) * CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) - s1)
+         / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * s2 - s1 * s1)
+                / (CAST(n AS DOUBLE) - 1)) AS zscore
+FROM events e JOIN moments m USING (event_type)
+WHERE abs((CAST(n AS DOUBLE) * CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) - s1)
+          / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * s2 - s1 * s1)
+                 / (CAST(n AS DOUBLE) - 1))) > {Z_THRESHOLD}
+"""
+
+ORACLE["dq_profile"] = r"""
+SELECT count(*) AS n_rows,
+       sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null_value,
+       sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS n_negative_value,
+       count(*) - count(DISTINCT event_id) AS n_dup_event_ids,
+       sum(CASE WHEN regexp_matches(props, '^\{"k": -?\d+\}$') THEN 0 ELSE 1 END)
+         AS n_malformed_props,
+       count(DISTINCT event_type) AS n_event_types
+FROM events
+"""

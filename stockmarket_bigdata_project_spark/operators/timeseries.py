@@ -108,6 +108,31 @@ def rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- rolling exact median (order-statistic window) [extension] --------------
+def rolling_median_5row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 5-row exact median of close_px per supplier — the order-
+    statistic window Spark has no native aggregate for, composed as
+    sort_array(collect_list(cents)) over the bounded frame + pure integer
+    indexing (odd n → middle, even n → mean of the two middles as one
+    binary64 division of an exact integer-cents sum — engine-neutral,
+    where DuckDB's native median() interpolation would be a float-path
+    hash risk). State per row is the 5-element frame, constant — same
+    bounded-frame argument as sequence_assembly."""
+    s = supplier_daily_ohlcv(spark, sf_dir)
+    w5 = _w().rowsBetween(-4, 0)
+    cents = F.expr("CAST(round(close_px * 100) AS BIGINT)")
+    arr = F.sort_array(F.collect_list(cents).over(w5))
+    n = F.size(arr)
+    lo = F.element_at(arr, F.floor((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (F.floor(n / 2) + 1).cast("int"))
+    return s.select(
+        "l_suppkey",
+        "trade_date",
+        n.alias("n_obs"),
+        ((lo + hi).cast("double") / 200.0).alias("rolling_median_close"),
+    )
+
+
 # --- W5: sign-of-diff direction ---------------------------------------------
 def direction_sign(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = supplier_daily_ohlcv(spark, sf_dir)
@@ -403,6 +428,7 @@ QUERIES = {
     "lag_features": lag_features,
     "pct_change": pct_change,
     "rolling_mean": rolling_mean,
+    "rolling_median_5row": rolling_median_5row,
     "rolling_mean_7d_range": rolling_mean_7d_range,
     "forward_fill_daily": forward_fill_daily,
     "interpolate_daily": interpolate_daily,
@@ -461,6 +487,19 @@ SELECT l_suppkey, trade_date,
        sum(volume) OVER w3 / count(volume) OVER w3 AS rolling_avg_volume
 FROM stock WINDOW w3 AS (PARTITION BY l_suppkey ORDER BY trade_date
                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""),
+    "rolling_median_5row": _stock_cte("""
+SELECT l_suppkey, trade_date,
+       CAST(len(s) AS INTEGER) AS n_obs,
+       CAST(s[(len(s) + 1) // 2] + s[len(s) // 2 + 1] AS DOUBLE) / 200.0
+         AS rolling_median_close
+FROM (
+  SELECT l_suppkey, trade_date,
+         list_sort(list(CAST(round(close_px * 100) AS BIGINT)) OVER w5) AS s
+  FROM stock
+  WINDOW w5 AS (PARTITION BY l_suppkey ORDER BY trade_date
+                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+)
 """),
     "rolling_mean_7d_range": _stock_cte("""
 SELECT l_suppkey, trade_date,

@@ -308,3 +308,52 @@ def test_source_quota_cap_single_shuffle_no_global_sort(spark, sf_dir):
     assert "hashpartitioning(source" in plan, plan
     assert "rangepartitioning" not in plan, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """100 TB lever: with a selective dimension-side filter and a shuffle
+    join, Spark injects a runtime bloom filter (bloom_filter_agg on the
+    creation side, might_contain on the fact side) so fact rows that
+    cannot join are dropped BEFORE the shuffle. Local tables sit under
+    the default creation-side threshold, so the test widens it to prove
+    the engine configuration supports the rewrite; confs are restored."""
+    import pyspark.sql.functions as F
+
+    from stockmarket_bigdata_project_spark.catalog import load_table
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "10GB",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = _plan(j)
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
