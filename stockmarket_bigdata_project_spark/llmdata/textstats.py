@@ -369,6 +369,45 @@ def feature_hash_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_SIZE = 24  # top-V token types kept by the toy tokenizer vocabulary
+
+
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: build the top-VOCAB_SIZE token
+    vocabulary (by corpus frequency, ties lexicographic — total order) and
+    report each doc's out-of-vocabulary token count and rate — the
+    'will this tokenizer cover the corpus' audit run before training a
+    BPE/unigram model. Scale shape: one word-count aggregate → top-V of
+    the SMALL vocab relation (TakeOrderedAndProject) → broadcast set →
+    per-doc OOV counting stays map-side on the token explode; only
+    (doc_id, counts) rows shuffle for the final agg. OOV rate is one
+    binary64 division of two exact counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_tok()).alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "tok")
+        .limit(VOCAB_SIZE)
+        .select("tok")
+    )
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "tok", "left"
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias(
+            "n_oov"
+        ),
+        (
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).cast("double")
+            / F.count("*")
+        ).alias("oov_rate"),
+    )
+
+
 QUERIES = {
     "lang_id_scores": lang_id_scores,
     "quality_scores": quality_scores,
@@ -380,6 +419,7 @@ QUERIES = {
     "vocab_frequency_spectrum": vocab_frequency_spectrum,
     "salient_terms_topk": salient_terms_topk,
     "feature_hash_counts": feature_hash_counts,
+    "vocab_oov_rate": vocab_oov_rate,
 }
 
 # 16-bit value of the first 4 hex digits of md5(tok), by pure string/integer
@@ -577,4 +617,20 @@ SELECT doc_id,
        count(*) AS n_tokens
 FROM toks
 GROUP BY doc_id, bucket
+"""
+
+ORACLE["vocab_oov_rate"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), vocab AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS freq FROM toks GROUP BY tok
+  ) ORDER BY freq DESC, tok LIMIT {VOCAB_SIZE}
+), flagged AS (
+  SELECT t.doc_id, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+  FROM toks t LEFT JOIN vocab v USING (tok)
+)
+SELECT doc_id, count(*) AS n_tokens, sum(oov) AS n_oov,
+       CAST(sum(oov) AS DOUBLE) / count(*) AS oov_rate
+FROM flagged GROUP BY doc_id
 """

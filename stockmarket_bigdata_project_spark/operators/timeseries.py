@@ -422,9 +422,50 @@ def scd2_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd2_daily_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-table (point-in-time) join: the SCD2 dimension snapshotted
+    at the end of every calendar day per user — 'what was each user's
+    attribute version as of day D' — the query every warehouse asks of an
+    SCD2 dimension and the composition that closes the loop on
+    scd2_event_history. Snapshot instant = start of the next day (half-open
+    interval test valid_from < D+1 ≤ valid_to), which matches exactly one
+    interval per (user, day) because the intervals partition the user's
+    active range. Scale: the dim side is run-length-compressed (few
+    intervals per user), the day spine is |users|·|days| — the join is a
+    per-user equi-join with a tiny interval filter, never fact×fact; the
+    corpus-max day is a 1-row broadcast."""
+    dim = scd2_event_history(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.max(F.to_date("ts")).alias("max_day"))
+    user_start = dim.groupBy("user_id").agg(
+        F.min("valid_from").alias("first_ts")
+    )
+    spine = user_start.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        F.explode(
+            F.sequence(F.to_date("first_ts"), F.col("max_day"))
+        ).alias("day"),
+    )
+    day_end = F.col("day").cast("timestamp") + F.expr("INTERVAL 1 DAY")
+    return (
+        spine.join(dim, "user_id")
+        .filter(
+            (F.col("valid_from") < day_end)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") >= day_end))
+        )
+        .select(
+            "user_id",
+            "day",
+            F.col("event_type").alias("attr_event_type"),
+            "valid_from",
+        )
+    )
+
+
 QUERIES = {
     "lead_target": lead_target,
     "scd2_event_history": scd2_event_history,
+    "scd2_daily_snapshot": scd2_daily_snapshot,
     "lag_features": lag_features,
     "pct_change": pct_change,
     "rolling_mean": rolling_mean,
@@ -457,6 +498,37 @@ WITH marked AS (
 SELECT user_id, event_type, ts AS valid_from,
        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
 FROM changes
+""",
+    "scd2_daily_snapshot": """
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), changes AS (
+  SELECT user_id, event_type, ts, event_id FROM marked
+  WHERE prev_type IS NULL OR event_type <> prev_type
+), scd2 AS (
+  SELECT user_id, event_type, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM changes
+), bounds AS (
+  SELECT max(CAST(ts AS DATE)) AS max_day FROM events
+), user_start AS (
+  SELECT user_id, CAST(min(valid_from) AS DATE) AS first_day
+  FROM scd2 GROUP BY user_id
+), spine AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(CAST(first_day AS TIMESTAMP),
+                                     CAST(max_day AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM user_start CROSS JOIN bounds
+)
+SELECT s.user_id, s.day, d.event_type AS attr_event_type, d.valid_from
+FROM spine s JOIN scd2 d ON s.user_id = d.user_id
+WHERE d.valid_from < CAST(s.day AS TIMESTAMP) + INTERVAL 1 DAY
+  AND (d.valid_to IS NULL
+       OR d.valid_to >= CAST(s.day AS TIMESTAMP) + INTERVAL 1 DAY)
 """,
     "lead_target": _stock_cte("""
 SELECT l_suppkey, trade_date, close_px,
