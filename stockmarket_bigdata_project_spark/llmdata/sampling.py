@@ -149,6 +149,45 @@ def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_LEN = 32  # tokens per chunk
+CHUNK_STRIDE = 24  # chunk start stride (overlap = CHUNK_LEN - CHUNK_STRIDE)
+
+
+def context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-window chunking (the RAG/embedding prep step):
+    split each doc into CHUNK_LEN-token windows every CHUNK_STRIDE tokens,
+    so consecutive chunks overlap by CHUNK_LEN−CHUNK_STRIDE tokens and the
+    final window always reaches the document end. Emits chunk coordinates
+    plus an md5 content hash (the id an embedding/index stage keys on).
+    Pure map-side: chunk count and starts are integer arithmetic over the
+    token array, the explode happens in the scan stage, and nothing
+    shuffles — at 100 TB this is a single pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    n = F.size(ws)
+    # ceil((n - LEN) / STRIDE) extra chunks after the first, never negative
+    n_chunks = 1 + F.floor(
+        (F.greatest(n - CHUNK_LEN, F.lit(0)) + (CHUNK_STRIDE - 1))
+        / CHUNK_STRIDE
+    ).cast("int")
+    base = docs.select(
+        "doc_id",
+        ws.alias("ws"),
+        n.alias("n_tokens"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * CHUNK_STRIDE + 1
+    chunk_len = F.least(F.lit(CHUNK_LEN), F.col("n_tokens") - start + 1)
+    chunk_text = F.concat_ws(" ", F.slice("ws", start, chunk_len))
+    return base.select(
+        "doc_id",
+        "chunk_id",
+        start.alias("start_tok"),
+        chunk_len.alias("n_chunk_tokens"),
+        F.md5(chunk_text).alias("chunk_hash"),
+    )
+
+
 QUERIES = {
     "hash_sample_docs": hash_sample_docs,
     "hash_split_docs": hash_split_docs,
@@ -156,6 +195,7 @@ QUERIES = {
     "mixture_sampling_rates": mixture_sampling_rates,
     "token_budget_shards": token_budget_shards,
     "source_quota_cap": source_quota_cap,
+    "context_chunks": context_chunks,
 }
 
 _B = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)"
@@ -208,5 +248,28 @@ FROM (
   FROM documents
 )
 WHERE pick_rank <= {DOCS_PER_SOURCE_CAP}
+""",
+    "context_chunks": f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), chunks AS (
+  SELECT doc_id, ws, n_tokens, unnest(range(0,
+           1 + (greatest(n_tokens - {CHUNK_LEN}, 0) + {CHUNK_STRIDE - 1})
+               // {CHUNK_STRIDE})) AS chunk_id
+  FROM base
+)
+SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+       CAST(chunk_id * {CHUNK_STRIDE} + 1 AS INTEGER) AS start_tok,
+       CAST(least({CHUNK_LEN}, n_tokens - (chunk_id * {CHUNK_STRIDE} + 1) + 1)
+            AS INTEGER) AS n_chunk_tokens,
+       md5(array_to_string(
+             list_slice(ws, chunk_id * {CHUNK_STRIDE} + 1,
+                        chunk_id * {CHUNK_STRIDE}
+                          + least({CHUNK_LEN},
+                                  n_tokens - (chunk_id * {CHUNK_STRIDE} + 1) + 1)),
+             ' ')) AS chunk_hash
+FROM chunks
 """,
 }
