@@ -357,3 +357,37 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_context_chunks_is_map_side_only(spark, sf_dir):
+    """Chunking must be a single pass: integer chunk arithmetic + explode
+    inside the scan stage, zero exchanges."""
+    from stockmarket_bigdata_project_spark.llmdata.sampling import (
+        context_chunks,
+    )
+
+    plan = _plan(context_chunks(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+
+
+def test_cohort_retention_broadcasts_first_seen(spark, sf_dir):
+    """The per-user first-seen relation must broadcast back onto the fact
+    scan — cohort assignment may not shuffle the events twice."""
+    from stockmarket_bigdata_project_spark.operators.analytics import (
+        cohort_retention,
+    )
+
+    plan = _plan(cohort_retention(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_zscore_moments_broadcast_no_fact_shuffle(spark, sf_dir):
+    """The |event_type|-sized moments relation broadcasts; the events fact
+    never crosses a hash exchange (map-side score + filter)."""
+    from stockmarket_bigdata_project_spark.operators.stats import (
+        value_zscore_outliers,
+    )
+
+    plan = _plan(value_zscore_outliers(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
