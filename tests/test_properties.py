@@ -201,3 +201,52 @@ def test_decontam_never_flags_benchmark_docs(spark, sf_dir):
     for r in flagged:
         assert r.doc_id % BENCH_MOD != 0
         assert r.n_shared_grams >= 1
+
+
+def test_context_chunks_tile_every_document(spark, sf_dir):
+    """Chunk windows must cover position 1..n_tokens with stride-sized
+    starts, the last window must touch the document end, and every chunk
+    except a short final one must be exactly CHUNK_LEN tokens."""
+    from stockmarket_bigdata_project_spark.llmdata.sampling import (
+        CHUNK_LEN,
+        CHUNK_STRIDE,
+        context_chunks,
+    )
+
+    rows = context_chunks(spark, sf_dir).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert per_doc
+    for chunks in per_doc.values():
+        chunks.sort(key=lambda r: r.chunk_id)
+        for i, r in enumerate(chunks):
+            assert r.chunk_id == i
+            assert r.start_tok == i * CHUNK_STRIDE + 1
+            assert 1 <= r.n_chunk_tokens <= CHUNK_LEN
+            if i < len(chunks) - 1:
+                # every non-final window is full and the next start lies
+                # inside it (stride < len ⇒ contiguous coverage w/ overlap)
+                assert r.n_chunk_tokens == CHUNK_LEN
+                nxt = chunks[i + 1]
+                assert nxt.start_tok <= r.start_tok + r.n_chunk_tokens
+        doc_end = chunks[-1].start_tok + chunks[-1].n_chunk_tokens - 1
+        # no window may end past the document end the final window defines
+        assert all(
+            c.start_tok + c.n_chunk_tokens - 1 <= doc_end for c in chunks
+        )
+
+
+def test_boilerplate_strip_word_accounting(spark, sf_dir):
+    """cleaned_text must contain exactly n_words - n_removed tokens, and
+    removal counts must stay within the document."""
+    from stockmarket_bigdata_project_spark.llmdata.decontam import (
+        boilerplate_strip,
+    )
+
+    rows = boilerplate_strip(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_removed <= r.n_words
+        kept = len(r.cleaned_text.split(" ")) if r.cleaned_text else 0
+        assert kept == r.n_words - r.n_removed
