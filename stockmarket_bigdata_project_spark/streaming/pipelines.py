@@ -255,6 +255,60 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- extension: streaming materialized-view maintenance ----------------------
+def streaming_upsert_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized-view maintenance: an update-mode global
+    aggregate whose CHANGED keys are merged into a keyed parquet view each
+    micro-batch — the S12 upsert sink lifted to streaming (what a
+    `MERGE INTO` against a lakehouse table does on a cluster). Update mode
+    re-emits a key only when a batch changes it, carrying the full
+    recomputed state, so replace-by-key per batch converges to the batch
+    aggregate over the whole feed — which is exactly the oracle. Each
+    micro-batch writes a new view GENERATION directory (read-modify-write
+    into a fresh path; the previous generation is the read side), the
+    multi-batch replay (maxFilesPerTrigger=1) exercises repeated merges."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    base = tempfile.mkdtemp(prefix="spark_graft_view_")
+    chk = tempfile.mkdtemp(prefix="spark_graft_chk_")
+    state: dict[str, str | None] = {"dir": None}
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        new_dir = os.path.join(base, f"gen_{batch_id}")
+        if state["dir"] is None:
+            batch_df.write.mode("overwrite").parquet(new_dir)
+        else:
+            prev = spark.read.parquet(state["dir"])
+            keep = prev.join(
+                batch_df.select("day", "event_type"),
+                ["day", "event_type"],
+                "left_anti",
+            )
+            keep.unionByName(batch_df).write.mode("overwrite").parquet(new_dir)
+        state["dir"] = new_dir
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(merge_batch)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["dir"] is not None, "replay produced no batches"
+    return spark.read.parquet(state["dir"])
+
+
 # --- extension: stream-stream join (absent from the reference) --------------
 def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream inner join: 'click' events matched to the
@@ -433,6 +487,7 @@ QUERIES = {
     "streaming_sliding_window": streaming_sliding_window,
     "streaming_session_window": streaming_session_window,
     "streaming_static_join": streaming_static_join,
+    "streaming_upsert_view": streaming_upsert_view,
     "streaming_stream_stream_join": streaming_stream_stream_join,
     "streaming_stream_stream_left_join": streaming_stream_stream_left_join,
     "streaming_dedup": streaming_dedup,
@@ -559,3 +614,10 @@ WHERE c.event_type = 'click'
 SELECT event_id, user_id, event_type, value FROM events
 """,
 }
+
+ORACLE["streaming_upsert_view"] = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY day, event_type
+"""
