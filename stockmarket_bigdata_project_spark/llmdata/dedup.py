@@ -254,6 +254,38 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INCR_MOD = 10  # doc_id % INCR_MOD == INCR_REM → the "incoming batch"
+INCR_REM = 7
+
+
+def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time dedup: classify an INCOMING batch (a deterministic
+    id-slice standing in for today's crawl) against the EXISTING corpus by
+    normalized-text hash — the incremental shape production pipelines run
+    per batch, where re-hashing the whole corpus (dedup_exact) would be
+    quadratic over time. One hash aggregate per side, then a batch-sized
+    left join against the corpus' distinct hashes: at 100 TB the corpus
+    hash set is a pre-materialized index and the per-batch cost is
+    |batch|, not |corpus|."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % INCR_MOD == INCR_REM
+    h = F.md5(_normalized())
+    corpus_hashes = (
+        docs.filter(~is_new).select(h.alias("text_hash")).distinct()
+    )
+    batch = docs.filter(is_new).select(
+        "doc_id", "lang", "source", h.alias("text_hash")
+    )
+    return batch.join(
+        corpus_hashes.withColumn("seen", F.lit(1)), "text_hash", "left"
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        (F.col("seen").isNotNull()).alias("is_duplicate"),
+    )
+
+
 def near_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source contamination matrix: verified near-dup pairs bucketed
     by (source of A, source of B) — the report that tells a curation team
@@ -416,6 +448,7 @@ def simhash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_survivors": dedup_exact_survivors,
+    "incremental_dedup_new_docs": incremental_dedup_new_docs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
@@ -629,4 +662,18 @@ FROM ({ORACLE["minhash_lsh_pairs"]}) p
 JOIN documents da ON p.doc_a = da.doc_id
 JOIN documents db ON p.doc_b = db.doc_id
 GROUP BY da.source, db.source
+"""
+
+ORACLE["incremental_dedup_new_docs"] = f"""
+WITH hashed AS (
+  SELECT doc_id, lang, source,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS text_hash
+  FROM documents
+), corpus AS (
+  SELECT DISTINCT text_hash FROM hashed WHERE doc_id % {INCR_MOD} <> {INCR_REM}
+)
+SELECT b.doc_id, b.lang, b.source,
+       (c.text_hash IS NOT NULL) AS is_duplicate
+FROM hashed b LEFT JOIN corpus c USING (text_hash)
+WHERE b.doc_id % {INCR_MOD} = {INCR_REM}
 """

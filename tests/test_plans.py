@@ -391,3 +391,24 @@ def test_zscore_moments_broadcast_no_fact_shuffle(spark, sf_dir):
     plan = _plan(value_zscore_outliers(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    """The engine must expose all three join-strategy levers: broadcast,
+    shuffle_hash, and merge hints on the same equi-join each select their
+    physical operator (what a user tunes when AQE's default pick is wrong
+    for a known workload)."""
+    import pyspark.sql.functions as F
+
+    from stockmarket_bigdata_project_spark.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    for hint, op in (
+        ("broadcast", "BroadcastHashJoin"),
+        ("shuffle_hash", "ShuffledHashJoin"),
+        ("merge", "SortMergeJoin"),
+    ):
+        j = o.join(c.hint(hint), o.o_custkey == c.c_custkey)
+        plan = _plan(j)
+        assert op in plan, f"{hint}: expected {op}\n{plan}"
