@@ -307,6 +307,32 @@ def feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of the categorical event_type against
+    value — the tabular-ML feature that replaces a category with the mean
+    target of its OTHER members (plain mean-encoding leaks the row's own
+    label; LOO is the standard fix). Exact arithmetic: per-category
+    (cents-sum, count) from one aggregate, broadcast back onto the fact
+    scan; each row's encoding is (S1 − x)/(n−1) — integer subtraction then
+    one shared binary64 division, so the 'loo' values hash identically in
+    both engines. Same plan shape as value_zscore_outliers: the fact table
+    never shuffles. Singleton categories encode NULL (0/0)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+    stats = ev.groupBy("event_type").agg(
+        F.sum(cents).alias("s1"),
+        F.count("value").alias("n"),
+    )
+    j = ev.join(F.broadcast(stats), "event_type")
+    loo = F.when(
+        F.col("n") > 1,
+        (F.col("s1") - cents).cast("double")
+        / (F.col("n") - 1)
+        / F.lit(100.0),
+    )
+    return j.select("event_id", "event_type", "value", loo.alias("loo_mean_value"))
+
+
 QUERIES = {
     "scale_features": scale_features,
     "sequential_split": sequential_split,
@@ -317,6 +343,7 @@ QUERIES = {
     "confusion_matrix": confusion_matrix,
     "prediction_documents": prediction_documents,
     "prediction_documents_nested": prediction_documents_nested,
+    "target_encode_loo": target_encode_loo,
 }
 
 _FEATURES_SQL = f"""
@@ -459,3 +486,18 @@ SELECT l_suppkey AS ticker,
 FROM d
 """,
 }
+
+ORACLE["target_encode_loo"] = """
+WITH stats AS (
+  SELECT event_type,
+         sum(CAST(round(value * 100) AS BIGINT)) AS s1,
+         count(value) AS n
+  FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type, value,
+       CASE WHEN n > 1 THEN
+         CAST(s1 - CAST(round(value * 100) AS BIGINT) AS DOUBLE)
+           / (n - 1) / 100.0
+       END AS loo_mean_value
+FROM events e JOIN stats s USING (event_type)
+"""
