@@ -173,6 +173,26 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def variant_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT surface: parse_json → semi-structured VARIANT column
+    → typed extraction with variant_get / schema discovery via
+    schema_of_variant — the open-schema ingestion path that replaces
+    rigid from_json structs when payloads drift. The oracle is DuckDB's
+    JSON extraction over the same payloads (VARIANT itself can't cross
+    engines, so the CHECKED surface is the extracted typed values)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k_int"),
+        F.expr("variant_get(parse_json(props), '$.k', 'string')").alias(
+            "k_str"
+        ),
+        F.expr(
+            "try_variant_get(parse_json(props), '$.missing', 'int') IS NULL"
+        ).alias("missing_is_null"),
+    )
+
+
 QUERIES = {
     "string_functions": string_functions,
     "map_functions": map_functions,
@@ -182,6 +202,7 @@ QUERIES = {
     "json_functions": json_functions,
     "xml_functions": xml_functions,
     "cast_functions": cast_functions,
+    "variant_functions": variant_functions,
 }
 
 _GOLD_FOR_RULES = """
@@ -298,3 +319,11 @@ SELECT event_id,
 FROM events
 """,
 }
+
+ORACLE["variant_functions"] = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+       json_extract_string(props, '$.k') AS k_str,
+       json_extract_string(props, '$.missing') IS NULL AS missing_is_null
+FROM events
+"""
