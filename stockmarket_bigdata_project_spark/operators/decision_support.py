@@ -277,13 +277,22 @@ def cheapest_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
+    # explicit aliases: best derives from per_offer, so unaliased column
+    # references hit Spark's self-join lineage heuristic (it resolves them
+    # positionally but warns "trivially true equals predicate")
+    po = per_offer.alias("po")
+    b = best.alias("b")
     return (
-        per_offer.join(
-            best,
-            (per_offer.l_partkey == best.l_partkey)
-            & (per_offer.supply_cost_k == best.best_cost_k),
+        po.join(
+            b,
+            (F.col("po.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("po.supply_cost_k") == F.col("b.best_cost_k")),
         )
-        .drop(best.l_partkey)
+        .select(
+            F.col("po.l_partkey").alias("l_partkey"),
+            F.col("po.l_suppkey").alias("l_suppkey"),
+            F.col("po.supply_cost_k").alias("supply_cost_k"),
+        )
         .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
         .join(F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
