@@ -92,6 +92,31 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RANGE_TAU = 0.2  # cosine floor for the range query
+
+
+def embedding_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine RANGE query (the radius twin of top-k): every corpus vector
+    with cosine ≥ RANGE_TAU against each query vector — what a retrieval
+    layer runs when the contract is 'all sufficiently-similar items', not
+    'the best k'. Same broadcast-query linear scan as knn_bruteforce; the
+    threshold compare is bit-exact (integer-micros cosine), so the result
+    SET is engine-identical, no rank cutoff ambiguity."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("mvec").alias("qvec")
+    )
+    c = e.select(F.col("vec_id").alias("cand_id"), F.col("mvec").alias("cvec"))
+    cos = _cosine(F.col("qvec"), F.col("cvec"))
+    return (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", cos.alias("cosine"))
+        .filter(F.col("cosine") >= RANGE_TAU)
+    )
+
+
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN: centroids = first N_CENTROIDS vectors (deterministic
     stand-in for k-means — the bucketing mechanics, not the training, are the
@@ -342,6 +367,7 @@ def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
+    "embedding_range_query": embedding_range_query,
     "knn_ivf": knn_ivf,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "embedding_lsh_near_dup": embedding_lsh_near_dup,
@@ -504,3 +530,14 @@ SELECT vec_id, CAST(scale AS BIGINT) AS scale_micros, codes,
 FROM q
 """,
 }
+
+ORACLE["embedding_range_query"] = f"""
+WITH e AS (
+  SELECT vec_id, {_MVEC_SQL} AS mvec FROM embeddings
+)
+SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+       {_cos_sql("a.mvec", "b.mvec")} AS cosine
+FROM e a JOIN e b ON b.vec_id <> a.vec_id
+WHERE a.vec_id < {N_QUERIES}
+  AND {_cos_sql("a.mvec", "b.mvec")} >= {RANGE_TAU}
+"""

@@ -368,6 +368,39 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over each user's event stream:
+    (event_type → next event_type) frequencies plus the row-conditional
+    probability — the sequence-analysis primitive behind 'what do users do
+    next'. One per-user window pass (lag shuffle) feeding a tiny
+    |types|² aggregate; the probability is one binary64 division of two
+    exact counts, computed from a broadcast of the per-type totals.
+    Ordering is total (ts, event_id) so ties can't flip transitions
+    between engines. [extension]"""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    totals = counts.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("n_from")
+    )
+    return counts.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (F.col("n_transitions").cast("double") / F.col("n_from")).alias(
+            "p_transition"
+        ),
+    )
+
+
 QUERIES = {
     "shipping_priority": shipping_priority,
     "null_safe_join_event_mix": null_safe_join_event_mix,
@@ -381,6 +414,7 @@ QUERIES = {
     "funnel_conversion": funnel_conversion,
     "cohort_retention": cohort_retention,
     "referential_integrity_audit": referential_integrity_audit,
+    "event_transition_matrix": event_transition_matrix,
 }
 
 ORACLE = {
@@ -521,4 +555,22 @@ SELECT
   (SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM orders) ok
    WHERE ok.o_custkey NOT IN (SELECT c_custkey FROM customer))
     AS n_dangling_custkeys
+"""
+
+ORACLE["event_transition_matrix"] = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_type
+  FROM events
+), counts AS (
+  SELECT from_type, to_type, count(*) AS n_transitions
+  FROM pairs WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+), totals AS (
+  SELECT from_type, sum(n_transitions) AS n_from FROM counts GROUP BY from_type
+)
+SELECT c.from_type, c.to_type, c.n_transitions,
+       CAST(c.n_transitions AS DOUBLE) / t.n_from AS p_transition
+FROM counts c JOIN totals t USING (from_type)
 """
