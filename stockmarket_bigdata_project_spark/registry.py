@@ -124,6 +124,24 @@ _FRONT_MODULE_ORDER = (
 # the very next window to prove their fix, ahead of everything else.
 _GATE_RED_FIXES = frozenset({"two_level_rollup"})
 
+# Queries introduced LATE in round 3, after this round's 50-slot window
+# composition (two_level_rollup fix + the r2 zero-proof llmdata/multimodal/
+# streaming tier) was already swept and finalized: they queue BEHIND the
+# pre-existing unproven tier so they don't displace the planned proofs, and
+# rotate into the round-4 window instead. All are local-exact-verified at
+# sf0.01 AND sf0.1.
+_INTRODUCED_LATE_R3 = frozenset(
+    {
+        "near_dup_source_matrix", "incremental_dedup_new_docs",
+        "embedding_range_query", "salient_terms_topk", "feature_hash_counts",
+        "vocab_oov_rate", "source_quota_cap", "context_chunks",
+        "boilerplate_strip", "rolling_median_5row", "value_zscore_outliers",
+        "dq_profile", "cohort_retention", "referential_integrity_audit",
+        "event_transition_matrix", "scd2_daily_snapshot",
+        "streaming_upsert_view", "target_encode_loo", "variant_functions",
+    }
+)
+
 
 def _rotate(items: dict, oracle_names: frozenset[str], origin: dict) -> dict:
     """Order: red-row fixes first (their green row is the round's headline),
@@ -146,7 +164,7 @@ def _rotate(items: dict, oracle_names: frozenset[str], origin: dict) -> dict:
             mod_rank = _FRONT_MODULE_ORDER.index(mod)
         except ValueError:
             mod_rank = len(_FRONT_MODULE_ORDER)
-        return (tier, mod_rank)
+        return (tier, name in _INTRODUCED_LATE_R3, mod_rank)
 
     return dict(sorted(items.items(), key=lambda kv: key(kv[0])))
 
