@@ -188,6 +188,36 @@ def context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit: exact-duplicate texts that STRADDLE the
+    train/val/test hash split — the check that catches 'the eval answer is
+    literally in the training set' before a single GPU-hour is spent
+    (dedup and splitting compose wrong unless dedup runs first; this
+    measures exactly that). One hash aggregate over (normalized-text md5,
+    split): emits each leaked hash group with its per-split doc counts and
+    canonical doc. Plan: word-count shape, nothing fact-sized joins."""
+    from .dedup import _normalized
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = _bucket_hex()
+    split = (
+        F.when(b < VAL_CUT, "val").when(b < TEST_CUT, "test").otherwise("train")
+    )
+    h = docs.select(
+        F.md5(_normalized()).alias("text_hash"),
+        split.alias("split"),
+        "doc_id",
+    )
+    per_hash = h.groupBy("text_hash").agg(
+        F.count_distinct("split").alias("n_splits"),
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("n_train"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias("n_val"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias("n_test"),
+    )
+    return per_hash.filter(F.col("n_splits") > 1).drop("n_splits")
+
+
 QUERIES = {
     "hash_sample_docs": hash_sample_docs,
     "hash_split_docs": hash_split_docs,
@@ -196,6 +226,7 @@ QUERIES = {
     "token_budget_shards": token_budget_shards,
     "source_quota_cap": source_quota_cap,
     "context_chunks": context_chunks,
+    "split_leakage_audit": split_leakage_audit,
 }
 
 _B = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)"
@@ -273,3 +304,24 @@ SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
 FROM chunks
 """,
 }
+
+ORACLE["split_leakage_audit"] = f"""
+WITH h AS (
+  SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS text_hash,
+         CASE WHEN {_B} < '{VAL_CUT}' THEN 'val'
+              WHEN {_B} < '{TEST_CUT}' THEN 'test'
+              ELSE 'train' END AS split,
+         doc_id
+  FROM documents
+), per_hash AS (
+  SELECT text_hash,
+         count(DISTINCT split) AS n_splits,
+         min(doc_id) AS canonical_doc_id,
+         sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
+         sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS n_val,
+         sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_test
+  FROM h GROUP BY text_hash
+)
+SELECT text_hash, canonical_doc_id, n_train, n_val, n_test
+FROM per_hash WHERE n_splits > 1
+"""
