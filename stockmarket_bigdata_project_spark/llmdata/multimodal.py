@@ -309,6 +309,25 @@ def binary_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash dedup over the binary media column: identical payloads
+    (re-uploaded assets, mirrored files) grouped by md5(payload) — the
+    binary twin of dedup_exact, and the first pass any multimodal curation
+    pipeline runs (hashing is cheap; decoding is not). Only (hash,
+    media_id) rows shuffle — the payload bytes never leave the scan
+    stage."""
+    m = media_table(spark, sf_dir)
+    return (
+        m.select("media_id", F.md5("payload").alias("payload_md5"))
+        .groupBy("payload_md5")
+        .agg(
+            F.min("media_id").alias("canonical_media_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
 QUERIES = {
     "media_catalog": media_catalog,
     "video_frame_sample": video_frame_sample,
@@ -317,6 +336,7 @@ QUERIES = {
     "audio_chunk_rms": audio_chunk_rms,
     "image_resize_meta": image_resize_meta,
     "binary_file_scan": binary_file_scan,
+    "media_dedup_groups": media_dedup_groups,
 }
 
 # payload reconstructed on the STRING domain (ASCII ⇒ char==byte)
@@ -401,3 +421,13 @@ SELECT 'media_' || media_id || '.bin' AS file_name,
 FROM media
 """,
 }
+
+ORACLE["media_dedup_groups"] = f"""
+WITH hashed AS (
+  SELECT doc_id AS media_id, md5({_PAYLOAD_SQL}) AS payload_md5
+  FROM documents
+)
+SELECT payload_md5, min(media_id) AS canonical_media_id,
+       count(*) AS n_copies
+FROM hashed GROUP BY payload_md5 HAVING count(*) > 1
+"""

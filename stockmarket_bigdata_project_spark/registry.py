@@ -139,7 +139,7 @@ _INTRODUCED_LATE_R3 = frozenset(
         "dq_profile", "cohort_retention", "referential_integrity_audit",
         "event_transition_matrix", "scd2_daily_snapshot",
         "streaming_upsert_view", "target_encode_loo", "variant_functions",
-        "split_leakage_audit",
+        "split_leakage_audit", "media_dedup_groups",
     }
 )
 
