@@ -120,9 +120,57 @@ _FRONT_MODULE_ORDER = (
 )
 
 
+# The static floor below mirrors CORRECTNESS_r01/r02.json; the dynamic
+# loader then folds in any LATER recorded rounds (r03, r04, ...) so the
+# rotation self-updates when the driver writes new results — no manual
+# re-transcription per round. Red rows from the LATEST recorded round are
+# re-fronted automatically.
+def _recorded_rounds() -> list[dict]:
+    """CORRECTNESS_r{N}.json contents in round order (repo root)."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = []
+    for path in sorted(
+        glob.glob(os.path.join(root, "CORRECTNESS_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+    ):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+            if isinstance(data, dict):
+                out.append(data)
+        except (OSError, ValueError):
+            continue  # a malformed record must not break the harness
+    return out
+
+
+def _dynamic_proof_state() -> tuple[frozenset[str], frozenset[str]]:
+    """(proven, red_fixes) from every recorded round on disk: proven =
+    hash_match=true in ANY round; red = hash_match=false in the LATEST
+    round it was attempted without a later green row."""
+    proven: set[str] = set()
+    red: set[str] = set()
+    for data in _recorded_rounds():
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True:
+                proven.add(name)
+                red.discard(name)
+            elif row.get("hash_match") is False:
+                red.add(name)
+                proven.discard(name)
+    return frozenset(proven), frozenset(red)
+
+
 # Queries that went RED in the latest recorded gate round: they must re-enter
 # the very next window to prove their fix, ahead of everything else.
-_GATE_RED_FIXES = frozenset({"two_level_rollup"})
+# (Floor for the rounds already transcribed; the dynamic state extends it.)
+_STATIC_RED_FIXES = frozenset({"two_level_rollup"})
 
 # Queries introduced LATE in round 3, after this round's 50-slot window
 # composition (two_level_rollup fix + the r2 zero-proof llmdata/multimodal/
@@ -151,10 +199,14 @@ def _rotate(items: dict, oracle_names: frozenset[str], origin: dict) -> dict:
     rows-only queries (their weaker check costs a window slot that a
     hash-checkable query could use), then queries already hash-proven in a
     recorded round."""
+    dyn_proven, dyn_red = _dynamic_proof_state()
+    proven = (_PROVEN | dyn_proven) - dyn_red
+    red_fixes = (_STATIC_RED_FIXES | dyn_red) - proven
+
     def key(name: str):
-        if name in _GATE_RED_FIXES:
+        if name in red_fixes:
             tier = -1
-        elif name in _PROVEN:
+        elif name in proven:
             tier = 2
         elif name in oracle_names:
             tier = 0
