@@ -310,12 +310,13 @@ def binary_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def media_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content-hash dedup over the binary media column: identical payloads
-    (re-uploaded assets, mirrored files) grouped by md5(payload) — the
-    binary twin of dedup_exact, and the first pass any multimodal curation
-    pipeline runs (hashing is cheap; decoding is not). Only (hash,
-    media_id) rows shuffle — the payload bytes never leave the scan
-    stage."""
+    """Content-addressed index over the binary media column: every payload
+    grouped by md5(payload) with its copy count — the binary twin of
+    dedup_exact, and the first pass any multimodal curation pipeline runs
+    (hashing is cheap; decoding is not). Duplicates are the n_copies > 1
+    rows; the full index is emitted so the check is value-bearing at every
+    SF (the planted dups only appear from sf0.1 up). Only (hash, media_id)
+    rows shuffle — the payload bytes never leave the scan stage."""
     m = media_table(spark, sf_dir)
     return (
         m.select("media_id", F.md5("payload").alias("payload_md5"))
@@ -324,7 +325,6 @@ def media_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("media_id").alias("canonical_media_id"),
             F.count("*").alias("n_copies"),
         )
-        .filter(F.col("n_copies") > 1)
     )
 
 
@@ -429,5 +429,5 @@ WITH hashed AS (
 )
 SELECT payload_md5, min(media_id) AS canonical_media_id,
        count(*) AS n_copies
-FROM hashed GROUP BY payload_md5 HAVING count(*) > 1
+FROM hashed GROUP BY payload_md5
 """

@@ -189,33 +189,42 @@ def context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Split-leakage audit: exact-duplicate texts that STRADDLE the
-    train/val/test hash split — the check that catches 'the eval answer is
-    literally in the training set' before a single GPU-hour is spent
-    (dedup and splitting compose wrong unless dedup runs first; this
-    measures exactly that). One hash aggregate over (normalized-text md5,
-    split): emits each leaked hash group with its per-split doc counts and
-    canonical doc. Plan: word-count shape, nothing fact-sized joins."""
-    from .dedup import _normalized
+    """Split-leakage audit over the NEAR-DUP pair graph: every verified
+    LSH near-duplicate pair annotated with the hash-split each side lands
+    in and a `leaked` flag (the two sides straddle different splits) —
+    the check that catches 'a paraphrase of the eval answer is in the
+    training set' before a single GPU-hour is spent (dedup and splitting
+    compose wrong unless dedup runs first; this measures exactly that).
+    Near-dup pairs, not just exact hashes: paraphrase leakage is the case
+    the exact-hash audit misses, and the pair relation has signal at
+    every SF. Plan: the pair relation is tiny → both split lookups are
+    broadcast joins against the map-side split assignment."""
+    from .dedup import minhash_lsh_pairs
 
     docs = load_table(spark, sf_dir, "documents")
     b = _bucket_hex()
     split = (
         F.when(b < VAL_CUT, "val").when(b < TEST_CUT, "test").otherwise("train")
     )
-    h = docs.select(
-        F.md5(_normalized()).alias("text_hash"),
-        split.alias("split"),
-        "doc_id",
+    assign = docs.select("doc_id", split.alias("split"))
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sa = assign.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
     )
-    per_hash = h.groupBy("text_hash").agg(
-        F.count_distinct("split").alias("n_splits"),
-        F.min("doc_id").alias("canonical_doc_id"),
-        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("n_train"),
-        F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias("n_val"),
-        F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias("n_test"),
+    sb = assign.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
     )
-    return per_hash.filter(F.col("n_splits") > 1).drop("n_splits")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "split_a",
+            "split_b",
+            (F.col("split_a") != F.col("split_b")).alias("leaked"),
+        )
+    )
 
 
 QUERIES = {
@@ -305,23 +314,19 @@ FROM chunks
 """,
 }
 
+from .dedup import ORACLE as _DEDUP_ORACLE  # noqa: E402
+
 ORACLE["split_leakage_audit"] = f"""
-WITH h AS (
-  SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS text_hash,
+WITH assign AS (
+  SELECT doc_id,
          CASE WHEN {_B} < '{VAL_CUT}' THEN 'val'
               WHEN {_B} < '{TEST_CUT}' THEN 'test'
-              ELSE 'train' END AS split,
-         doc_id
+              ELSE 'train' END AS split
   FROM documents
-), per_hash AS (
-  SELECT text_hash,
-         count(DISTINCT split) AS n_splits,
-         min(doc_id) AS canonical_doc_id,
-         sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
-         sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS n_val,
-         sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_test
-  FROM h GROUP BY text_hash
 )
-SELECT text_hash, canonical_doc_id, n_train, n_val, n_test
-FROM per_hash WHERE n_splits > 1
+SELECT p.doc_a, p.doc_b, a.split AS split_a, b.split AS split_b,
+       a.split <> b.split AS leaked
+FROM ({_DEDUP_ORACLE["minhash_lsh_pairs"]}) p
+JOIN assign a ON p.doc_a = a.doc_id
+JOIN assign b ON p.doc_b = b.doc_id
 """
