@@ -227,6 +227,35 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic QUALITY-WEIGHTED sampling (the DCLM/quality-classifier
+    recipe): P(keep) = quality_score, realized as
+    ``hash16(doc_id) < floor(score · 2^16)`` over the 16-bit hash bucket —
+    reproducible like every sampler here, but the keep-rate now follows
+    the per-doc score instead of a global cut. Engine-exact: the score is
+    an integer-micro rational divided once by 10^6, scaling by 2^16 only
+    shifts the binary exponent (exact), and floor of identical binary64 is
+    identical. Still one map-side filter — no shuffle, no state."""
+    from .textstats import quality_exprs
+
+    docs = load_table(spark, sf_dir, "documents")
+    score = quality_exprs()["quality_score"]
+    hash16 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    thresh = F.floor(score * 65536).cast("int")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            score.alias("quality_score"),
+            hash16.alias("hash16"),
+            thresh.alias("keep_below"),
+        )
+        .filter(F.col("hash16") < F.col("keep_below"))
+    )
+
+
 QUERIES = {
     "hash_sample_docs": hash_sample_docs,
     "hash_split_docs": hash_split_docs,
@@ -236,6 +265,7 @@ QUERIES = {
     "source_quota_cap": source_quota_cap,
     "context_chunks": context_chunks,
     "split_leakage_audit": split_leakage_audit,
+    "quality_weighted_sample": quality_weighted_sample,
 }
 
 _B = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)"
@@ -315,6 +345,35 @@ FROM chunks
 }
 
 from .dedup import ORACLE as _DEDUP_ORACLE  # noqa: E402
+from .textstats import QUALITY_MICRO_SQL, STOPWORDS  # noqa: E402
+
+_HEX16_ID = " + ".join(
+    f"(strpos('0123456789abcdef',"
+    f" substring(md5(CAST(doc_id AS VARCHAR)), {d + 1}, 1)) - 1)"
+    f" * {16 ** (3 - d)}"
+    for d in range(4)
+)
+
+ORACLE["quality_weighted_sample"] = f"""
+WITH qbase AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+         CAST(length(text) - (len(string_split(text, ' ')) - 1) AS BIGINT) AS c,
+         CAST(len(list_filter(string_split(text, ' '),
+                  t -> t IN ('{"', '".join(STOPWORDS)}'))) AS BIGINT) AS stop
+  FROM documents
+), scored AS (
+  SELECT doc_id, source,
+         CASE WHEN n < 10 THEN 0.0
+              ELSE {QUALITY_MICRO_SQL} / 1000000.0 END AS quality_score,
+         CAST({_HEX16_ID} AS INTEGER) AS hash16
+  FROM qbase
+)
+SELECT doc_id, source, quality_score, hash16,
+       CAST(floor(quality_score * 65536) AS INTEGER) AS keep_below
+FROM scored
+WHERE hash16 < CAST(floor(quality_score * 65536) AS INTEGER)
+"""
 
 ORACLE["split_leakage_audit"] = f"""
 WITH assign AS (

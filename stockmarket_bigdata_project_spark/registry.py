@@ -188,6 +188,7 @@ _INTRODUCED_LATE_R3 = frozenset(
         "event_transition_matrix", "scd2_daily_snapshot",
         "streaming_upsert_view", "target_encode_loo", "variant_functions",
         "split_leakage_audit", "media_dedup_groups",
+        "quality_weighted_sample",
     }
 )
 
