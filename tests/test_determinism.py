@@ -33,6 +33,13 @@ _SENSITIVE = [
     "product_profit_q9",
     "national_market_share_q8",
     "idle_rich_customers_q22",
+    # round-3 additions with float outputs derived from shuffled aggregates
+    "value_zscore_outliers",  # power-sum moments → z per row
+    "target_encode_loo",  # (S1 − x)/(n−1) from group sums
+    "salient_terms_topk",  # tf/df ranking across two aggregates
+    "rolling_median_5row",  # order-statistic window over collected frames
+    "quality_weighted_sample",  # score threshold vs hash bucket
+    "event_transition_matrix",  # conditional probability from two counts
 ]
 
 
