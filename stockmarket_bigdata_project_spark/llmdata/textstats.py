@@ -408,6 +408,57 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lm_perplexity_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model perplexity quality filter, the CCNet curation step
+    (Wenzek et al. 2020: KenLM perplexity buckets the corpus into
+    keep/review/discard tiers). North-star extension — the reference has no
+    LM scorer. The 5-gram KenLM is replaced by a self-trained unigram LM
+    over the corpus itself, and the floating-point log by an EXACT integer
+    bit cost: bits(tok) = ilog2(total_tokens div freq(tok))
+    = length(bin(quotient)) - 1 — a Shannon-code word length, the same
+    integer in Spark and DuckDB (playbook: no transcendental ever touches
+    an output column). A doc's mean bits/token is high when its tokens are
+    corpus-rare (surprising text) and low for boilerplate — the same
+    ordering KenLM perplexity induces, minus the float.
+
+    Scale shape: one token-count aggregate (vocab, hash-partitioned by
+    token), a 1-row total broadcast onto it, occurrence→vocab equi-join
+    co-partitioned on token, final per-doc agg on doc_id. Linear end to
+    end; the unbounded vocab is never broadcast or collected. mean_bits is
+    round-half-up micro-quantized integer arithmetic, then one binary64
+    division by 1e6 — bit-identical cross-engine.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_tok()).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("freq"))
+    total = vocab.agg(F.sum("freq").alias("total_toks"))
+    bits_tbl = vocab.crossJoin(F.broadcast(total)).select(
+        "tok",
+        (F.length(F.bin(F.expr("total_toks div freq"))) - F.lit(1)).alias(
+            "bits"
+        ),
+    )
+    per_doc = (
+        toks.join(bits_tbl, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("bits").alias("sum_bits"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "sum_bits",
+        (
+            _round_div_micro(
+                F.col("sum_bits") * F.lit(1_000_000), F.col("n_tokens")
+            )
+            / F.lit(1_000_000.0)
+        ).alias("mean_bits"),
+    )
+
+
 QUERIES = {
     "lang_id_scores": lang_id_scores,
     "quality_scores": quality_scores,
@@ -420,6 +471,7 @@ QUERIES = {
     "salient_terms_topk": salient_terms_topk,
     "feature_hash_counts": feature_hash_counts,
     "vocab_oov_rate": vocab_oov_rate,
+    "lm_perplexity_bits": lm_perplexity_bits,
 }
 
 # 16-bit value of the first 4 hex digits of md5(tok), by pure string/integer
@@ -617,6 +669,26 @@ SELECT doc_id,
        count(*) AS n_tokens
 FROM toks
 GROUP BY doc_id, bucket
+"""
+
+ORACLE["lm_perplexity_bits"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), vocab AS (
+  SELECT tok, count(*) AS freq FROM toks GROUP BY tok
+), tot AS (
+  SELECT CAST(sum(freq) AS BIGINT) AS total_toks FROM vocab
+), bits_tbl AS (
+  SELECT tok, length(bin(total_toks // freq)) - 1 AS bits
+  FROM vocab, tot
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_tokens, CAST(sum(bits) AS BIGINT) AS sum_bits
+  FROM toks JOIN bits_tbl USING (tok) GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, sum_bits,
+       ((2 * sum_bits * 1000000 + n_tokens) // (2 * n_tokens)) / 1000000.0
+         AS mean_bits
+FROM per_doc
 """
 
 ORACLE["vocab_oov_rate"] = f"""

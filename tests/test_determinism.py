@@ -40,6 +40,7 @@ _SENSITIVE = [
     "rolling_median_5row",  # order-statistic window over collected frames
     "quality_weighted_sample",  # score threshold vs hash bucket
     "event_transition_matrix",  # conditional probability from two counts
+    "lm_perplexity_bits",  # mean bits/token from shuffled integer sums
 ]
 
 
