@@ -369,6 +369,76 @@ def feature_hash_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DSIR_TARGET_LANG = "en"  # the "high-quality target" slice DSIR upweights
+
+
+def dsir_importance_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023, DSIR):
+    score raw documents by log(p_target/p_raw) under two hashed-unigram
+    bag-of-words models — the pretraining-corpus reweighting step. The
+    target distribution is fit on the DSIR_TARGET_LANG slice of the corpus
+    itself; both models use the same hashing-trick buckets as
+    feature_hash_counts (md5 16-bit prefix mod N_FEATURE_BUCKETS).
+
+    The float log-likelihood ratio is replaced by EXACT integer Shannon
+    code lengths (same ilog2-via-bin idiom as lm_perplexity_bits), with
+    Laplace smoothing so empty target buckets stay defined:
+    bits_x(b) = ilog2((total_x + B) div (cnt_x(b) + 1)); a doc's
+    dsir_bits = Σ_occurrences (bits_raw − bits_target) — positive iff the
+    doc codes more cheaply under the target model, the ordering DSIR's
+    importance weight induces. target_like = 1 is the keep decision of
+    importance resampling with a threshold at weight 1.
+
+    Scale shape: two bucket-count aggregates over a B-row key space, a
+    B-row stats relation broadcast back onto the token stream (never the
+    reverse), one per-doc agg. Linear; all integers.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hv = F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(_tok()).alias("tok")
+    ).select("doc_id", "lang", (hv % N_FEATURE_BUCKETS).alias("bucket"))
+    raw = toks.groupBy("bucket").agg(F.count("*").alias("cnt_r"))
+    tgt = (
+        toks.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt_t"))
+    )
+    stats = raw.join(tgt, "bucket", "left").select(
+        "bucket", "cnt_r", F.coalesce("cnt_t", F.lit(0)).alias("cnt_t")
+    )
+    totals = stats.agg(
+        F.sum("cnt_r").alias("total_r"), F.sum("cnt_t").alias("total_t")
+    )
+    B = N_FEATURE_BUCKETS
+
+    def _bits(total: str, cnt: str) -> F.Column:
+        return F.length(
+            F.bin(F.expr(f"({total} + {B}) div ({cnt} + 1)"))
+        ) - F.lit(1)
+
+    bucket_bits = stats.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (_bits("total_r", "cnt_r") - _bits("total_t", "cnt_t")).alias(
+            "bit_gain"
+        ),
+    )
+    return (
+        toks.join(F.broadcast(bucket_bits), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("bit_gain").alias("dsir_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dsir_bits",
+            (F.col("dsir_bits") >= 0).cast("int").alias("target_like"),
+        )
+    )
+
+
 VOCAB_SIZE = 24  # top-V token types kept by the toy tokenizer vocabulary
 
 
@@ -472,6 +542,7 @@ QUERIES = {
     "feature_hash_counts": feature_hash_counts,
     "vocab_oov_rate": vocab_oov_rate,
     "lm_perplexity_bits": lm_perplexity_bits,
+    "dsir_importance_bits": dsir_importance_bits,
 }
 
 # 16-bit value of the first 4 hex digits of md5(tok), by pure string/integer
@@ -689,6 +760,38 @@ SELECT doc_id, n_tokens, sum_bits,
        ((2 * sum_bits * 1000000 + n_tokens) // (2 * n_tokens)) / 1000000.0
          AS mean_bits
 FROM per_doc
+"""
+
+ORACLE["dsir_importance_bits"] = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         CAST(({_HEX16_SQL}) % {N_FEATURE_BUCKETS} AS INTEGER) AS bucket
+  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+), raw AS (
+  SELECT bucket, count(*) AS cnt_r FROM toks GROUP BY bucket
+), tgt AS (
+  SELECT bucket, count(*) AS cnt_t FROM toks
+  WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY bucket
+), stats AS (
+  SELECT bucket, cnt_r, coalesce(cnt_t, 0) AS cnt_t
+  FROM raw LEFT JOIN tgt USING (bucket)
+), tot AS (
+  SELECT CAST(sum(cnt_r) AS BIGINT) AS total_r,
+         CAST(sum(cnt_t) AS BIGINT) AS total_t
+  FROM stats
+), bucket_bits AS (
+  SELECT bucket,
+         (length(bin((total_r + {N_FEATURE_BUCKETS}) // (cnt_r + 1))) - 1)
+       - (length(bin((total_t + {N_FEATURE_BUCKETS}) // (cnt_t + 1))) - 1)
+           AS bit_gain
+  FROM stats, tot
+)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(sum(bit_gain) AS BIGINT) AS dsir_bits,
+       CAST(CAST(sum(bit_gain) AS BIGINT) >= 0 AS INTEGER) AS target_like
+FROM toks JOIN bucket_bits USING (bucket)
+GROUP BY doc_id
 """
 
 ORACLE["vocab_oov_rate"] = f"""

@@ -412,3 +412,33 @@ def test_join_strategy_hints_are_honored(spark, sf_dir):
         j = o.join(c.hint(hint), o.o_custkey == c.c_custkey)
         plan = _plan(j)
         assert op in plan, f"{hint}: expected {op}\n{plan}"
+
+
+def test_dsir_bucket_stats_broadcast_no_sort_merge(spark, sf_dir):
+    """DSIR importance scoring: the B-row bucket-bits relation (and the
+    1-row totals) broadcast onto the token stream — the token stream itself
+    must never be the build side or cross a sort-merge join."""
+    from stockmarket_bigdata_project_spark.llmdata.textstats import (
+        dsir_importance_bits,
+    )
+
+    plan = _plan(dsir_importance_bits(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_lm_perplexity_partial_aggs_and_no_cartesian(spark, sf_dir):
+    """Unigram-LM scoring: the vocab aggregate keeps map-side partial
+    aggregation (partial_count before the token exchange) and the 1-row
+    total joins as broadcast, never a cartesian product."""
+    from stockmarket_bigdata_project_spark.llmdata.textstats import (
+        lm_perplexity_bits,
+    )
+
+    plan = _plan(lm_perplexity_bits(spark, sf_dir))
+    assert "partial_count" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the 1-row total attaches as a broadcast nested-loop (scalar pattern,
+    # same shape test_q22 pins) — constant work per partition, not O(n²)
+    assert "BroadcastNestedLoopJoin" in plan, plan
