@@ -193,6 +193,67 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMDEDUP_TAU = 0.40  # within-cluster cosine above this = semantic duplicate
+
+
+def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by clustering
+    the embedding space and removing, within each cluster, every vector
+    that has a higher-cosine-than-τ neighbor with a smaller id (the
+    keep-one-representative rule; SemDeDup likewise prunes within clusters
+    only and does no cross-cluster closure). The k-means step is the same
+    deterministic fixed-centroid stand-in as knn_ivf — the operator under
+    test is the cluster-bounded pairwise prune, not centroid training.
+
+    Scale shape: assignment is a broadcast-centroid argmax (linear over
+    the corpus); the pairwise step is bucket-local — O(Σ cᵢ²) for cluster
+    sizes cᵢ, exactly the cost SemDeDup budgets by choosing k ∝ n so
+    clusters stay bounded; nothing quadratic in the corpus ever forms.
+    Exactness: integer-micros cosines + id tie-breaks, so kept/removed is
+    bit-deterministic and value-level oracle-checked."""
+    e = _emb(spark, sf_dir)
+    cent = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("mvec").alias("cvec")
+    )
+    assign_w = Window.partitionBy("vec_id").orderBy(
+        F.desc("ccos"), F.asc("centroid_id")
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "mvec",
+            "centroid_id",
+            _cosine(F.col("mvec"), F.col("cvec")).alias("ccos"),
+        )
+        .withColumn("rn", F.row_number().over(assign_w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "mvec", F.col("centroid_id").alias("bucket"))
+    )
+    a = assigned.select(
+        F.col("bucket"), F.col("vec_id").alias("vec_a"), F.col("mvec").alias("va")
+    )
+    b = assigned.select(
+        F.col("bucket"), F.col("vec_id").alias("vec_b"), F.col("mvec").alias("vb")
+    )
+    removed = (
+        a.join(b, ["bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(_cosine(F.col("va"), F.col("vb")) >= SEMDEDUP_TAU)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        assigned.join(removed, "vec_id", "left")
+        .select(
+            "vec_id",
+            "bucket",
+            (F.coalesce("is_dup", F.lit(0)) == 0).cast("int").alias("kept"),
+        )
+    )
+
+
 N_PLANES = 32  # 8 bands × 4 bits
 LSH_BANDS = 8
 BITS_PER_BAND = 4
@@ -373,6 +434,7 @@ QUERIES = {
     "embedding_lsh_near_dup": embedding_lsh_near_dup,
     "label_centroid_similarity": label_centroid_similarity,
     "embedding_int8_quantization": embedding_int8_quantization,
+    "semdedup_survivors": semdedup_survivors,
 }
 
 _MVEC_SQL = "list_transform(embedding, x -> round(x::DOUBLE * 1000000))"
@@ -540,4 +602,28 @@ SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
 FROM e a JOIN e b ON b.vec_id <> a.vec_id
 WHERE a.vec_id < {N_QUERIES}
   AND {_cos_sql("a.mvec", "b.mvec")} >= {RANGE_TAU}
+"""
+
+ORACLE["semdedup_survivors"] = f"""
+WITH e AS (
+  SELECT vec_id, {_MVEC_SQL} AS mvec FROM embeddings
+), cent AS (
+  SELECT vec_id AS centroid_id, mvec AS cvec FROM e WHERE vec_id < {N_CENTROIDS}
+), assigned AS (
+  SELECT vec_id, mvec, centroid_id AS bucket FROM (
+    SELECT e.vec_id, e.mvec, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_cos_sql("e.mvec", "c.cvec")} DESC,
+                      c.centroid_id ASC) AS rn
+    FROM e CROSS JOIN cent c) WHERE rn = 1
+), removed AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE {_cos_sql("a.mvec", "b.mvec")} >= {SEMDEDUP_TAU}
+)
+SELECT a.vec_id, a.bucket,
+       CAST(r.vec_id IS NULL AS INTEGER) AS kept
+FROM assigned a LEFT JOIN removed r ON r.vec_id = a.vec_id
 """
