@@ -442,3 +442,15 @@ def test_lm_perplexity_partial_aggs_and_no_cartesian(spark, sf_dir):
     # the 1-row total attaches as a broadcast nested-loop (scalar pattern,
     # same shape test_q22 pins) — constant work per partition, not O(n²)
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_semdedup_pairwise_is_bucket_equi_join(spark, sf_dir):
+    """SemDeDup's pairwise stage must be an equi-join on the cluster bucket
+    (cost O(Σ cᵢ²)), never an unconstrained cartesian over the corpus; the
+    only nested-loop allowed is the K-row centroid broadcast."""
+    from stockmarket_bigdata_project_spark.llmdata.similarity import (
+        semdedup_survivors,
+    )
+
+    plan = _plan(semdedup_survivors(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
