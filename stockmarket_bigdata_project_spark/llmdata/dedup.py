@@ -445,6 +445,71 @@ def simhash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPAN_L = 4  # minimum duplicated run, in tokens (Lee et al. use 50 BPE
+# tokens on web corpora; 4 matches this testdata's short synthetic docs,
+# same tuning note as BOILER_N)
+
+
+def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring deduplication, the Lee et al. 2022 operator
+    ("Deduplicating Training Data Makes Language Models Better"): find every
+    MAXIMAL token span of length ≥ SPAN_L whose every SPAN_L-gram occurs
+    more than once in the corpus — the spans a substring-dedup pass would
+    cut before training. The paper's suffix array is replaced by the
+    equivalent-for-fixed-L formulation: position-indexed L-grams →
+    corpus-wide occurrence counts → duplicated positions → gaps-and-islands
+    merge into maximal spans (pos − row_number() grouping).
+
+    Scale shape: one gram-count aggregate (hash-partitioned on the gram,
+    map-side partial counts), one equi-join back (same key), one per-doc
+    window — all linear; a suffix array's O(n log n) global sort is never
+    needed for fixed minimum length. Output is integers only (token
+    indices + counts): value-level oracle-checked.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.split("text", " ").alias("ws")
+    ).withColumn("n", F.size("ws"))
+    grams = (
+        base.filter(F.col("n") >= SPAN_L)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n") - F.lit(SPAN_L - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.concat_ws(
+                            " ", F.slice("ws", i, F.lit(SPAN_L))
+                        ).alias("gram"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("gram")
+    )
+    hits = grams.join(dup, "gram").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = hits.withColumn(
+        "grp", F.col("pos") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(SPAN_L - 1)).alias("span_end"),
+            F.count("*").alias("n_dup_grams"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_dup_grams")
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_survivors": dedup_exact_survivors,
@@ -458,6 +523,7 @@ QUERIES = {
     "minhash_dedup_survivors": minhash_dedup_survivors,
     "simhash_signatures": simhash_signatures,
     "simhash_dup_groups": simhash_dup_groups,
+    "duplicate_spans": duplicate_spans,
 }
 
 _SHINGLES_SQL = """
@@ -676,4 +742,27 @@ SELECT b.doc_id, b.lang, b.source,
        (c.text_hash IS NOT NULL) AS is_duplicate
 FROM hashed b LEFT JOIN corpus c USING (text_hash)
 WHERE b.doc_id % {INCR_MOD} = {INCR_REM}
+"""
+
+ORACLE["duplicate_spans"] = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS l,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), grams AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         array_to_string(l[i:i + {SPAN_L} - 1], ' ') AS gram
+  FROM base, unnest(generate_series(1, n - {SPAN_L} + 1)) AS t(i)
+  WHERE n >= {SPAN_L}
+), dup AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2
+), hits AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM grams JOIN dup USING (gram)
+)
+SELECT doc_id, min(pos) AS span_start,
+       max(pos) + {SPAN_L} - 1 AS span_end,
+       count(*) AS n_dup_grams
+FROM hits GROUP BY doc_id, grp
 """

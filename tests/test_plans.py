@@ -454,3 +454,18 @@ def test_semdedup_pairwise_is_bucket_equi_join(spark, sf_dir):
 
     plan = _plan(semdedup_survivors(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_duplicate_spans_partial_counts_no_cartesian(spark, sf_dir):
+    """Substring-dedup spans: the gram occurrence count must keep map-side
+    partial aggregation before its exchange, and the gram join-back must be
+    an equi-join — never a cartesian (the suffix-array replacement stays
+    shuffle-linear)."""
+    from stockmarket_bigdata_project_spark.llmdata.dedup import (
+        duplicate_spans,
+    )
+
+    plan = _plan(duplicate_spans(spark, sf_dir))
+    assert "partial_count" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
