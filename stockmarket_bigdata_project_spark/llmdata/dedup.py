@@ -510,6 +510,74 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The act step behind duplicate_spans (Lee et al. 2022 §4: cut every
+    duplicated substring occurrence but one): spans with identical token
+    content are grouped, the globally-first occurrence (min (doc_id,
+    span_start)) is the canonical keeper, every other occurrence is cut
+    from its document and the text reassembled. Operates on the MAXIMAL
+    spans duplicate_spans emits — a span must repeat verbatim to be cut
+    (embedded-in-longer-span copies stay; documented simplification of the
+    paper's per-substring rule, same flavor as their ExactSubstr tool
+    keeping one member per duplicate cluster). Cut positions are the UNION
+    over a doc's non-canonical spans (islands of gram starts closer than
+    SPAN_L overlap in token coverage), so an overlapping cut may clip a
+    canonical neighbor — like byte-range cutting in the paper's tool; both
+    the union accounting and content survival are pinned in
+    tests/test_exact_properties.py.
+
+    Scale shape: spans ∝ duplication (small side — broadcast back onto the
+    corpus scan, same pattern as boilerplate_strip); the canonical choice
+    is a window over the span table, never the corpus; the rewrite is one
+    per-word filter against the doc's own covered-position set. The
+    document text never crosses an exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    spans = duplicate_spans(spark, sf_dir)
+    content = spans.join(base, "doc_id").select(
+        "doc_id",
+        "span_start",
+        "span_end",
+        F.concat_ws(
+            " ",
+            F.slice(
+                "ws",
+                F.col("span_start"),
+                F.col("span_end") - F.col("span_start") + F.lit(1),
+            ),
+        ).alias("span_text"),
+    )
+    w = Window.partitionBy("span_text").orderBy("doc_id", "span_start")
+    cuts = (
+        content.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select("doc_id", "span_start", "span_end")
+    )
+    covered = (
+        cuts.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("span_start"), F.col("span_end"))
+            ).alias("pos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("covered"))
+    )
+    j = base.join(F.broadcast(covered), "doc_id", "left")
+    kept = F.filter(
+        "ws",
+        lambda word, i: ~F.coalesce(
+            F.array_contains("covered", i + 1), F.lit(False)
+        ),
+    )
+    return j.select(
+        "doc_id",
+        F.size("ws").alias("n_words"),
+        (F.size("ws") - F.size(kept)).alias("n_removed"),
+        F.concat_ws(" ", kept).alias("deduped_text"),
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_survivors": dedup_exact_survivors,
@@ -524,6 +592,7 @@ QUERIES = {
     "simhash_signatures": simhash_signatures,
     "simhash_dup_groups": simhash_dup_groups,
     "duplicate_spans": duplicate_spans,
+    "substring_dedup_rewrite": substring_dedup_rewrite,
 }
 
 _SHINGLES_SQL = """
@@ -765,4 +834,51 @@ SELECT doc_id, min(pos) AS span_start,
        max(pos) + {SPAN_L} - 1 AS span_end,
        count(*) AS n_dup_grams
 FROM hits GROUP BY doc_id, grp
+"""
+
+ORACLE["substring_dedup_rewrite"] = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS l,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), grams AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         array_to_string(l[i:i + {SPAN_L} - 1], ' ') AS gram
+  FROM base, unnest(generate_series(1, n - {SPAN_L} + 1)) AS t(i)
+  WHERE n >= {SPAN_L}
+), dup AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2
+), hits AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM grams JOIN dup USING (gram)
+), spans AS (
+  SELECT doc_id, min(pos) AS span_start,
+         max(pos) + {SPAN_L} - 1 AS span_end
+  FROM hits GROUP BY doc_id, grp
+), content AS (
+  SELECT s.doc_id, s.span_start, s.span_end,
+         array_to_string(b.l[s.span_start:s.span_end], ' ') AS span_text
+  FROM spans s JOIN base b USING (doc_id)
+), cuts AS (
+  SELECT doc_id, span_start, span_end FROM (
+    SELECT doc_id, span_start, span_end,
+           row_number() OVER (PARTITION BY span_text
+                              ORDER BY doc_id, span_start) AS rn
+    FROM content) WHERE rn > 1
+), covered AS (
+  SELECT doc_id, list(DISTINCT p) AS covered FROM (
+    SELECT doc_id, unnest(generate_series(span_start, span_end)) AS p
+    FROM cuts) GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(b.n AS INTEGER) AS n_words,
+       CAST(b.n - len(kept) AS INTEGER) AS n_removed,
+       coalesce(array_to_string(kept, ' '), '') AS deduped_text
+FROM (
+  SELECT b.doc_id, b.n,
+         list_filter(b.l, (w, i) ->
+           c.covered IS NULL OR NOT list_contains(c.covered, i)) AS kept
+  FROM base b LEFT JOIN covered c USING (doc_id)
+) b
 """

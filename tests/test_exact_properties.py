@@ -78,3 +78,116 @@ def test_word_ngrams_matches_python_reference(spark, ws, n):
         " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
     } if len(toks) >= n else set()
     assert got == expect, (text, n, got, expect)
+
+
+def test_duplicate_spans_matches_independent_python(spark, sf_dir):
+    """duplicate_spans vs a from-scratch Python implementation (not the
+    mirrored SQL): position-indexed L-grams, occurrence counts, islands.
+    Catches an error the SQL oracle can't — both engine queries encode the
+    same algorithm, this one doesn't share a line with either."""
+    import duckdb
+
+    from stockmarket_bigdata_project_spark.catalog import table_path
+    from stockmarket_bigdata_project_spark.llmdata.dedup import (
+        SPAN_L,
+        duplicate_spans,
+    )
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{table_path(sf_dir, 'documents')}')"
+    ).fetchall()
+
+    from collections import Counter
+
+    grams_per_doc = {}
+    counts = Counter()
+    for doc_id, text in docs:
+        ws = text.split(" ")
+        grams = [
+            (pos + 1, " ".join(ws[pos : pos + SPAN_L]))
+            for pos in range(len(ws) - SPAN_L + 1)
+        ]
+        grams_per_doc[doc_id] = grams
+        counts.update(g for _, g in grams)
+
+    expected = set()
+    for doc_id, grams in grams_per_doc.items():
+        dup_pos = sorted(p for p, g in grams if counts[g] >= 2)
+        run: list[int] = []
+        for p in dup_pos + [None]:
+            if run and (p is None or p != run[-1] + 1):
+                expected.add(
+                    (doc_id, run[0], run[-1] + SPAN_L - 1, len(run))
+                )
+                run = []
+            if p is not None:
+                run.append(p)
+
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_dup_grams"])
+        for r in duplicate_spans(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_substring_rewrite_removes_exactly_duplicates(spark, sf_dir):
+    """Accounting invariant of the substring-dedup rewrite: the tokens
+    removed from each doc are exactly the UNION of its non-canonical span
+    positions (islands of gram starts closer than L overlap in token
+    coverage, so a plain (k−1)·len sum overcounts), and no span's content
+    disappears from the corpus (dedup removes copies, never information)."""
+    import duckdb
+
+    import pyspark.sql.functions as F
+
+    from stockmarket_bigdata_project_spark.catalog import table_path
+    from stockmarket_bigdata_project_spark.llmdata.dedup import (
+        duplicate_spans,
+        substring_dedup_rewrite,
+    )
+
+    docs = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM read_parquet('{table_path(sf_dir, 'documents')}')"
+        ).fetchall()
+    )
+    spans = duplicate_spans(spark, sf_dir).collect()
+    from collections import Counter
+
+    groups: dict[str, list] = {}
+    for r in spans:
+        ws = docs[r["doc_id"]].split(" ")
+        content = " ".join(ws[r["span_start"] - 1 : r["span_end"]])
+        groups.setdefault(content, []).append(
+            (r["doc_id"], r["span_start"], r["span_end"])
+        )
+
+    cut_positions: dict[int, set] = {}
+    for occ in groups.values():
+        occ.sort()
+        for d, s, e in occ[1:]:
+            cut_positions.setdefault(d, set()).update(range(s, e + 1))
+    expected_removed = sum(len(p) for p in cut_positions.values())
+
+    out = substring_dedup_rewrite(spark, sf_dir)
+    per_doc = {r["doc_id"]: r["n_removed"] for r in out.collect()}
+    assert sum(per_doc.values()) == expected_removed
+    for d, p in cut_positions.items():
+        assert per_doc[d] == len(p), d
+
+    corpus_after = " || ".join(
+        r["deduped_text"] for r in out.collect()
+    )
+    # a duplicated span's content survives wherever its canonical
+    # occurrence is not itself clipped by an OVERLAPPING cut span in the
+    # same doc (islands of gram starts closer than L can overlap in token
+    # coverage — the union-cut above is exactly that case)
+    missing = []
+    for c, occ in groups.items():
+        if len(occ) < 2:
+            continue
+        d, s, e = occ[0]
+        if cut_positions.get(d, set()).isdisjoint(range(s, e + 1)):
+            if c not in corpus_after:
+                missing.append(c)
+    assert not missing, missing[:2]
