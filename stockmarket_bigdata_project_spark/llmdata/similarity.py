@@ -230,16 +230,30 @@ def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "mvec", F.col("centroid_id").alias("bucket"))
     )
-    a = assigned.select(
-        F.col("bucket"), F.col("vec_id").alias("vec_a"), F.col("mvec").alias("va")
+    # norms fold ONCE per (bucket, vector) input row, not once per pair:
+    # the pairwise filter then pays a single HOF dot per pair instead of
+    # three folds. cos = dot / (norm_a · norm_b) is the same binary64
+    # algebra as _cosine, so results stay bit-exact vs the oracle.
+    with_norm = assigned.withColumn("nrm", _norm(F.col("mvec")))
+    a = with_norm.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("mvec").alias("va"),
+        F.col("nrm").alias("na"),
     )
-    b = assigned.select(
-        F.col("bucket"), F.col("vec_id").alias("vec_b"), F.col("mvec").alias("vb")
+    b = with_norm.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("mvec").alias("vb"),
+        F.col("nrm").alias("nb"),
     )
     removed = (
         a.join(b, ["bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(_cosine(F.col("va"), F.col("vb")) >= SEMDEDUP_TAU)
+        .filter(
+            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            >= SEMDEDUP_TAU
+        )
         .select(F.col("vec_b").alias("vec_id"))
         .distinct()
         .withColumn("is_dup", F.lit(1))
