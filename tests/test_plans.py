@@ -469,3 +469,16 @@ def test_duplicate_spans_partial_counts_no_cartesian(spark, sf_dir):
     assert "partial_count" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_substring_rewrite_cut_list_broadcasts(spark, sf_dir):
+    """The rewrite's covered-position relation (∝ duplication, small) must
+    broadcast back onto the corpus scan — the document text itself never
+    crosses a hash exchange for the final reassembly join."""
+    from stockmarket_bigdata_project_spark.llmdata.dedup import (
+        substring_dedup_rewrite,
+    )
+
+    plan = _plan(substring_dedup_rewrite(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
