@@ -7,7 +7,7 @@ per-row, embarrassingly parallel, no shuffle at all until a final aggregate.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import load_table
 
@@ -369,6 +369,38 @@ def feature_hash_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split: rank the corpus by LM score and cut
+    into perplexity terciles (Wenzek et al. 2020 keep the head for
+    training, review the middle, drop the tail). Ordering key is the exact
+    integer micro mean-bits from lm_perplexity_bits with doc_id as the
+    total-order tiebreak, so the ntile boundaries are engine-deterministic.
+    At cluster scale the global ntile would be replaced by approximate
+    percentile cutoffs from a sample (two map passes, no global sort); the
+    exact tercile is the semantics under test here."""
+    scored = lm_perplexity_bits(spark, sf_dir).select(
+        "doc_id",
+        "n_tokens",
+        "sum_bits",
+        _round_div_micro(
+            F.col("sum_bits") * F.lit(1_000_000), F.col("n_tokens")
+        )
+        .cast("long")
+        .alias("mean_bits_micro"),
+    )
+    w = Window.orderBy("mean_bits_micro", "doc_id")
+    tier = F.ntile(3).over(w)
+    return scored.select(
+        "doc_id",
+        "mean_bits_micro",
+        tier.alias("tercile"),
+        F.when(tier == 1, "head")
+        .when(tier == 2, "middle")
+        .otherwise("tail")
+        .alias("ccnet_bucket"),
+    )
+
+
 DSIR_TARGET_LANG = "en"  # the "high-quality target" slice DSIR upweights
 
 
@@ -542,6 +574,7 @@ QUERIES = {
     "feature_hash_counts": feature_hash_counts,
     "vocab_oov_rate": vocab_oov_rate,
     "lm_perplexity_bits": lm_perplexity_bits,
+    "lm_perplexity_buckets": lm_perplexity_buckets,
     "dsir_importance_bits": dsir_importance_bits,
 }
 
@@ -760,6 +793,34 @@ SELECT doc_id, n_tokens, sum_bits,
        ((2 * sum_bits * 1000000 + n_tokens) // (2 * n_tokens)) / 1000000.0
          AS mean_bits
 FROM per_doc
+"""
+
+ORACLE["lm_perplexity_buckets"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), vocab AS (
+  SELECT tok, count(*) AS freq FROM toks GROUP BY tok
+), tot AS (
+  SELECT CAST(sum(freq) AS BIGINT) AS total_toks FROM vocab
+), bits_tbl AS (
+  SELECT tok, length(bin(total_toks // freq)) - 1 AS bits
+  FROM vocab, tot
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_tokens, CAST(sum(bits) AS BIGINT) AS sum_bits
+  FROM toks JOIN bits_tbl USING (tok) GROUP BY doc_id
+), scored AS (
+  SELECT doc_id,
+         (2 * sum_bits * 1000000 + n_tokens) // (2 * n_tokens)
+           AS mean_bits_micro
+  FROM per_doc
+)
+SELECT doc_id, mean_bits_micro,
+       CAST(ntile(3) OVER (ORDER BY mean_bits_micro, doc_id) AS INTEGER)
+         AS tercile,
+       CASE ntile(3) OVER (ORDER BY mean_bits_micro, doc_id)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         AS ccnet_bucket
+FROM scored
 """
 
 ORACLE["dsir_importance_bits"] = f"""
