@@ -46,6 +46,8 @@ _MODULE_PATHS = [
     "llmdata.textstats",
     "llmdata.multimodal",
     "llmdata.corpus",
+    "llmdata.lm",
+    "llmdata.graph",
     "llmdata.sampling",
     "llmdata.decontam",
 ]
@@ -188,7 +190,8 @@ _INTRODUCED_LATE_R3 = frozenset(
         "event_transition_matrix", "scd2_daily_snapshot",
         "streaming_upsert_view", "target_encode_loo", "variant_functions",
         "split_leakage_audit", "media_dedup_groups",
-        "quality_weighted_sample",
+        "quality_weighted_sample", "bigram_lm_bits", "bpe_merge_candidates",
+        "pagerank_near_dup",
     }
 )
 

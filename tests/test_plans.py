@@ -482,3 +482,58 @@ def test_substring_rewrite_cut_list_broadcasts(spark, sf_dir):
     plan = _plan(substring_dedup_rewrite(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+# --- round-3 late additions: LM/tokenizer/graph plan shapes ------------------
+def test_bigram_lm_no_cartesian_partial_aggs(spark, sf_dir):
+    """The bigram LM is pure equi-joins over (w1, w2) keys: no cartesian
+    anywhere, and the pair/context/per-doc counts keep map-side combine."""
+    from stockmarket_bigdata_project_spark.llmdata.lm import bigram_lm_bits
+
+    plan = _plan(bigram_lm_bits(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
+
+
+def test_bpe_merge_window_is_over_pair_counts_only(spark, sf_dir):
+    """The global ranking window may only see the aggregated pair-count
+    table (≤ |charset|² rows): the SinglePartition exchange must sit above
+    a HashAggregate, never above the raw token explosion."""
+    from stockmarket_bigdata_project_spark.llmdata.lm import (
+        bpe_merge_candidates,
+    )
+
+    plan = _plan(bpe_merge_candidates(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    # window input is the (pair → weight) aggregate, so the plan carries
+    # partial+final aggregation; Catalyst rewrites the rank-filter into a
+    # distributed top-k (TakeOrderedAndProject) — per-partition heads merge
+    # N_BPE_MERGES rows, no full shuffle of the counts
+    assert plan.count("HashAggregate") >= 4, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_pagerank_build_is_lazy_and_no_cartesian(spark, sf_dir):
+    """Constructing the PageRank plan must not run the LSH pipeline (no
+    checkpoint anywhere in the chain — ReuseExchange carries the edge
+    list across iterations instead), and the iteration joins are all
+    equi-joins on node ids — the only nested-loop join allowed is the
+    1-row n_nodes broadcast (same shape as lm_perplexity's total join)."""
+    from stockmarket_bigdata_project_spark.llmdata.graph import (
+        pagerank_near_dup,
+    )
+
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    df = pagerank_near_dup(spark, sf_dir)
+    assert df.columns == ["doc_id", "degree", "rank_fp", "pagerank"]
+    new_jobs = set(tracker.getJobIdsForGroup(None)) - before
+    for jid in new_jobs:
+        info = tracker.getJobInfo(jid)
+        assert info is not None
+        assert len(info.stageIds) == 1, (
+            f"job {jid} has stages {list(info.stageIds)}: a multi-stage "
+            "job at build time means an eager materialization in the build"
+        )
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
