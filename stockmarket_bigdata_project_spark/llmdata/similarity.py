@@ -641,3 +641,118 @@ SELECT a.vec_id, a.bucket,
        CAST(r.vec_id IS NULL AS INTEGER) AS kept
 FROM assigned a LEFT JOIN removed r ON r.vec_id = a.vec_id
 """
+
+
+# --- sparse (lexical) retrieval: the inverted-index counterpart of ANN -------
+SR_QUERY_MOD = 41  # doc_id % MOD == REM → the retrieval query set (~2.4%)
+SR_QUERY_REM = 3
+SR_TOP_K = 3
+
+
+def sparse_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical top-k retrieval over an inverted index — the sparse
+    (BM25-family) counterpart of the dense paths above: score(q, d) =
+    Σ over shared terms of w(q,t)·w(d,t), with integer tf·idf weights
+    idf_bits(t) = ilog2(n_docs div df(t)) (Shannon code length — the same
+    transcendental-free idf the LM scorers use, so the whole score is an
+    exact integer).
+
+    Terms are word 3-grams, not unigrams: the synthetic corpus has a
+    ~30-word vocabulary, so every unigram is a stop word; over natural
+    text the identical plan runs on word terms. Stop-term pruning falls
+    out of the integer idf — df > n_docs/2 ⇒ ilog2(quotient)=0 bits ⇒ the
+    term is dropped from the index, which is what bounds posting-list
+    length (and therefore the index self-join) at corpus scale.
+
+    Scale shape: postings (doc, term, tf) and df are two linear aggregates;
+    the query side is a tiny deterministic id-slice of the SAME weighted
+    postings relation; candidate generation is the posting-list equi-join
+    on term — cost ∝ Σ_t |q_postings(t)|·|postings(t)|, bounded by the idf
+    pruning, never |q|·|corpus|; top-k is a per-query window over the
+    aggregated candidate scores. This is the standard distributed sparse
+    retrieval plan (impact-ordered posting joins)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    n = F.greatest(F.size("ws") - 2, F.lit(0))
+    tri = F.arrays_zip(
+        F.slice("ws", 1, n), F.slice("ws", 2, n), F.slice("ws", 3, n)
+    )
+    occ = base.select("doc_id", F.explode(tri).alias("g")).select(
+        "doc_id",
+        F.concat_ws(" ", F.col("g.0"), F.col("g.1"), F.col("g.2")).alias(
+            "term"
+        ),
+    )
+    postings = occ.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_tbl = postings.groupBy("term").agg(F.count("*").alias("df"))
+    n_tbl = docs.agg(F.count("*").alias("n_docs"))
+    idf = (
+        df_tbl.crossJoin(F.broadcast(n_tbl))
+        .select(
+            "term",
+            (F.length(F.bin(F.expr("n_docs div df"))) - F.lit(1)).alias(
+                "idf_bits"
+            ),
+        )
+        .filter(F.col("idf_bits") >= 1)  # integer-exact stop-term pruning
+    )
+    wpost = postings.join(idf, "term").select(
+        "term", "doc_id", (F.col("tf") * F.col("idf_bits")).alias("w")
+    )
+    q = wpost.filter(
+        F.col("doc_id") % SR_QUERY_MOD == SR_QUERY_REM
+    ).select(F.col("doc_id").alias("q_id"), "term", F.col("w").alias("wq"))
+    scores = (
+        q.join(wpost, "term")
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum(F.col("wq") * F.col("w")).alias("score"))
+    )
+    win = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= SR_TOP_K)
+        .select("q_id", "rank", F.col("doc_id").alias("hit_id"), "score")
+    )
+
+
+QUERIES["sparse_retrieval_topk"] = sparse_retrieval_topk
+
+ORACLE["sparse_retrieval_topk"] = f"""
+WITH occ AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                i -> string_split(text, ' ')[i] || ' ' ||
+                     string_split(text, ' ')[i+1] || ' ' ||
+                     string_split(text, ' ')[i+2])) AS term
+  FROM documents
+), postings AS (
+  SELECT doc_id, term, count(*) AS tf FROM occ GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(*) AS df FROM postings GROUP BY term
+), ntbl AS (SELECT count(*) AS n_docs FROM documents),
+idf AS (
+  SELECT term, length(bin(n_docs // df)) - 1 AS idf_bits
+  FROM dft, ntbl
+  WHERE length(bin(n_docs // df)) - 1 >= 1
+), wpost AS (
+  SELECT p.term, p.doc_id, p.tf * i.idf_bits AS w
+  FROM postings p JOIN idf i USING (term)
+), scores AS (
+  SELECT q.doc_id AS q_id, d.doc_id, CAST(sum(q.w * d.w) AS BIGINT) AS score
+  FROM wpost q JOIN wpost d USING (term)
+  WHERE q.doc_id % {SR_QUERY_MOD} = {SR_QUERY_REM}
+    AND d.doc_id <> q.doc_id
+  GROUP BY q.doc_id, d.doc_id
+)
+SELECT q_id, CAST(rank AS INTEGER) AS rank, doc_id AS hit_id, score
+FROM (
+  SELECT q_id, doc_id, score,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores
+)
+WHERE rank <= {SR_TOP_K}
+"""

@@ -191,7 +191,7 @@ _INTRODUCED_LATE_R3 = frozenset(
         "streaming_upsert_view", "target_encode_loo", "variant_functions",
         "split_leakage_audit", "media_dedup_groups",
         "quality_weighted_sample", "bigram_lm_bits", "bpe_merge_candidates",
-        "pagerank_near_dup",
+        "pagerank_near_dup", "sparse_retrieval_topk",
     }
 )
 

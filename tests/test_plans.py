@@ -496,9 +496,10 @@ def test_bigram_lm_no_cartesian_partial_aggs(spark, sf_dir):
 
 
 def test_bpe_merge_window_is_over_pair_counts_only(spark, sf_dir):
-    """The global ranking window may only see the aggregated pair-count
-    table (≤ |charset|² rows): the SinglePartition exchange must sit above
-    a HashAggregate, never above the raw token explosion."""
+    """The ranking may only see the aggregated pair-count table
+    (≤ |charset|² rows): Catalyst folds the rank-filter into a distributed
+    TakeOrderedAndProject above the HashAggregate — never a global sort or
+    single-partition window over the raw token explosion."""
     from stockmarket_bigdata_project_spark.llmdata.lm import (
         bpe_merge_candidates,
     )
@@ -537,3 +538,17 @@ def test_pagerank_build_is_lazy_and_no_cartesian(spark, sf_dir):
         )
     plan = _plan(df)
     assert "CartesianProduct" not in plan, plan
+
+
+def test_sparse_retrieval_is_posting_list_equi_join(spark, sf_dir):
+    """Sparse retrieval must be the inverted-index shape: every join an
+    equi-join (term / q_id keys), the top-k window hash-partitioned by
+    query id — never a cartesian candidate product or a global sort."""
+    from stockmarket_bigdata_project_spark.llmdata.similarity import (
+        sparse_retrieval_topk,
+    )
+
+    plan = _plan(sparse_retrieval_topk(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "hashpartitioning(q_id" in plan, plan
+    assert "rangepartitioning" not in plan, plan
