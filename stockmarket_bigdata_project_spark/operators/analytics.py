@@ -574,3 +574,54 @@ SELECT c.from_type, c.to_type, c.n_transitions,
        CAST(c.n_transitions AS DOUBLE) / t.n_from AS p_transition
 FROM counts c JOIN totals t USING (from_type)
 """
+
+
+def event_pattern_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence-pattern counting: per user, how many
+    CONSECUTIVE view→click→purchase runs (and signup→error runs) occur in
+    event-time order — the CEP/pattern-mining primitive SQL gained in
+    MATCH_RECOGNIZE and Spark lacks natively. Each user's ordered event
+    types collapse to a compact symbol string (first letters are unique
+    across the 5 types) and patterns are counted with one regexp per row —
+    the classic distributed form (symbolize → per-key fold → regex), since
+    per-user sequences are bounded (the sequence_assembly/sessionize
+    precedent) while the corpus of users is not. Total event-time order is
+    pinned by (ts, event_id), so the string — and the counts — are
+    deterministic on any cluster layout. [extension]"""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.struct(
+            F.col("ts"),
+            F.col("event_id"),
+            F.substring("event_type", 1, 1).alias("s"),
+        ).alias("e"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list("e")).alias("es")
+    )
+    seq = F.array_join(F.transform("es", lambda e: e["s"]), "")
+    return per_user.select(
+        "user_id",
+        F.length(seq).alias("n_events"),
+        F.regexp_count(seq, F.lit("vcp")).alias("n_view_click_buy"),
+        F.regexp_count(seq, F.lit("se")).alias("n_signup_error"),
+    )
+
+
+QUERIES["event_pattern_matches"] = event_pattern_matches
+
+ORACLE["event_pattern_matches"] = """
+WITH seqs AS (
+  SELECT user_id,
+         string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS seq
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(length(seq) AS INTEGER) AS n_events,
+       CAST(len(regexp_extract_all(seq, 'vcp')) AS INTEGER)
+         AS n_view_click_buy,
+       CAST(len(regexp_extract_all(seq, 'se')) AS INTEGER)
+         AS n_signup_error
+FROM seqs
+"""

@@ -418,3 +418,70 @@ ASOF LEFT JOIN daily d
   ON o.o_custkey = d.r_custkey AND CAST(o.o_orderdate AS DATE) > d.r_day
 """,
 }
+
+
+# --- CDC snapshot diff --------------------------------------------------------
+CDC_OLD_MOD = 7  # o_orderkey % 7 == 0 → row absent from the OLD snapshot
+CDC_NEW_MOD = 5  # o_orderkey % 5 == 0 → row absent from the NEW snapshot
+CDC_UPD_MOD = 3  # o_orderkey % 3 == 0 → price mutated (+100 cents) in NEW
+
+
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two table snapshots (Delta/Iceberg
+    `table_changes` semantics): classify every key as insert / delete /
+    update by one full-outer equi-join on the primary key; unchanged rows
+    are dropped. The snapshots are deterministic id-slices of orders with
+    a deterministic price mutation, standing in for two committed versions.
+
+    Scale shape: the diff is a single co-partitioned full-outer join on
+    the key plus map-side filters — the standard incremental-maintenance
+    plan; nothing is collected and no side is broadcast (both snapshots
+    are table-sized). Complements `upsert_merge_daily` (the apply step)
+    and the SCD2 queries (the history step). [extension]"""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    old = o.filter(F.col("o_orderkey") % CDC_OLD_MOD != 0).select(
+        "o_orderkey", F.col("cents").alias("old_cents")
+    )
+    new = o.filter(F.col("o_orderkey") % CDC_NEW_MOD != 0).select(
+        "o_orderkey",
+        (
+            F.col("cents")
+            + F.when(F.col("o_orderkey") % CDC_UPD_MOD == 0, 100).otherwise(0)
+        ).alias("new_cents"),
+    )
+    j = old.join(new, "o_orderkey", "full_outer")
+    change = (
+        F.when(F.col("old_cents").isNull(), "insert")
+        .when(F.col("new_cents").isNull(), "delete")
+        .when(F.col("old_cents") != F.col("new_cents"), "update")
+    )
+    return j.select(
+        "o_orderkey", "old_cents", "new_cents", change.alias("change_type")
+    ).filter(change.isNotNull())
+
+
+QUERIES["cdc_snapshot_diff"] = cdc_snapshot_diff
+
+ORACLE["cdc_snapshot_diff"] = f"""
+WITH o AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), old AS (
+  SELECT o_orderkey, cents AS old_cents FROM o
+  WHERE o_orderkey % {CDC_OLD_MOD} <> 0
+), new AS (
+  SELECT o_orderkey,
+         cents + CASE WHEN o_orderkey % {CDC_UPD_MOD} = 0 THEN 100 ELSE 0 END
+           AS new_cents
+  FROM o WHERE o_orderkey % {CDC_NEW_MOD} <> 0
+)
+SELECT o_orderkey, old_cents, new_cents,
+       CASE WHEN old_cents IS NULL THEN 'insert'
+            WHEN new_cents IS NULL THEN 'delete'
+            WHEN old_cents <> new_cents THEN 'update' END AS change_type
+FROM old FULL OUTER JOIN new USING (o_orderkey)
+WHERE old_cents IS NULL OR new_cents IS NULL OR old_cents <> new_cents
+"""

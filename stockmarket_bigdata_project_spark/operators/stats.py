@@ -273,3 +273,67 @@ SELECT count(*) AS n_rows,
        count(DISTINCT event_type) AS n_event_types
 FROM events
 """
+
+
+def robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group anomaly detection: median / MAD (median absolute
+    deviation) with a 3·MAD fence — the heavy-tail-safe twin of
+    `value_zscore_outliers` (mean/stddev break under the very outliers
+    they are meant to find). Exactness: values quantize to integer cents;
+    an exact median of integers is integer or half-integer (one dyadic
+    binary64), absolute deviations are then 0.5-step dyadics, the MAD is a
+    0.25-step dyadic, and 3·MAD and every comparison stay exact — so the
+    flag is bit-identical across engines with no rounding anywhere (the
+    exact_price_quantiles precedent).
+
+    Scale shape: the K-row median/MAD tables broadcast back onto the fact
+    scan (no fact-side join shuffle); the two exact-percentile aggregates
+    do carry values in their buffers through one exchange each — inherent
+    to EXACT grouped medians (the approximate path for 100 TB is
+    `approx_quantiles_prices`; this is its exact, oracle-checkable twin,
+    with group count bounded by the event-type domain). [extension]"""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).alias("cents"),
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(cents, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("cents") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                (F.col("adev") > 3 * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+        )
+        .select("event_type", "med", "mad", "n_rows", "n_outliers")
+    )
+
+
+QUERIES["robust_outliers_mad"] = robust_outliers_mad
+
+ORACLE["robust_outliers_mad"] = """
+WITH ev AS (
+  SELECT event_type, round(value * 100) AS cents FROM events
+), med AS (
+  SELECT event_type, median(cents) AS med FROM ev GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, m.med, abs(e.cents - m.med) AS adev
+  FROM ev e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+)
+SELECT d.event_type, d.med, a.mad, count(*) AS n_rows,
+       CAST(sum(CASE WHEN d.adev > 3 * a.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev d JOIN mad a USING (event_type)
+GROUP BY d.event_type, d.med, a.mad
+"""

@@ -192,6 +192,7 @@ _INTRODUCED_LATE_R3 = frozenset(
         "split_leakage_audit", "media_dedup_groups",
         "quality_weighted_sample", "bigram_lm_bits", "bpe_merge_candidates",
         "pagerank_near_dup", "sparse_retrieval_topk",
+        "event_pattern_matches", "cdc_snapshot_diff", "robust_outliers_mad",
     }
 )
 

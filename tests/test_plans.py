@@ -552,3 +552,45 @@ def test_sparse_retrieval_is_posting_list_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "hashpartitioning(q_id" in plan, plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_event_pattern_single_user_shuffle(spark, sf_dir):
+    """Symbolize→fold→regex must cost exactly one hash exchange on
+    user_id (the per-user fold); the regex runs map-side on the folded
+    strings — no second shuffle, no cartesian."""
+    from stockmarket_bigdata_project_spark.operators.analytics import (
+        event_pattern_matches,
+    )
+
+    plan = _plan(event_pattern_matches(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "hashpartitioning(user_id" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan  # tree+detail
+
+
+def test_cdc_diff_is_single_full_outer_equi_join(spark, sf_dir):
+    """The snapshot diff must be one co-partitioned FULL OUTER equi-join
+    on the key — never a broadcast (both snapshots are table-sized at
+    production scale) and never a nested loop."""
+    from stockmarket_bigdata_project_spark.operators.joins import (
+        cdc_snapshot_diff,
+    )
+
+    plan = _plan(cdc_snapshot_diff(spark, sf_dir))
+    assert "FullOuter" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_mad_outliers_broadcast_stats_back(spark, sf_dir):
+    """The K-row median/MAD tables must broadcast back onto the fact scan:
+    no sort-merge join anywhere (a fact-side join shuffle would dwarf the
+    aggregation at scale)."""
+    from stockmarket_bigdata_project_spark.operators.stats import (
+        robust_outliers_mad,
+    )
+
+    plan = _plan(robust_outliers_mad(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
