@@ -166,3 +166,134 @@ FROM counts
 ORDER BY weight DESC, pair ASC LIMIT {N_BPE_MERGES}
 """,
 }
+
+
+BPE_ROUNDS = 2  # trained merge rounds (merge → re-tokenize → recount)
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An actual distributed BPE TRAINER for ``BPE_ROUNDS`` rounds — not
+    just round-1 statistics (`bpe_merge_candidates`): each round picks the
+    corpus-weighted most frequent adjacent symbol pair (total order:
+    weight DESC, pair ASC), applies the merge to every vocabulary word,
+    re-tokenizes, and recounts — so round 2's winner is computed over the
+    corpus AS RE-TOKENIZED by round 1's merge, exactly like Sennrich et
+    al. 2016. Returns the merge table (round, left, right, merged, weight).
+
+    Merge application is a single string replace over the space-delimited
+    symbol string (`' l r '` → `' lr '`), scanning left-to-right
+    non-overlapping — identical semantics in Spark and DuckDB. One
+    documented deviation from strict greedy BPE: a run sharing boundary
+    separators (`a b a b`) merges alternate occurrences per pass because
+    the replace consumes the delimiter; deterministic and engine-identical.
+
+    Scale shape per round: the corpus stays collapsed to its vocabulary
+    (word, wf); pair counting is one hash aggregate over exploded symbol
+    pairs; the winning merge is a 1-row broadcast applied map-side. The
+    driver loop is K plan-building iterations — no data ever reaches the
+    driver. A production trainer runs the same plan with the vocabulary
+    staged as a table per round."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+    wfreq = words.groupBy("word").agg(F.count("*").alias("wf"))
+    sym0 = F.concat(
+        F.lit(" "),
+        F.array_join(
+            F.expr(
+                "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+            ),
+            " ",
+        ),
+        F.lit(" "),
+    )
+    cur = wfreq.select("wf", sym0.alias("sym"))
+    out = None
+    for rnd in range(1, BPE_ROUNDS + 1):
+        syms = F.split(F.trim(F.col("sym")), " ")
+        n = F.size(syms)
+        prs = F.zip_with(
+            F.slice(syms, 1, n - 1),
+            F.slice(syms, 2, n - 1),
+            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+        )
+        counts = (
+            cur.select("wf", F.explode(prs).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("wf").alias("weight"))
+        )
+        w = Window.orderBy(
+            F.col("weight").desc(), F.col("l").asc(), F.col("r").asc()
+        )
+        top = (
+            counts.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(
+                F.lit(rnd).alias("merge_round"), "l", "r", "weight"
+            )
+        )
+        out = top if out is None else out.unionByName(top)
+        winner = top.select(F.col("l").alias("ml"), F.col("r").alias("mr"))
+        cur = cur.crossJoin(F.broadcast(winner)).select(
+            "wf",
+            F.replace(
+                F.col("sym"),
+                F.concat(
+                    F.lit(" "), F.col("ml"), F.lit(" "), F.col("mr"), F.lit(" ")
+                ),
+                F.concat(F.lit(" "), F.col("ml"), F.col("mr"), F.lit(" ")),
+            ).alias("sym"),
+        )
+    return out.select(
+        "merge_round",
+        "l",
+        "r",
+        F.concat(F.col("l"), F.col("r")).alias("merged"),
+        "weight",
+    )
+
+
+QUERIES["bpe_train_merges"] = bpe_train_merges
+
+
+def _bpe_round_sql(k: int) -> str:
+    """CTE pair: c{k} counts pairs over s{k-1}; s{k} applies c{k}'s winner."""
+    return f"""c{k} AS MATERIALIZED (
+  SELECT l, r, weight,
+         row_number() OVER (ORDER BY weight DESC, l ASC, r ASC) AS rk
+  FROM (
+    SELECT t[i] AS l, t[i + 1] AS r, CAST(sum(wf) AS BIGINT) AS weight
+    FROM (SELECT wf, t, unnest(range(1, len(t))) AS i
+          FROM (SELECT wf, string_split(trim(sym), ' ') AS t FROM s{k - 1}))
+    GROUP BY l, r
+  )
+), s{k} AS MATERIALIZED (
+  SELECT wf,
+         replace(sym, ' ' || m.l || ' ' || m.r || ' ',
+                 ' ' || m.l || m.r || ' ') AS sym
+  FROM s{k - 1}, (SELECT l, r FROM c{k} WHERE rk = 1) m
+)"""
+
+
+_BPE_ROUNDS_SQL = ",\n".join(_bpe_round_sql(k) for k in range(1, BPE_ROUNDS + 1))
+_BPE_UNION_SQL = "\nUNION ALL\n".join(
+    f"SELECT {k} AS merge_round, l, r, l || r AS merged, weight "
+    f"FROM c{k} WHERE rk = 1"
+    for k in range(1, BPE_ROUNDS + 1)
+)
+
+ORACLE["bpe_train_merges"] = f"""
+WITH wfreq AS MATERIALIZED (
+  SELECT word, count(*) AS wf
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  GROUP BY word
+), s0 AS MATERIALIZED (
+  SELECT wf,
+         ' ' || array_to_string(
+           list_transform(range(1, length(word) + 1),
+                          i -> substring(word, CAST(i AS INTEGER), 1)),
+           ' ') || ' ' AS sym
+  FROM wfreq
+),
+{_BPE_ROUNDS_SQL}
+{_BPE_UNION_SQL}
+"""

@@ -250,3 +250,73 @@ def test_boilerplate_strip_word_accounting(spark, sf_dir):
         assert 0 <= r.n_removed <= r.n_words
         kept = len(r.cleaned_text.split(" ")) if r.cleaned_text else 0
         assert kept == r.n_words - r.n_removed
+
+
+def test_pagerank_mass_and_floor_invariants(spark, sf_dir):
+    """Fixed-point PageRank invariants that the oracle can't see failing
+    gradually: (1) every node's rank ≥ its damping base (contributions are
+    non-negative integers); (2) total mass never exceeds the initial
+    PR_SCALE (floor divisions only ever LOSE mass, both in the per-node
+    share split and the damping) — a sign flip or a double-count would
+    break one of these immediately."""
+    from stockmarket_bigdata_project_spark.llmdata.graph import (
+        PR_SCALE,
+        pagerank_near_dup,
+    )
+
+    rows = pagerank_near_dup(spark, sf_dir).collect()
+    assert rows, "near-dup graph must be non-empty at every SF"
+    total = sum(r.rank_fp for r in rows)
+    assert total <= PR_SCALE, f"mass created: {total} > {PR_SCALE}"
+    n = len(rows)
+    base = (15 * (PR_SCALE // n)) // 100
+    for r in rows:
+        assert r.rank_fp >= base, (r.doc_id, r.rank_fp, base)
+        assert abs(r.pagerank - r.rank_fp / 1.0e12) == 0.0
+
+
+def test_bigram_lm_consistent_with_token_counts(spark, sf_dir):
+    """Cross-operator accounting: every doc with ≥2 tokens has exactly
+    n_tokens − 1 bigrams in the bigram LM output, and no doc has a
+    negative bit cost (context counts dominate pair counts by
+    construction)."""
+    from stockmarket_bigdata_project_spark.llmdata.lm import bigram_lm_bits
+    from stockmarket_bigdata_project_spark.llmdata.textstats import (
+        lm_perplexity_bits,
+    )
+
+    bg = {r.doc_id: r for r in bigram_lm_bits(spark, sf_dir).collect()}
+    for t in lm_perplexity_bits(spark, sf_dir).collect():
+        if t.n_tokens >= 2:
+            assert bg[t.doc_id].n_bigrams == t.n_tokens - 1, t
+        else:
+            assert t.doc_id not in bg
+    assert all(r.sum_bits >= 0 for r in bg.values())
+
+
+def test_bpe_trainer_rounds_monotone_and_complete(spark, sf_dir):
+    """BPE trainer invariants: exactly BPE_ROUNDS merge rows; winning
+    weights never increase across rounds (a merge can only keep or shrink
+    any pair's count — unaffected pairs keep theirs, new pairs involving
+    the merged symbol are bounded by its occurrence count); and round 1's
+    winner equals bpe_merge_candidates' rank-1 row (same statistic)."""
+    from stockmarket_bigdata_project_spark.llmdata.lm import (
+        BPE_ROUNDS,
+        bpe_merge_candidates,
+        bpe_train_merges,
+    )
+
+    rows = sorted(
+        bpe_train_merges(spark, sf_dir).collect(),
+        key=lambda r: r.merge_round,
+    )
+    assert [r.merge_round for r in rows] == list(range(1, BPE_ROUNDS + 1))
+    weights = [r.weight for r in rows]
+    assert all(a >= b for a, b in zip(weights, weights[1:])), weights
+    top1 = [
+        r
+        for r in bpe_merge_candidates(spark, sf_dir).collect()
+        if r.merge_rank == 1
+    ][0]
+    assert rows[0].l + rows[0].r == top1.pair
+    assert rows[0].weight == top1.weight
