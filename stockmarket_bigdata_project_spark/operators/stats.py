@@ -337,3 +337,129 @@ SELECT d.event_type, d.med, a.mad, count(*) AS n_rows,
 FROM dev d JOIN mad a USING (event_type)
 GROUP BY d.event_type, d.med, a.mad
 """
+
+
+DRIFT_BIN_CENTS = 5000  # 50-unit value bins over events.value (0..~560)
+
+
+def data_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift report between two event slices — the MLOps
+    check run before every model refresh (PSI/KS in production; here the
+    per-bin rate deltas those statistics are computed FROM, kept
+    transcendental-free so the report value-checks bit-for-bit). The
+    slices are deterministic: odd vs even day-of-month, standing in for
+    reference vs current windows.
+
+    Per equi-width value bin: counts in both slices, each slice's rate in
+    round-half-up micro units (the integer-rational quantizer — exact
+    integer totals, one binary64 division at the boundary), and the
+    absolute rate delta. Scale shape: bin ids computed map-side, ONE
+    shuffle of (bin, partial counts), totals broadcast back onto the
+    K-row bin table. Values are non-negative so the integer bin division
+    has no floor-vs-truncate cross-engine hazard. [extension]"""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        (F.dayofmonth("ts") % 2 == 1).alias("is_ref"),
+    )
+    binned = ev.groupBy(
+        F.expr(f"cents div {DRIFT_BIN_CENTS}").cast("int").alias("bin")
+    ).agg(
+        F.sum(F.col("is_ref").cast("long")).alias("n_ref"),
+        F.sum((~F.col("is_ref")).cast("long")).alias("n_cur"),
+    )
+    totals = binned.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    rate_ref = F.expr("(2 * n_ref * 1000000 + t_ref) div (2 * t_ref)")
+    rate_cur = F.expr("(2 * n_cur * 1000000 + t_cur) div (2 * t_cur)")
+    return binned.crossJoin(F.broadcast(totals)).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        (rate_ref / F.lit(1_000_000.0)).alias("rate_ref"),
+        (rate_cur / F.lit(1_000_000.0)).alias("rate_cur"),
+        (
+            F.abs(rate_ref - rate_cur) / F.lit(1_000_000.0)
+        ).alias("rate_delta"),
+    )
+
+
+N_DECILES = 10
+
+
+def equi_depth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) binning of order value — the feature
+    bucketizer for tree/embedding models, done the scale-right way: the 9
+    decile boundaries come from ONE exact-percentile aggregate over
+    integer cents (exact dyadic binary64s — the exact_price_quantiles
+    argument), broadcast back, and every row's decile is a map-side count
+    of boundaries below its value. No global sort / range partitioning
+    anywhere — ntile() would sort the fact table; this never shuffles it
+    at all beyond the final K-row group count. [extension]"""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr(_CENTS).alias("cents")
+    )
+    probs = ", ".join(
+        f"{i / N_DECILES:.1f}" for i in range(1, N_DECILES)
+    )
+    bounds = o.agg(F.expr(f"percentile(cents, array({probs}))").alias("qs"))
+    assigned = o.crossJoin(F.broadcast(bounds)).select(
+        "cents",
+        (
+            F.lit(1) + F.size(F.filter("qs", lambda q: F.col("cents") > q))
+        ).alias("decile"),
+    )
+    return assigned.groupBy("decile").agg(
+        F.count("*").alias("n_orders"),
+        (F.min("cents") / 100.0).alias("min_price"),
+        (F.max("cents") / 100.0).alias("max_price"),
+    )
+
+
+QUERIES["data_drift_report"] = data_drift_report
+QUERIES["equi_depth_deciles"] = equi_depth_deciles
+
+ORACLE["data_drift_report"] = f"""
+WITH ev AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+         (day(ts) % 2 = 1) AS is_ref
+  FROM events
+), binned AS (
+  SELECT CAST(cents // {DRIFT_BIN_CENTS} AS INTEGER) AS bin,
+         CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+  FROM ev GROUP BY 1
+), totals AS (
+  SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+         CAST(sum(n_cur) AS BIGINT) AS t_cur
+  FROM binned
+)
+SELECT bin, n_ref, n_cur,
+       ((2 * n_ref * 1000000 + t_ref) // (2 * t_ref)) / 1000000.0
+         AS rate_ref,
+       ((2 * n_cur * 1000000 + t_cur) // (2 * t_cur)) / 1000000.0
+         AS rate_cur,
+       abs(((2 * n_ref * 1000000 + t_ref) // (2 * t_ref))
+         - ((2 * n_cur * 1000000 + t_cur) // (2 * t_cur))) / 1000000.0
+         AS rate_delta
+FROM binned, totals
+"""
+
+_DECILE_PROBS = ", ".join(f"{i / N_DECILES:.1f}" for i in range(1, N_DECILES))
+
+ORACLE["equi_depth_deciles"] = f"""
+WITH c AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+), b AS (
+  SELECT quantile_cont(cents, [{_DECILE_PROBS}]) AS qs FROM c
+)
+SELECT decile, count(*) AS n_orders,
+       min(cents) / 100.0 AS min_price,
+       max(cents) / 100.0 AS max_price
+FROM (
+  SELECT cents,
+         CAST(1 + len(list_filter(qs, q -> cents > q)) AS INTEGER) AS decile
+  FROM c, b
+)
+GROUP BY decile
+"""

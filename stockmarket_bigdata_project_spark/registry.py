@@ -193,7 +193,7 @@ _INTRODUCED_LATE_R3 = frozenset(
         "quality_weighted_sample", "bigram_lm_bits", "bpe_merge_candidates",
         "pagerank_near_dup", "sparse_retrieval_topk",
         "event_pattern_matches", "cdc_snapshot_diff", "robust_outliers_mad",
-        "bpe_train_merges",
+        "bpe_train_merges", "data_drift_report", "equi_depth_deciles",
     }
 )
 

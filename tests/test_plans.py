@@ -594,3 +594,31 @@ def test_mad_outliers_broadcast_stats_back(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_drift_report_single_bin_shuffle(spark, sf_dir):
+    """Drift bins are computed map-side: one hash exchange of (bin,
+    partial counts); the totals come back as a 1-row broadcast — never a
+    sort-merge join."""
+    from stockmarket_bigdata_project_spark.operators.stats import (
+        data_drift_report,
+    )
+
+    plan = _plan(data_drift_report(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan  # tree+detail
+
+
+def test_equi_depth_deciles_no_global_sort(spark, sf_dir):
+    """Quantile binning must NOT range-partition/sort the fact table (the
+    ntile() formulation would): boundaries broadcast back as a 1-row
+    relation and the decile is a map-side filter count."""
+    from stockmarket_bigdata_project_spark.operators.stats import (
+        equi_depth_deciles,
+    )
+
+    plan = _plan(equi_depth_deciles(spark, sf_dir))
+    assert "rangepartitioning" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
