@@ -139,3 +139,75 @@ SELECT doc_id, deg AS degree, rank AS rank_fp,
 FROM r{PR_ITER}
 """,
 }
+
+
+def near_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over the
+    verified near-dup graph — the standard community-density signal (a
+    near-dup CLUSTER has cc→1, a hub-and-spokes false-positive pattern has
+    cc→0; curation uses it to pick between keep-one-per-component and
+    manual review). Triangle enumeration is the classic ordered-edge
+    3-way equi-join: each triangle {a<b<c} found exactly once via
+    E(a,b)⋈E(b,c)⋈E(a,c) — shuffle-linear in edges for the sparse graphs
+    near-dup detection produces, never an all-pairs product. The
+    coefficient 2·t/(deg·(deg−1)) ships as round-half-up micros via the
+    integer-rational quantizer. Like pagerank_near_dup, the LSH pair
+    subplan is re-derived per join side (ReuseExchange folds what it can);
+    at 100 TB the pair table would be staged once as parquet and all
+    graph queries would read that. [extension]"""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    p1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    p2 = pairs.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    p3 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = p1.join(p2, "b").join(p3, ["a", "c"])
+    tcounts = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    edges = pairs.union(pairs.select("doc_b", "doc_a")).toDF("src", "dst")
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    return (
+        deg.join(tcounts, deg.src == tcounts.doc_id, "left")
+        .select(
+            F.col("src").alias("doc_id"),
+            F.col("deg").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+        )
+        .withColumn(
+            "cc_micro",
+            F.expr(
+                "CASE WHEN degree >= 2 THEN"
+                " (2 * (2 * n_triangles) * 1000000 + degree * (degree - 1))"
+                " div (2 * degree * (degree - 1)) ELSE 0 END"
+            ),
+        )
+    )
+
+
+QUERIES["near_dup_triangles"] = near_dup_triangles
+
+ORACLE["near_dup_triangles"] = f"""{_CC_CHAIN},
+opairs AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM jpairs),
+tri AS (
+  SELECT p1.a, p1.b, p2.b AS c
+  FROM opairs p1
+  JOIN opairs p2 ON p2.a = p1.b
+  JOIN opairs p3 ON p3.a = p1.a AND p3.b = p2.b
+),
+tcounts AS (
+  SELECT v AS doc_id, count(*) AS n_triangles FROM (
+    SELECT a AS v FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY v
+),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)
+SELECT d.src AS doc_id, d.deg AS degree,
+       coalesce(t.n_triangles, 0) AS n_triangles,
+       CASE WHEN d.deg >= 2 THEN
+         (2 * (2 * coalesce(t.n_triangles, 0)) * 1000000
+          + d.deg * (d.deg - 1)) // (2 * d.deg * (d.deg - 1))
+       ELSE 0 END AS cc_micro
+FROM deg d LEFT JOIN tcounts t ON t.doc_id = d.src
+"""

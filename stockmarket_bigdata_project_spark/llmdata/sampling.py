@@ -389,3 +389,81 @@ FROM ({_DEDUP_ORACLE["minhash_lsh_pairs"]}) p
 JOIN assign a ON p.doc_a = a.doc_id
 JOIN assign b ON p.doc_b = b.doc_id
 """
+
+
+SEQ_LEN = 128  # fixed training-sequence length in whitespace tokens
+
+
+def sequence_packing_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack the token stream into fixed-SEQ_LEN training sequences,
+    emitting per-(sequence, doc) SPANS — the GPT-style 'concat and split'
+    packing where a document may straddle a sequence boundary, unlike
+    token_budget_shards which moves whole docs. Output row = this doc
+    contributes tokens [tok_start, tok_start+span_toks) of itself to
+    sequence seq_id of its source's stream; a tokenizer worker can emit
+    final training rows from exactly this table.
+
+    Per source: offset = running token total minus own length (one
+    partition-local window), first/last sequence by integer division,
+    span boundaries by greatest/least — all exact integers. Scale shape:
+    ONE shuffle (hash by source) + partition-local sort for the cumsum;
+    the explode emits ceil(n_toks/SEQ_LEN)+1 rows per doc max, linear.
+    seq_id is per-source (what `partitionBy(source, seq_file)` writers
+    want); a global id would serialize the corpus through one cumsum.
+    [extension]"""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    d = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_toks")
+    ).select(
+        "doc_id",
+        "source",
+        "n_toks",
+        (F.sum("n_toks").over(w) - F.col("n_toks")).alias("off"),
+    )
+    first = F.expr(f"off div {SEQ_LEN}")
+    last = F.expr(f"(off + n_toks - 1) div {SEQ_LEN}")
+    e = d.select(
+        "source",
+        "doc_id",
+        "n_toks",
+        "off",
+        F.explode(F.sequence(first, last)).alias("seq"),
+    )
+    tok_start = F.greatest(F.col("seq") * SEQ_LEN, F.col("off")) - F.col("off")
+    tok_end = F.least(
+        (F.col("seq") + 1) * SEQ_LEN, F.col("off") + F.col("n_toks")
+    ) - F.col("off")
+    return e.select(
+        "source",
+        F.col("seq").cast("int").alias("seq_id"),
+        "doc_id",
+        tok_start.cast("int").alias("tok_start"),
+        (tok_end - tok_start).cast("int").alias("span_toks"),
+    )
+
+
+QUERIES["sequence_packing_spans"] = sequence_packing_spans
+
+ORACLE["sequence_packing_spans"] = f"""
+WITH d AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_toks,
+         CAST(sum(len(string_split(text, ' '))) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - len(string_split(text, ' ')) AS BIGINT) AS off
+  FROM documents
+), e AS (
+  SELECT source, doc_id, n_toks, off,
+         unnest(range(off // {SEQ_LEN}, (off + n_toks - 1) // {SEQ_LEN} + 1))
+           AS seq
+  FROM d
+)
+SELECT source, CAST(seq AS INTEGER) AS seq_id, doc_id,
+       CAST(greatest(seq * {SEQ_LEN}, off) - off AS INTEGER) AS tok_start,
+       CAST(least((seq + 1) * {SEQ_LEN}, off + n_toks)
+            - greatest(seq * {SEQ_LEN}, off) AS INTEGER) AS span_toks
+FROM e
+"""

@@ -646,31 +646,14 @@ FROM assigned a LEFT JOIN removed r ON r.vec_id = a.vec_id
 # --- sparse (lexical) retrieval: the inverted-index counterpart of ANN -------
 SR_QUERY_MOD = 41  # doc_id % MOD == REM → the retrieval query set (~2.4%)
 SR_QUERY_REM = 3
-SR_TOP_K = 3
 
 
-def sparse_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lexical top-k retrieval over an inverted index — the sparse
-    (BM25-family) counterpart of the dense paths above: score(q, d) =
-    Σ over shared terms of w(q,t)·w(d,t), with integer tf·idf weights
-    idf_bits(t) = ilog2(n_docs div df(t)) (Shannon code length — the same
-    transcendental-free idf the LM scorers use, so the whole score is an
-    exact integer).
-
-    Terms are word 3-grams, not unigrams: the synthetic corpus has a
-    ~30-word vocabulary, so every unigram is a stop word; over natural
-    text the identical plan runs on word terms. Stop-term pruning falls
-    out of the integer idf — df > n_docs/2 ⇒ ilog2(quotient)=0 bits ⇒ the
-    term is dropped from the index, which is what bounds posting-list
-    length (and therefore the index self-join) at corpus scale.
-
-    Scale shape: postings (doc, term, tf) and df are two linear aggregates;
-    the query side is a tiny deterministic id-slice of the SAME weighted
-    postings relation; candidate generation is the posting-list equi-join
-    on term — cost ∝ Σ_t |q_postings(t)|·|postings(t)|, bounded by the idf
-    pruning, never |q|·|corpus|; top-k is a per-query window over the
-    aggregated candidate scores. This is the standard distributed sparse
-    retrieval plan (impact-ordered posting joins)."""
+def _weighted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(term, doc_id, w): the tf·idf-weighted inverted index shared by the
+    sparse retrieval and hybrid-fusion queries. w = tf · idf_bits with
+    idf_bits(t) = ilog2(n_docs div df(t)) — exact integers end to end, and
+    terms with idf_bits = 0 (df > n_docs/2) are pruned, which is what
+    bounds posting-list length at corpus scale."""
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select("doc_id", F.split("text", " ").alias("ws"))
     n = F.greatest(F.size("ws") - 2, F.lit(0))
@@ -696,9 +679,35 @@ def sparse_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("idf_bits") >= 1)  # integer-exact stop-term pruning
     )
-    wpost = postings.join(idf, "term").select(
+    return postings.join(idf, "term").select(
         "term", "doc_id", (F.col("tf") * F.col("idf_bits")).alias("w")
     )
+SR_TOP_K = 3
+
+
+def sparse_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical top-k retrieval over an inverted index — the sparse
+    (BM25-family) counterpart of the dense paths above: score(q, d) =
+    Σ over shared terms of w(q,t)·w(d,t), with integer tf·idf weights
+    idf_bits(t) = ilog2(n_docs div df(t)) (Shannon code length — the same
+    transcendental-free idf the LM scorers use, so the whole score is an
+    exact integer).
+
+    Terms are word 3-grams, not unigrams: the synthetic corpus has a
+    ~30-word vocabulary, so every unigram is a stop word; over natural
+    text the identical plan runs on word terms. Stop-term pruning falls
+    out of the integer idf — df > n_docs/2 ⇒ ilog2(quotient)=0 bits ⇒ the
+    term is dropped from the index, which is what bounds posting-list
+    length (and therefore the index self-join) at corpus scale.
+
+    Scale shape: postings (doc, term, tf) and df are two linear aggregates;
+    the query side is a tiny deterministic id-slice of the SAME weighted
+    postings relation; candidate generation is the posting-list equi-join
+    on term — cost ∝ Σ_t |q_postings(t)|·|postings(t)|, bounded by the idf
+    pruning, never |q|·|corpus|; top-k is a per-query window over the
+    aggregated candidate scores. This is the standard distributed sparse
+    retrieval plan (impact-ordered posting joins)."""
+    wpost = _weighted_postings(spark, sf_dir)
     q = wpost.filter(
         F.col("doc_id") % SR_QUERY_MOD == SR_QUERY_REM
     ).select(F.col("doc_id").alias("q_id"), "term", F.col("w").alias("wq"))
@@ -755,4 +764,137 @@ FROM (
   FROM scores
 )
 WHERE rank <= {SR_TOP_K}
+"""
+
+
+K_RRF = 60  # the standard reciprocal-rank-fusion dampening constant
+HY_TOP_K = 5
+
+
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid dense+sparse retrieval fused with Reciprocal Rank Fusion
+    (Cormack et al.): score(q, d) = Σ_channels 1/(K_RRF + rank_channel),
+    the standard way RAG stacks combine an embedding ANN channel with a
+    BM25-family lexical channel without calibrating their incomparable raw
+    scores. Queries are vec_id/doc_id < N_QUERIES (the tables are 1:1 on
+    id), the dense channel ranks by the bit-exact integer-micros cosine,
+    the sparse channel by the integer tf·idf of _weighted_postings; both
+    ranks tie-break on candidate id, so every rank is engine-deterministic
+    and the fused score is two IEEE divisions plus one addition of
+    identical binary64 values — bit-identical cross-engine with no
+    rounding.
+
+    Scale shape: the dense channel here is the brute-force ranking (the
+    correctness baseline — production swaps in knn_ivf's candidate set,
+    same fusion from there on); the sparse channel is the posting-list
+    equi-join bounded by idf pruning. Fusion itself is a LEFT join of the
+    complete dense ranking against the sparse ranking on (q, candidate) —
+    per-query top-k windows, never a global sort. [extension]"""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("mvec").alias("qvec")
+    )
+    c = e.select(F.col("vec_id").alias("hit_id"), F.col("mvec").alias("cvec"))
+    dw = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("hit_id"))
+    dense = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("hit_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "hit_id",
+            _cosine(F.col("qvec"), F.col("cvec")).alias("cos"),
+        )
+        .withColumn("r_dense", F.row_number().over(dw))
+        .select("q_id", "hit_id", "r_dense")
+    )
+    wpost = _weighted_postings(spark, sf_dir)
+    sq = wpost.filter(F.col("doc_id") < N_QUERIES).select(
+        F.col("doc_id").alias("q_id"), "term", F.col("w").alias("wq")
+    )
+    sscores = (
+        sq.join(wpost, "term")
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .groupBy("q_id", F.col("doc_id").alias("hit_id"))
+        .agg(F.sum(F.col("wq") * F.col("w")).alias("score"))
+    )
+    sw = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("hit_id"))
+    sparse = sscores.withColumn("r_sparse", F.row_number().over(sw)).select(
+        "q_id", "hit_id", "r_sparse"
+    )
+    fused = dense.join(sparse, ["q_id", "hit_id"], "left")
+    rrf = F.lit(1e0) / (F.lit(K_RRF) + F.col("r_dense")) + F.coalesce(
+        F.lit(1e0) / (F.lit(K_RRF) + F.col("r_sparse")), F.lit(0e0)
+    )
+    fw = Window.partitionBy("q_id").orderBy(F.desc("rrf"), F.asc("hit_id"))
+    return (
+        fused.withColumn("rrf", rrf)
+        .withColumn("fused_rank", F.row_number().over(fw))
+        .filter(F.col("fused_rank") <= HY_TOP_K)
+        .select("q_id", "hit_id", "fused_rank", "rrf", "r_dense", "r_sparse")
+    )
+
+
+QUERIES["hybrid_retrieval_rrf"] = hybrid_retrieval_rrf
+
+ORACLE["hybrid_retrieval_rrf"] = f"""
+WITH e AS (
+  SELECT vec_id, {_MVEC_SQL} AS mvec FROM embeddings
+), dense AS (
+  SELECT q_id, hit_id,
+         CAST(row_number() OVER (PARTITION BY q_id
+                                 ORDER BY cos DESC, hit_id ASC) AS INTEGER)
+           AS r_dense
+  FROM (
+    SELECT a.vec_id AS q_id, b.vec_id AS hit_id,
+           {_cos_sql("a.mvec", "b.mvec")} AS cos
+    FROM e a JOIN e b ON b.vec_id <> a.vec_id
+    WHERE a.vec_id < {N_QUERIES}
+  )
+), occ AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                i -> string_split(text, ' ')[i] || ' ' ||
+                     string_split(text, ' ')[i+1] || ' ' ||
+                     string_split(text, ' ')[i+2])) AS term
+  FROM documents
+), postings AS (
+  SELECT doc_id, term, count(*) AS tf FROM occ GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(*) AS df FROM postings GROUP BY term
+), ntbl AS (SELECT count(*) AS n_docs FROM documents),
+idf AS (
+  SELECT term, length(bin(n_docs // df)) - 1 AS idf_bits
+  FROM dft, ntbl
+  WHERE length(bin(n_docs // df)) - 1 >= 1
+), wpost AS (
+  SELECT p.term, p.doc_id, p.tf * i.idf_bits AS w
+  FROM postings p JOIN idf i USING (term)
+), sscores AS (
+  SELECT q.doc_id AS q_id, d.doc_id AS hit_id, sum(q.w * d.w) AS score
+  FROM wpost q JOIN wpost d USING (term)
+  WHERE q.doc_id < {N_QUERIES} AND d.doc_id <> q.doc_id
+  GROUP BY q.doc_id, d.doc_id
+), sparse AS (
+  SELECT q_id, hit_id,
+         CAST(row_number() OVER (PARTITION BY q_id
+                                 ORDER BY score DESC, hit_id ASC) AS INTEGER)
+           AS r_sparse
+  FROM sscores
+), fused AS (
+  SELECT d.q_id, d.hit_id, d.r_dense, s.r_sparse,
+         1e0 / ({K_RRF} + d.r_dense)
+           + coalesce(1e0 / ({K_RRF} + s.r_sparse), 0e0) AS rrf
+  FROM dense d LEFT JOIN sparse s
+    ON s.q_id = d.q_id AND s.hit_id = d.hit_id
+)
+SELECT q_id, hit_id, fused_rank, rrf, r_dense, r_sparse
+FROM (
+  SELECT q_id, hit_id, r_dense, r_sparse, rrf,
+         CAST(row_number() OVER (PARTITION BY q_id
+                                 ORDER BY rrf DESC, hit_id ASC) AS INTEGER)
+           AS fused_rank
+  FROM fused
+)
+WHERE fused_rank <= {HY_TOP_K}
 """

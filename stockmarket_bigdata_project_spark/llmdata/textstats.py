@@ -870,3 +870,98 @@ SELECT doc_id, count(*) AS n_tokens, sum(oov) AS n_oov,
        CAST(sum(oov) AS DOUBLE) / count(*) AS oov_rate
 FROM flagged GROUP BY doc_id
 """
+
+
+K_ANON = 5  # equivalence classes smaller than this are re-id risks
+CHARS_BUCKET = 10  # n_chars quasi-identifier granularity
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the document catalog's quasi-identifiers
+    (lang, source, bucketed length) — the privacy screen a training-data
+    release runs before publishing metadata: any equivalence class with
+    fewer than K_ANON members re-identifies its documents. Emits the
+    violating classes with their size and per-class risk docs share in
+    round-half-up micros.
+
+    Scale shape: bucketing is map-side; ONE aggregate over the class key
+    (cardinality ≤ |langs|·|sources|·|buckets|, tiny); the corpus total
+    is a 1-row broadcast back onto the class table. [extension]"""
+    docs = load_table(spark, sf_dir, "documents")
+    classes = docs.groupBy(
+        "lang",
+        "source",
+        F.expr(f"n_chars div {CHARS_BUCKET}").alias("len_bucket"),
+    ).agg(F.count("*").alias("class_size"))
+    totals = classes.agg(F.sum("class_size").alias("t"))
+    share = F.expr("(2 * class_size * 1000000 + t) div (2 * t)")
+    return (
+        classes.filter(F.col("class_size") < K_ANON)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "lang",
+            "source",
+            "len_bucket",
+            "class_size",
+            share.alias("share_micro"),
+        )
+    )
+
+
+QUERIES["k_anonymity_audit"] = k_anonymity_audit
+
+ORACLE["k_anonymity_audit"] = f"""
+WITH classes AS (
+  SELECT lang, source, n_chars // {CHARS_BUCKET} AS len_bucket,
+         count(*) AS class_size
+  FROM documents GROUP BY 1, 2, 3
+), totals AS (SELECT CAST(sum(class_size) AS BIGINT) AS t FROM classes)
+SELECT lang, source, len_bucket, class_size,
+       (2 * class_size * 1000000 + t) // (2 * t) AS share_micro
+FROM classes, totals
+WHERE class_size < {K_ANON}
+"""
+
+
+DEFLATE_LEVEL = 6  # fixed level → deterministic output for a given zlib
+
+
+def compression_ratio_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEFLATE compression ratio per document — the Gopher/RefinedWeb
+    quality signal SQL can't express (boilerplate and template spam
+    compress far below natural prose): deflate_bytes / raw_bytes, smaller
+    = more redundant. Arrow-batched pandas_udf (never row-at-a-time);
+    zlib at a FIXED level is deterministic for a given library, but no
+    SQL engine can replay DEFLATE, so this is a rows-only query by cause
+    — the estimator properties (ratio bounds, redundancy ordering) are
+    pinned in tests/test_properties.py instead.
+
+    Scale shape: pure map-side Arrow batches over (doc_id, text); no
+    shuffle at all — at 100 TB this is a single pass bounded by
+    decompression-grade CPU, exactly how production quality scorers run.
+    [extension]"""
+    import pandas as pd  # noqa: F401 — resolves the udf type hints
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def deflate_len(s):
+        import zlib
+
+        return s.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), DEFLATE_LEVEL))
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.octet_length("text")
+    return docs.select(
+        "doc_id",
+        "source",
+        raw.alias("raw_bytes"),
+        deflate_len("text").alias("deflate_bytes"),
+    ).withColumn(
+        "ratio_micro",
+        F.expr("(2 * deflate_bytes * 1000000 + raw_bytes) div (2 * raw_bytes)"),
+    )
+
+
+QUERIES["compression_ratio_scores"] = compression_ratio_scores

@@ -83,3 +83,100 @@ QUERIES = {
 # Approximate by design → no value-equality oracle; error bounds are pinned
 # by tests/test_sketches.py against the exact aggregates.
 ORACLE: dict[str, str] = {}
+
+
+CMS_D = 4  # count-min depth (independent hash rows)
+CMS_W = 256  # count-min width (buckets per row, one md5 hex byte)
+CMS_T = 80  # heavy-hitter threshold on the ESTIMATED count
+
+
+def _cms_bucket(j) -> F.Column:
+    """Row-j bucket of a user id: first md5 hex byte of 'j:user_id' —
+    deterministic, engine-neutral, uniform over CMS_W=256."""
+    h = F.md5(F.concat_ws(":", F.lit(j).cast("string"),
+                          F.col("user_id").cast("string")))
+    return F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters, MATERIALIZED as a real sketch: the
+    event stream folds into a CMS_D×CMS_W counter grid (the one-pass,
+    mergeable, bounded-memory summary — at 100 TB the grid is still 1024
+    integers, mergeable across days by cell-wise addition), then point
+    queries estimate each candidate's frequency as min over rows of its
+    bucket counter. CMS never undercounts, so `est ≥ exact` always and
+    `overcount` is the collision noise — both columns are in the output,
+    which is the textbook estimator property made value-checkable.
+
+    Unlike the HLL/KLL queries above (engine-internal sketches → rows-only),
+    every hash here is md5-derived, so the ENTIRE sketch — grid, estimates,
+    overcounts — is deterministic and value-level oracle-checked.
+
+    Scale shape: grid = one shuffle of (row, bucket) partial counts
+    (map-side combine collapses each partition to ≤1024 cells); estimates =
+    candidates × CMS_D map-side bucket ids joined against the BROADCAST
+    grid. Candidates here are all distinct users (the exact counts verify
+    the estimator); production asks the sketch about a small watch-list
+    precisely to avoid the exact pass. [extension]"""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    occ = ev.select(
+        "user_id",
+        F.explode(F.array([F.lit(j) for j in range(CMS_D)])).alias("j"),
+    ).select("j", _cms_bucket(F.col("j")).alias("bucket"))
+    grid = occ.groupBy("j", "bucket").agg(F.count("*").alias("cnt"))
+    cand = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("exact_n"))
+    )
+    cand_cells = cand.select(
+        "user_id",
+        "exact_n",
+        F.explode(F.array([F.lit(j) for j in range(CMS_D)])).alias("j"),
+    ).select("user_id", "exact_n", "j", _cms_bucket(F.col("j")).alias("bucket"))
+    est = (
+        cand_cells.join(F.broadcast(grid), ["j", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cnt").alias("est"))
+    )
+    return est.filter(F.col("est") >= CMS_T).select(
+        "user_id",
+        "est",
+        "exact_n",
+        (F.col("est") - F.col("exact_n")).alias("overcount"),
+    )
+
+
+QUERIES["cms_heavy_hitters"] = cms_heavy_hitters
+
+
+def _cms_bucket_sql(key: str) -> str:
+    """DuckDB mirror of _cms_bucket: decode the first md5 hex byte of
+    'j:key' with the strpos idiom (no hex-cast dependence)."""
+    h = f"md5(CAST(j AS VARCHAR) || ':' || CAST({key} AS VARCHAR))"
+    return (
+        f"(strpos('0123456789abcdef', substring({h}, 1, 1)) - 1) * 16"
+        f" + (strpos('0123456789abcdef', substring({h}, 2, 1)) - 1)"
+    )
+
+
+ORACLE["cms_heavy_hitters"] = f"""
+WITH js AS (SELECT unnest(range({CMS_D})) AS j),
+occ AS (
+  SELECT j, {_cms_bucket_sql("user_id")} AS bucket
+  FROM events, js
+), grid AS (
+  SELECT j, bucket, count(*) AS cnt FROM occ GROUP BY j, bucket
+), cand AS (
+  SELECT user_id, count(*) AS exact_n FROM events GROUP BY user_id
+), cells AS (
+  SELECT user_id, exact_n, j, {_cms_bucket_sql("user_id")} AS bucket
+  FROM cand, js
+), est AS (
+  SELECT user_id, exact_n, min(cnt) AS est
+  FROM cells JOIN grid USING (j, bucket)
+  GROUP BY user_id, exact_n
+)
+SELECT user_id, est, exact_n, est - exact_n AS overcount
+FROM est WHERE est >= {CMS_T}
+"""

@@ -463,3 +463,320 @@ FROM (
 )
 GROUP BY decile
 """
+
+
+ZO_BITS = 8  # bits per dimension in the z-value (2 dims → 16-bit z)
+ZO_FILES = 256  # target file count: file = z >> ZO_BITS
+
+
+def _interleave_terms(xe: str, ye: str, spark_div: bool) -> str:
+    """Bit-interleave two ZO_BITS integers with pure +/div/% arithmetic —
+    the one integer idiom both engines evaluate identically (no native
+    bit-ops dependence). spark_div picks `div` vs DuckDB's `//`."""
+    d = "div" if spark_div else "//"
+    terms = []
+    for i in range(ZO_BITS):
+        terms.append(f"((({xe}) {d} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"((({ye}) {d} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+def zorder_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout planning + its data-skipping report —
+    the OPTIMIZE ZORDER BY pattern: interleave the bits of two filter
+    dimensions (user bucket, value bucket), split the curve into
+    ZO_FILES contiguous files, and report each file's per-dimension
+    min/max envelope. Those envelopes ARE the skipping index: a filter on
+    EITHER dimension prunes files whose envelope misses it, which only
+    works because z-clustering keeps both spans narrow (~2^(ZO_BITS/2))
+    simultaneously — the whole point of the curve vs single-column sort.
+    The span columns make the clustering quality value-checkable.
+
+    Everything is map-side integer arithmetic (the interleave is
+    +/div/%-only, engine-portable) followed by ONE ZO_FILES-group
+    aggregate; at 100 TB the same z-value feeds repartitionByRange for
+    the actual rewrite, with identical math. [extension]"""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("user_id % 256").alias("x"),
+        F.expr(
+            "least(cast(round(value * 100, 0) as bigint) div 256, 255)"
+        ).alias("y"),
+    )
+    z = F.expr(_interleave_terms("x", "y", spark_div=True))
+    return (
+        ev.select("x", "y", z.alias("z"))
+        .groupBy(F.expr(f"z div {1 << ZO_BITS}").cast("int").alias("file_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+            (F.max("x") - F.min("x")).alias("x_span"),
+            (F.max("y") - F.min("y")).alias("y_span"),
+        )
+    )
+
+
+QUERIES["zorder_file_stats"] = zorder_file_stats
+
+ORACLE["zorder_file_stats"] = f"""
+WITH ev AS (
+  SELECT user_id % 256 AS x,
+         least(CAST(round(value * 100) AS BIGINT) // 256, 255) AS y
+  FROM events
+), zed AS (
+  SELECT x, y, {_interleave_terms("x", "y", spark_div=False)} AS z FROM ev
+)
+SELECT CAST(z // {1 << ZO_BITS} AS INTEGER) AS file_id,
+       count(*) AS n_events,
+       min(x) AS x_min, max(x) AS x_max,
+       min(y) AS y_min, max(y) AS y_max,
+       max(x) - min(x) AS x_span,
+       max(y) - min(y) AS y_span
+FROM zed
+GROUP BY 1
+"""
+
+
+# Benford expected first-digit shares, round(log10(1+1/d)·1e6) — fixed
+# integer literals embedded in BOTH the query and the oracle, so the only
+# transcendental lives in this comment, not in either engine.
+BENFORD_MICRO = (301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153,
+                 45757)
+
+
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the classic
+    fraud/data-quality screen for positive, scale-spanning amounts. Per
+    leading digit: observed count, observed share (round-half-up micros via
+    the integer-rational quantizer), the Benford expectation (fixed integer
+    literals — no log10 in either engine), and the signed deviation in
+    micro units. TPC-H-style uniform prices do NOT follow Benford — the
+    audit's value is the exact deviation report, not a pass verdict.
+
+    Scale shape: leading digit is map-side string arithmetic on integer
+    cents; ONE 9-group aggregate; totals broadcast back onto the 9-row
+    report. [extension]"""
+    o = load_table(spark, sf_dir, "orders").select(F.expr(_CENTS).alias("cents"))
+    digit = F.substring(F.col("cents").cast("string"), 1, 1).cast("int")
+    counts = o.groupBy(digit.alias("digit")).agg(F.count("*").alias("n"))
+    totals = counts.agg(F.sum("n").alias("t"))
+    expected = F.element_at(
+        F.array([F.lit(v) for v in BENFORD_MICRO]), F.col("digit")
+    )
+    share = F.expr("(2 * n * 1000000 + t) div (2 * t)")
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "digit",
+        "n",
+        share.alias("share_micro"),
+        expected.alias("benford_micro"),
+        (share - expected).alias("dev_micro"),
+    )
+
+
+QUERIES["benford_digit_audit"] = benford_digit_audit
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d + 1} THEN {v}" for d, v in enumerate(BENFORD_MICRO)
+)
+
+ORACLE["benford_digit_audit"] = f"""
+WITH c AS (
+  SELECT CAST(substring(CAST({_CENTS} AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM orders
+), counts AS (
+  SELECT digit, count(*) AS n FROM c GROUP BY digit
+), totals AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM counts)
+SELECT digit, n,
+       (2 * n * 1000000 + t) // (2 * t) AS share_micro,
+       CASE digit {_BENFORD_CASE} END AS benford_micro,
+       (2 * n * 1000000 + t) // (2 * t) - (CASE digit {_BENFORD_CASE} END)
+         AS dev_micro
+FROM counts, totals
+"""
+
+
+WINSOR_LO_N = 2  # p = 2/128 and 126/128: dyadic tail probabilities, so the
+WINSOR_HI_N = 126  # interpolated cut is exact binary64 (module docstring)
+
+
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (clipped) order-value statistics — the outlier-robust
+    feature-prep step: clip at the exact p(2/128)/p(126/128) cents
+    quantiles, then per order-priority report n, clip counts, and the
+    winsorized mean in round-half-up micros. The tail probabilities are
+    dyadic rationals, so the percentile interpolation lo+(hi−lo)·frac is
+    exact binary64 in both engines (the exact_price_quantiles argument);
+    the clipped values are integers, so the mean is the integer-rational
+    quantizer over an exact sum.
+
+    Scale shape: the two global cuts are ONE aggregate broadcast back; the
+    clip is map-side; the report is one small-key aggregate — no sort, no
+    fact-table join shuffle. [extension]"""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.expr(_CENTS).alias("cents")
+    )
+    lo_p, hi_p = WINSOR_LO_N / 128.0, WINSOR_HI_N / 128.0
+    cuts = o.agg(
+        F.percentile("cents", F.lit(lo_p)).alias("lo_cut"),
+        F.percentile("cents", F.lit(hi_p)).alias("hi_cut"),
+    )
+    # cuts are exact dyadic binary64s; floor/ceil to integer cents so the
+    # clipped column stays integer (sum stays exact past 2^53 via BIGINT)
+    clipped = o.crossJoin(F.broadcast(cuts)).select(
+        "o_orderpriority",
+        "cents",
+        F.expr("CAST(ceil(lo_cut) AS BIGINT)").alias("lo_i"),
+        F.expr("CAST(floor(hi_cut) AS BIGINT)").alias("hi_i"),
+    ).select(
+        "o_orderpriority",
+        F.expr("greatest(lo_i, least(hi_i, cents))").alias("w"),
+        (F.col("cents") < F.col("lo_i")).cast("long").alias("clip_lo"),
+        (F.col("cents") > F.col("hi_i")).cast("long").alias("clip_hi"),
+    )
+    g = clipped.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("clip_lo").alias("n_clip_lo"),
+        F.sum("clip_hi").alias("n_clip_hi"),
+        F.sum("w").alias("wsum"),
+    )
+    mean_micro = F.expr("(2 * wsum * 10000 + n_orders) div (2 * n_orders)")
+    return g.select(
+        "o_orderpriority",
+        "n_orders",
+        "n_clip_lo",
+        "n_clip_hi",
+        (mean_micro / F.lit(1_000_000.0)).alias("winsor_mean_price"),
+    )
+
+
+QUERIES["winsorized_stats"] = winsorized_stats
+
+ORACLE["winsorized_stats"] = f"""
+WITH c AS (
+  SELECT o_orderpriority, {_CENTS} AS cents FROM orders
+), cuts AS (
+  SELECT CAST(ceil(quantile_cont(cents, {WINSOR_LO_N / 128.0!r})) AS BIGINT)
+           AS lo_i,
+         CAST(floor(quantile_cont(cents, {WINSOR_HI_N / 128.0!r})) AS BIGINT)
+           AS hi_i
+  FROM c
+), clipped AS (
+  SELECT o_orderpriority,
+         greatest(lo_i, least(hi_i, cents)) AS w,
+         CASE WHEN cents < lo_i THEN 1 ELSE 0 END AS clip_lo,
+         CASE WHEN cents > hi_i THEN 1 ELSE 0 END AS clip_hi
+  FROM c, cuts
+)
+SELECT o_orderpriority, count(*) AS n_orders,
+       CAST(sum(clip_lo) AS BIGINT) AS n_clip_lo,
+       CAST(sum(clip_hi) AS BIGINT) AS n_clip_hi,
+       ((2 * CAST(sum(w) AS BIGINT) * 10000 + count(*))
+         // (2 * count(*))) / 1000000.0 AS winsor_mean_price
+FROM clipped
+GROUP BY o_orderpriority
+"""
+
+
+KS_SRC_A = "src0"  # reference corpus slice
+KS_SRC_B = "src1"  # comparison corpus slice
+
+
+def ks_two_sample_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov distance between two sources'
+    document-length distributions — the distribution-shift test run before
+    mixing a new source into training data; the exact complement of
+    data_drift_report's binned rates (KS needs no binning choice). The
+    supremum |F_A − F_B| is computed over INTEGER cross-multiplied
+    cumulatives (|cum_a·n_b − cum_b·n_a|), so the argmax and the distance
+    are exact; one binary64 division quantizes the result to
+    round-half-up micros. Output: one row with both sample sizes, the KS
+    distance and the length where the gap peaks (ties → smallest).
+
+    Scale shape: the fact table collapses map-side+one shuffle into a
+    DOMAIN-sized (distinct lengths) table; the CDF window and argmax run
+    on that small table (the single-partition window is over ≤ |domain|
+    rows, not the corpus — the sort that would be illegal on the fact
+    table is free here). [extension]"""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin(KS_SRC_A, KS_SRC_B)
+    )
+    counts = docs.groupBy("n_chars").agg(
+        F.sum((F.col("source") == KS_SRC_A).cast("long")).alias("ca"),
+        F.sum((F.col("source") == KS_SRC_B).cast("long")).alias("cb"),
+    )
+    w = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.select(
+        "n_chars",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    tot = counts.agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    gaps = cum.crossJoin(F.broadcast(tot)).select(
+        "n_chars",
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+        ).alias("gap"),
+    )
+    dmax = gaps.groupBy("n_a", "n_b").agg(F.max("gap").alias("gmax"))
+    at = (
+        gaps.join(F.broadcast(dmax), ["n_a", "n_b"])
+        .filter(F.col("gap") == F.col("gmax"))
+        .groupBy("n_a", "n_b", "gmax")
+        .agg(F.min("n_chars").alias("ks_at_length"))
+    )
+    return at.select(
+        "n_a",
+        "n_b",
+        F.expr("(2 * gmax * 1000000 + n_a * n_b) div (2 * n_a * n_b)").alias(
+            "ks_micro"
+        ),
+        "ks_at_length",
+    )
+
+
+QUERIES["ks_two_sample_lengths"] = ks_two_sample_lengths
+
+ORACLE["ks_two_sample_lengths"] = f"""
+WITH counts AS (
+  SELECT n_chars,
+         CAST(sum(CASE WHEN source = '{KS_SRC_A}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN source = '{KS_SRC_B}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cb
+  FROM documents
+  WHERE source IN ('{KS_SRC_A}', '{KS_SRC_B}')
+  GROUP BY n_chars
+), cum AS (
+  SELECT n_chars,
+         CAST(sum(ca) OVER (ORDER BY n_chars
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_a,
+         CAST(sum(cb) OVER (ORDER BY n_chars
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_b
+  FROM counts
+), tot AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b
+  FROM counts
+), gaps AS (
+  SELECT n_chars, n_a, n_b, abs(cum_a * n_b - cum_b * n_a) AS gap
+  FROM cum, tot
+), dmax AS (SELECT n_a, n_b, max(gap) AS gmax FROM gaps GROUP BY n_a, n_b)
+SELECT g.n_a, g.n_b,
+       (2 * g.gmax * 1000000 + g.n_a * g.n_b) // (2 * g.n_a * g.n_b)
+         AS ks_micro,
+       min(x.n_chars) AS ks_at_length
+FROM dmax g JOIN gaps x
+  ON x.n_a = g.n_a AND x.n_b = g.n_b AND x.gap = g.gmax
+GROUP BY g.n_a, g.n_b, g.gmax
+"""

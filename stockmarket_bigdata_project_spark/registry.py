@@ -27,6 +27,7 @@ _MODULE_PATHS = [
     "operators.skew",
     "operators.decision_support",
     "operators.stats",
+    "operators.linkage",
     "operators.finance",
     "operators.features",
     "operators.sketches",
@@ -194,6 +195,11 @@ _INTRODUCED_LATE_R3 = frozenset(
         "pagerank_near_dup", "sparse_retrieval_topk",
         "event_pattern_matches", "cdc_snapshot_diff", "robust_outliers_mad",
         "bpe_train_merges", "data_drift_report", "equi_depth_deciles",
+        "hybrid_retrieval_rrf", "sequence_packing_spans",
+        "entity_resolution_matches", "cms_heavy_hitters",
+        "zorder_file_stats", "benford_digit_audit", "near_dup_triangles",
+        "k_anonymity_audit", "winsorized_stats", "compression_ratio_scores",
+        "ks_two_sample_lengths",
     }
 )
 

@@ -622,3 +622,175 @@ def test_equi_depth_deciles_no_global_sort(spark, sf_dir):
     assert "rangepartitioning" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_hybrid_rrf_fusion_plan(spark, sf_dir):
+    """RRF fusion: the dense channel's only product is the broadcast
+    query-side nested loop (10 rows × corpus — linear); the sparse channel
+    and the fusion join stay equi-joins; every window hash-partitions by
+    q_id — no unbroadcast cartesian, no global sort."""
+    from stockmarket_bigdata_project_spark.llmdata.similarity import (
+        hybrid_retrieval_rrf,
+    )
+
+    plan = _plan(hybrid_retrieval_rrf(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # the 10-row query side
+    assert "hashpartitioning(q_id" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_sequence_packing_single_source_shuffle(spark, sf_dir):
+    """Concat-and-split packing must cost exactly the per-source cumsum
+    window: one hash exchange on source, partition-local sort, map-side
+    explode — no global sort, no join at all."""
+    from stockmarket_bigdata_project_spark.llmdata.sampling import (
+        sequence_packing_spans,
+    )
+
+    plan = _plan(sequence_packing_spans(spark, sf_dir))
+    assert "rangepartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 2, plan  # tree line + its detail block
+    assert "hashpartitioning(source" in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_entity_resolution_blocked_equi_joins(spark, sf_dir):
+    """ER must follow collapse→block→verify: the fact table appears only
+    in the linear dictionary groupBy; candidate generation is equi-joined
+    on blocking keys — no all-pairs product anywhere."""
+    from stockmarket_bigdata_project_spark.operators.linkage import (
+        entity_resolution_matches,
+    )
+
+    plan = _plan(entity_resolution_matches(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_cms_grid_broadcast_point_queries(spark, sf_dir):
+    """The CMS grid (≤ CMS_D·CMS_W cells) must come back to the candidate
+    side as a broadcast hash join — estimating must never shuffle the
+    candidate relation against the grid."""
+    from stockmarket_bigdata_project_spark.operators.sketches import (
+        cms_heavy_hitters,
+    )
+
+    plan = _plan(cms_heavy_hitters(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_zorder_single_aggregate_no_sort(spark, sf_dir):
+    """Z-value + file id are map-side integer arithmetic; the envelope
+    report is ONE hash aggregate over ZO_FILES groups — no join, no
+    range partitioning, no global sort."""
+    from stockmarket_bigdata_project_spark.operators.stats import (
+        zorder_file_stats,
+    )
+
+    plan = _plan(zorder_file_stats(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert plan.count("Exchange") == 2, plan  # tree line + detail block
+
+
+def test_k_anonymity_broadcast_total(spark, sf_dir):
+    """Class table is one aggregate; the corpus total returns as a 1-row
+    broadcast — no fact-side join shuffle, no sort."""
+    from stockmarket_bigdata_project_spark.llmdata.textstats import (
+        k_anonymity_audit,
+    )
+
+    plan = _plan(k_anonymity_audit(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_winsorized_cuts_broadcast_back(spark, sf_dir):
+    """The two global cuts must come back as a 1-row broadcast onto the
+    map-side clip — never a shuffle join of the fact table."""
+    from stockmarket_bigdata_project_spark.operators.stats import (
+        winsorized_stats,
+    )
+
+    plan = _plan(winsorized_stats(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_compression_ratio_map_side_only(spark, sf_dir):
+    """The deflate scorer is a single Arrow-batched map pass: no Exchange
+    anywhere in the plan."""
+    from stockmarket_bigdata_project_spark.llmdata.textstats import (
+        compression_ratio_scores,
+    )
+
+    plan = _plan(compression_ratio_scores(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" in plan, plan
+
+
+def test_triangle_join_no_cartesian(spark, sf_dir):
+    """Ordered-edge triangle enumeration must stay an equi-join chain —
+    no cartesian/BNLJ anywhere in the 3-way join."""
+    from stockmarket_bigdata_project_spark.llmdata.graph import (
+        near_dup_triangles,
+    )
+
+    plan = _plan(near_dup_triangles(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ks_window_on_domain_table_only(spark, sf_dir):
+    """The KS CDF window may single-partition ONLY the domain-sized
+    aggregate (distinct lengths) — the fact table must collapse through a
+    hash aggregate first, and no join may shuffle it."""
+    from stockmarket_bigdata_project_spark.operators.stats import (
+        ks_two_sample_lengths,
+    )
+
+    plan = _plan(ks_two_sample_lengths(spark, sf_dir))
+    assert "SinglePartition" in plan, plan  # the domain-table window
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_runtime_bloom_filter_injects_at_scale_thresholds(spark, sf_dir):
+    """Spark's runtime bloom-filter join pruning (the 100 TB shuffle-join
+    saver: the dim-side filter hashes into a bloom filter applied inside
+    the fact scan) stays dormant at test-data sizes only because of the
+    size thresholds. Pin that it INJECTS (`might_contain` in the fact
+    scan) once the application-side threshold matches the data — i.e. the
+    engine path we rely on at cluster scale actually fires."""
+    import pyspark.sql.functions as F
+
+    from stockmarket_bigdata_project_spark.catalog import load_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        assert "might_contain" in _plan(j)
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)

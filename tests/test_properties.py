@@ -320,3 +320,39 @@ def test_bpe_trainer_rounds_monotone_and_complete(spark, sf_dir):
     ][0]
     assert rows[0].l + rows[0].r == top1.pair
     assert rows[0].weight == top1.weight
+
+
+def test_deflate_ratio_orders_redundancy(spark):
+    """The compression quality signal must rank template spam below
+    diverse prose: repeated-token text compresses to a smaller ratio."""
+    from stockmarket_bigdata_project_spark.llmdata import textstats as ts
+
+    df = spark.createDataFrame(
+        [
+            (1, "src", "spam " * 200),
+            (2, "src", " ".join(f"w{i}x{i * 7 % 13}" for i in range(200))),
+        ],
+        "doc_id long, source string, text string",
+    )
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def deflate_len(s):
+        import zlib
+
+        return s.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), ts.DEFLATE_LEVEL))
+        )
+
+    out = {
+        r["doc_id"]: r["ratio"]
+        for r in df.select(
+            "doc_id",
+            (
+                deflate_len("text") / F.octet_length("text")
+            ).alias("ratio"),
+        ).collect()
+    }
+    assert 0 < out[1] < out[2] < 1.0, out
