@@ -431,3 +431,104 @@ SELECT payload_md5, min(media_id) AS canonical_media_id,
        count(*) AS n_copies
 FROM hashed GROUP BY payload_md5
 """
+
+
+def _frame_sum_expr(b: int) -> str:
+    """Exact integer byte-sum of frame b of the payload (SQL-side twin of
+    the Python decode loop: ASCII payload ⇒ char==byte)."""
+    return (
+        f"aggregate(transform(sequence(1, {FRAME_LEN}),"
+        f" i -> ascii(substring(cast(payload as string),"
+        f" {b * FRAME_LEN} + i, 1))), 0, (a, v) -> a + v)"
+    )
+
+
+def media_perceptual_hash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate pairs over the image payloads — the
+    average-hash (aHash) tier above media_dedup_groups' exact-md5 tier:
+    bit b of the 8-bit hash = [frame b's byte sum above the image mean]
+    (8·s_b > Σs, exact integers), then candidate pairs at Hamming
+    distance ≤ 1 via MULTI-PROBE bucketing: each image probes its own
+    hash plus all 8 one-bit flips, so a dist-≤1 pair meets in exactly
+    one probe bucket — an equi-join, never an all-pairs Hamming scan.
+    On real images the identical plan runs on a decoder-derived aHash;
+    here the deterministic fake decode keeps it value-level checkable.
+
+    Scale shape: hashing is map-side JVM codegen over the payload (no
+    Python); the probe explode is ×9; the join is bucket-equi on the
+    hash value. [extension]"""
+    m = media_table(spark, sf_dir).filter(F.col("kind") == "image")
+    sums = " + ".join(f"s{b}" for b in range(N_FRAMES))
+    hashed = m.selectExpr(
+        "media_id",
+        *[f"{_frame_sum_expr(b)} AS s{b}" for b in range(N_FRAMES)],
+    ).selectExpr(
+        "media_id",
+        "("
+        + " + ".join(
+            f"(CASE WHEN {N_FRAMES} * s{b} > ({sums}) THEN {1 << b}"
+            f" ELSE 0 END)"
+            for b in range(N_FRAMES)
+        )
+        + ") AS ahash",
+    )
+    probes = hashed.select(
+        F.col("media_id").alias("media_a"),
+        F.col("ahash").alias("ahash_a"),
+        F.explode(
+            F.array(
+                *[F.expr(f"ahash ^ {1 << k}") for k in range(N_FRAMES)],
+                F.col("ahash"),
+            )
+        ).alias("probe"),
+    )
+    right = hashed.select(
+        F.col("media_id").alias("media_b"), F.col("ahash").alias("probe"),
+        F.col("ahash").alias("ahash_b"),
+    )
+    return (
+        probes.join(right, "probe")
+        .filter(F.col("media_a") < F.col("media_b"))
+        .select(
+            "media_a",
+            "media_b",
+            "ahash_a",
+            "ahash_b",
+            F.expr("bit_count(ahash_a ^ ahash_b)").alias("hamming"),
+        )
+    )
+
+
+QUERIES["media_perceptual_hash_pairs"] = media_perceptual_hash_pairs
+
+_FRAME_SUM_SQL = [
+    f"list_aggregate(list_transform(string_split_regex("
+    f"substring(payload_hex, {b * FRAME_LEN + 1}, {FRAME_LEN}), ''), "
+    f"c -> ascii(c)), 'sum')"
+    for b in range(N_FRAMES)
+]
+
+_AHASH_SQL = "(" + " + ".join(
+    f"(CASE WHEN {N_FRAMES} * s{b} > ({' + '.join(f's{i}' for i in range(N_FRAMES))})"
+    f" THEN {1 << b} ELSE 0 END)"
+    for b in range(N_FRAMES)
+) + ")"
+
+ORACLE["media_perceptual_hash_pairs"] = f"""
+WITH {_MEDIA_SQL},
+sums AS (
+  SELECT media_id,
+         {", ".join(f"{e} AS s{b}" for b, e in enumerate(_FRAME_SUM_SQL))}
+  FROM media WHERE kind = 'image'
+), hashed AS (
+  SELECT media_id, {_AHASH_SQL} AS ahash FROM sums
+), probes AS (
+  SELECT media_id AS media_a, ahash AS ahash_a,
+         unnest([{", ".join(f"xor(ahash, {1 << k})" for k in range(N_FRAMES))},
+                 ahash]) AS probe
+  FROM hashed
+)
+SELECT p.media_a, h.media_id AS media_b, p.ahash_a, h.ahash AS ahash_b,
+       CAST(bit_count(xor(p.ahash_a, h.ahash)) AS INTEGER) AS hamming
+FROM probes p JOIN hashed h ON h.ahash = p.probe AND p.media_a < h.media_id
+"""

@@ -568,3 +568,68 @@ SELECT event_type, count(DISTINCT user_id) AS exact_users
 FROM events GROUP BY event_type
 """,
 }
+
+
+MV_CUTOFF = "2001-01-01"  # base/delta split: the materialized past vs CDC
+
+
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance by PARTIAL-AGGREGATE MERGE — the
+    incremental pattern every 100 TB rollup runs on: the historical base
+    (orders before MV_CUTOFF) is aggregated once and would live as a
+    table; each refresh aggregates ONLY the delta slice and merges the
+    K-row partials (counts and exact cents sums add; the average is
+    re-derived from merged partials, never averaged-across-averages). The
+    oracle recomputes the aggregate over ALL rows directly, so the gate
+    verifies merged == recomputed value-for-value — the correctness
+    contract of incremental maintenance.
+
+    Scale shape: the delta aggregate shuffles only delta rows; the merge
+    is a K-row full-outer join; both cutoff filters are static literals,
+    pushed into the parquet scans. [extension]"""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderdate",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+
+    def slice_agg(pred):
+        return (
+            o.filter(pred)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"), F.sum("cents").alias("sc"))
+        )
+
+    base = slice_agg(F.col("o_orderdate") < MV_CUTOFF)
+    delta = slice_agg(F.col("o_orderdate") >= MV_CUTOFF)
+    b = base.select(
+        "o_orderpriority", F.col("n").alias("bn"), F.col("sc").alias("bs")
+    )
+    d = delta.select(
+        "o_orderpriority", F.col("n").alias("dn"), F.col("sc").alias("ds")
+    )
+    merged = b.join(d, "o_orderpriority", "full_outer").select(
+        "o_orderpriority",
+        (F.coalesce("bn", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n"),
+        (F.coalesce("bs", F.lit(0)) + F.coalesce("ds", F.lit(0))).alias("sc"),
+    )
+    avg_micro = F.expr("(2 * sc * 10000 + n) div (2 * n)")
+    return merged.select(
+        F.col("o_orderpriority"),
+        F.col("n").alias("n_orders"),
+        (F.col("sc") / 100.0).alias("revenue"),
+        (avg_micro / F.lit(1_000_000.0)).alias("avg_price"),
+    )
+
+
+QUERIES["incremental_agg_maintenance"] = incremental_agg_maintenance
+
+ORACLE["incremental_agg_maintenance"] = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         / 100.0 AS revenue,
+       ((2 * CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         * 10000 + count(*)) // (2 * count(*))) / 1000000.0 AS avg_price
+FROM orders
+GROUP BY o_orderpriority
+"""

@@ -199,7 +199,8 @@ _INTRODUCED_LATE_R3 = frozenset(
         "entity_resolution_matches", "cms_heavy_hitters",
         "zorder_file_stats", "benford_digit_audit", "near_dup_triangles",
         "k_anonymity_audit", "winsorized_stats", "compression_ratio_scores",
-        "ks_two_sample_lengths",
+        "ks_two_sample_lengths", "incremental_agg_maintenance",
+        "media_perceptual_hash_pairs",
     }
 )
 

@@ -41,6 +41,12 @@ _SENSITIVE = [
     "quality_weighted_sample",  # score threshold vs hash bucket
     "event_transition_matrix",  # conditional probability from two counts
     "lm_perplexity_bits",  # mean bits/token from shuffled integer sums
+    # late-r3 additions with float outputs derived from shuffled aggregates
+    "data_drift_report",  # micro-rational rates / 1e6
+    "equi_depth_deciles",  # min/max cents / 100 per decile
+    "hybrid_retrieval_rrf",  # rrf doubles from channel ranks
+    "winsorized_stats",  # clipped mean micros / 1e6
+    "incremental_agg_maintenance",  # merged revenue + avg doubles
 ]
 
 

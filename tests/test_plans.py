@@ -794,3 +794,31 @@ def test_runtime_bloom_filter_injects_at_scale_thresholds(spark, sf_dir):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_incremental_merge_pushes_cutoff_filters(spark, sf_dir):
+    """Both slice aggregates must push their static cutoff predicate into
+    the parquet scan (the delta refresh only reads delta files at scale),
+    and the merge is a K-row join — no fact-table SMJ."""
+    from stockmarket_bigdata_project_spark.operators.aggregates import (
+        incremental_agg_maintenance,
+    )
+
+    plan = _plan(incremental_agg_maintenance(spark, sf_dir))
+    assert "LessThan(o_orderdate" in plan, plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_perceptual_hash_bucket_equi_join(spark, sf_dir):
+    """aHash multi-probe pairing must be a bucket equi-join on the probe
+    value — never an all-pairs Hamming comparison (cartesian/BNLJ), and
+    the hash itself stays JVM-side (no Python eval in the plan)."""
+    from stockmarket_bigdata_project_spark.llmdata.multimodal import (
+        media_perceptual_hash_pairs,
+    )
+
+    plan = _plan(media_perceptual_hash_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "EvalPython" not in plan, plan
