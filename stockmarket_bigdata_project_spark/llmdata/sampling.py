@@ -467,3 +467,54 @@ SELECT source, CAST(seq AS INTEGER) AS seq_id, doc_id,
             - greatest(seq * {SEQ_LEN}, off) AS INTEGER) AS span_toks
 FROM e
 """
+
+
+def source_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus concentration report — Herfindahl–Hirschman index over the
+    source mixture plus the effective source count (1/HHI), the two
+    numbers a mixture-rebalancing step monitors (a corpus of N equal
+    sources has HHI=1/N, effective=N; domination pushes effective → 1).
+    Exact integer rationals end to end: HHI = Σn_s²/N² and its reciprocal
+    are quantized with the round-half-up micro idiom over BIGINT sums —
+    no float aggregation anywhere (at petabyte doc counts the squares
+    outgrow BIGINT; the upgrade is the established decimal(38,0)/HUGEINT
+    big_sum route, same plan).
+
+    Scale shape: one linear groupBy to K source counts; everything after
+    runs on the K-row table. [extension]"""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(F.count("*").alias("n"))
+    return per_src.agg(
+        F.count("*").alias("n_sources"),
+        F.sum("n").alias("n_docs"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    ).select(
+        "n_sources",
+        "n_docs",
+        F.expr(
+            "(2 * s2 * 1000000 + n_docs * n_docs) div (2 * n_docs * n_docs)"
+        ).alias("hhi_micro"),
+        F.expr(
+            "(2 * n_docs * n_docs * 1000000 + s2) div (2 * s2)"
+        ).alias("effective_sources_micro"),
+    )
+
+
+QUERIES["source_concentration_hhi"] = source_concentration_hhi
+
+ORACLE["source_concentration_hhi"] = """
+WITH per_src AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY source
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_sources,
+         CAST(sum(n) AS BIGINT) AS n_docs,
+         CAST(sum(n * n) AS BIGINT) AS s2
+  FROM per_src
+)
+SELECT n_sources, n_docs,
+       (2 * s2 * 1000000 + n_docs * n_docs) // (2 * n_docs * n_docs)
+         AS hhi_micro,
+       (2 * n_docs * n_docs * 1000000 + s2) // (2 * s2)
+         AS effective_sources_micro
+FROM agg
+"""

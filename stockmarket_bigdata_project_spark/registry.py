@@ -200,7 +200,7 @@ _INTRODUCED_LATE_R3 = frozenset(
         "zorder_file_stats", "benford_digit_audit", "near_dup_triangles",
         "k_anonymity_audit", "winsorized_stats", "compression_ratio_scores",
         "ks_two_sample_lengths", "incremental_agg_maintenance",
-        "media_perceptual_hash_pairs",
+        "media_perceptual_hash_pairs", "source_concentration_hhi",
     }
 )
 

@@ -822,3 +822,15 @@ def test_perceptual_hash_bucket_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_hhi_single_linear_aggregate(spark, sf_dir):
+    """Concentration report: one linear groupBy to K source counts, then
+    K-row arithmetic — no join, no sort."""
+    from stockmarket_bigdata_project_spark.llmdata.sampling import (
+        source_concentration_hhi,
+    )
+
+    plan = _plan(source_concentration_hhi(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
