@@ -53,6 +53,10 @@ HEADLINE = [
     "lang_id_scores",
     "media_catalog",
     "image_features",
+    # added late r3: flagship new-surface queries (absent from BENCH_r1/r2
+    # totals — compare totals excluding these two, or per-query)
+    "hybrid_retrieval_rrf",
+    "sequence_packing_spans",
 ]
 
 

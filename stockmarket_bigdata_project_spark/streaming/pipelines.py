@@ -621,3 +621,82 @@ SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
        CAST(sum(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS total_value
 FROM events GROUP BY day, event_type
 """
+
+
+def streaming_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch built INCREMENTALLY across micro-batches — the
+    mergeability proof for the batch cms_heavy_hitters: each replay
+    micro-batch folds only its own rows into a partial CMS_D×CMS_W grid
+    (foreachBatch appends the partial cells), the partials merge by
+    cell-wise SUM after the run, and the merged grid answers the same
+    point queries. Because CMS cells are plain counters, merge order is
+    irrelevant and the streamed sketch is IDENTICAL to the one-pass batch
+    sketch — so this streaming query is value-level checked against the
+    very same DuckDB oracle as the batch query (most streaming ops need a
+    batch twin; a mergeable sketch IS its own twin). This is the daily-
+    sketch → weekly-rollup pattern (sketch once, merge everywhere) with
+    the merge made exact and observable.
+
+    Scale shape: per batch, map-side partial counts collapse to ≤1024
+    cells before the append; the merge aggregates K·n_batches tiny rows;
+    candidate estimation is the broadcast grid join of the batch query."""
+    from ..operators.sketches import CMS_D, CMS_T, _cms_bucket
+
+    stream = _events_stream(spark, sf_dir).select("user_id")
+    sink = tempfile.mkdtemp(prefix="spark_graft_cms_")
+    chk = tempfile.mkdtemp(prefix="spark_graft_chk_")
+
+    def write_partial(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        occ = batch_df.select(
+            "user_id",
+            F.explode(F.array([F.lit(j) for j in range(CMS_D)])).alias("j"),
+        ).select("j", _cms_bucket(F.col("j")).alias("bucket"))
+        partial = occ.groupBy("j", "bucket").agg(F.count("*").alias("cnt"))
+        partial.write.mode("append").parquet(sink)
+
+    q = (
+        stream.writeStream.foreachBatch(write_partial)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    grid = (
+        spark.read.parquet(sink)
+        .groupBy("j", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    cand = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("exact_n"))
+    )
+    cand_cells = cand.select(
+        "user_id",
+        "exact_n",
+        F.explode(F.array([F.lit(j) for j in range(CMS_D)])).alias("j"),
+    ).select(
+        "user_id", "exact_n", "j", _cms_bucket(F.col("j")).alias("bucket")
+    )
+    est = (
+        cand_cells.join(F.broadcast(grid), ["j", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cnt").alias("est"))
+    )
+    return est.filter(F.col("est") >= CMS_T).select(
+        "user_id",
+        "est",
+        "exact_n",
+        (F.col("est") - F.col("exact_n")).alias("overcount"),
+    )
+
+
+QUERIES["streaming_cms_merge"] = streaming_cms_merge
+
+from ..operators.sketches import ORACLE as _SK_ORACLE  # noqa: E402
+
+# the merged streaming sketch is value-identical to the one-pass batch
+# sketch, so it shares the batch query's oracle verbatim
+ORACLE["streaming_cms_merge"] = _SK_ORACLE["cms_heavy_hitters"]
