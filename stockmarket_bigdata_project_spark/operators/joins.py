@@ -485,3 +485,92 @@ SELECT o_orderkey, old_cents, new_cents,
 FROM old FULL OUTER JOIN new USING (o_orderkey)
 WHERE old_cents IS NULL OR new_cents IS NULL OR old_cents <> new_cents
 """
+
+
+ASOF_TOL_DAYS = 7  # forward as-of tolerance bound
+
+
+def asof_join_next_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with a tolerance bound — the
+    pandas merge_asof(direction='forward', tolerance=...) surface: for
+    each order, the customer's NEXT strictly-later order-day total, but
+    only if it lands within ASOF_TOL_DAYS; otherwise null (plus the gap
+    in days). Same union-asof single-shuffle plan as asof_join_prev_order
+    with the frame reversed: sides flip (right rows sort BEFORE left rows
+    on equal days, so same-day never matches the strict 'next'), the
+    frame is (1 FOLLOWING, UNBOUNDED), and first(..., ignorenulls) picks
+    the nearest following day — the tolerance is a map-side datediff
+    check AFTER the match, exactly merge_asof's semantics. One exchange
+    on the join key, fully codegen."""
+    left, right = _asof_sides(spark, sf_dir)
+    lu = left.select(
+        "o_orderkey",
+        "o_custkey",
+        "day",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("date").alias("m_day"),
+        F.lit(None).cast("double").alias("m_total"),
+    )
+    ru = right.select(
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.col("r_custkey").alias("o_custkey"),
+        F.col("r_day").alias("day"),
+        F.lit(0).alias("side"),
+        F.col("r_day").alias("m_day"),
+        F.col("day_total").alias("m_total"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day", "side")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    gap = F.datediff(F.col("n_day"), F.col("day"))
+    within = F.col("n_day").isNotNull() & (gap <= ASOF_TOL_DAYS)
+    return (
+        lu.unionByName(ru)
+        .withColumn("n_day", F.first("m_day", ignorenulls=True).over(w))
+        .withColumn("n_total", F.first("m_total", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "day",
+            F.when(within, F.col("n_total")).alias("next_day_total"),
+            F.when(within, gap.cast("int")).alias("gap_days"),
+        )
+    )
+
+
+QUERIES["asof_join_next_tolerance"] = asof_join_next_tolerance
+
+ORACLE["asof_join_next_tolerance"] = f"""
+WITH l AS (
+  SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS day FROM orders
+), r AS (
+  SELECT o_custkey AS r_custkey, CAST(o_orderdate AS DATE) AS r_day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS day_total
+  FROM orders GROUP BY 1, 2
+), u AS (
+  SELECT o_orderkey, o_custkey, day, 1 AS side,
+         NULL::DATE AS m_day, NULL::DOUBLE AS m_total
+  FROM l
+  UNION ALL
+  SELECT NULL, r_custkey, r_day, 0, r_day, day_total FROM r
+), wnd AS (
+  SELECT *,
+         first_value(m_day IGNORE NULLS) OVER win AS n_day,
+         first_value(m_total IGNORE NULLS) OVER win AS n_total
+  FROM u
+  WINDOW win AS (PARTITION BY o_custkey ORDER BY day, side
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT o_orderkey, o_custkey, day,
+       CASE WHEN n_day IS NOT NULL
+             AND date_diff('day', day, n_day) <= {ASOF_TOL_DAYS}
+            THEN n_total END AS next_day_total,
+       CASE WHEN n_day IS NOT NULL
+             AND date_diff('day', day, n_day) <= {ASOF_TOL_DAYS}
+            THEN CAST(date_diff('day', day, n_day) AS INTEGER)
+            END AS gap_days
+FROM wnd WHERE side = 1
+"""

@@ -201,7 +201,7 @@ _INTRODUCED_LATE_R3 = frozenset(
         "k_anonymity_audit", "winsorized_stats", "compression_ratio_scores",
         "ks_two_sample_lengths", "incremental_agg_maintenance",
         "media_perceptual_hash_pairs", "source_concentration_hhi",
-        "streaming_cms_merge",
+        "streaming_cms_merge", "asof_join_next_tolerance",
     }
 )
 

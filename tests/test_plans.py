@@ -834,3 +834,17 @@ def test_hhi_single_linear_aggregate(spark, sf_dir):
     plan = _plan(source_concentration_hhi(spark, sf_dir))
     assert "Join" not in plan, plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_forward_asof_single_exchange_no_join(spark, sf_dir):
+    """The forward-tolerance as-of must keep the union-asof shape: one
+    hash exchange on the join key for the window — no join operator, no
+    range partitioning."""
+    from stockmarket_bigdata_project_spark.operators.joins import (
+        asof_join_next_tolerance,
+    )
+
+    plan = _plan(asof_join_next_tolerance(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "hashpartitioning(o_custkey" in plan, plan
