@@ -625,3 +625,173 @@ SELECT user_id,
          AS n_signup_error
 FROM seqs
 """
+
+
+MIN_ITEM_SUPPORT = 3  # apriori prune: item kept iff it appears in ≥ N orders
+MIN_PAIR_SUPPORT = 2  # pair reported iff it co-occurs in ≥ N orders
+
+
+def frequent_item_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: pairs of parts bought together in the
+    same order, with supports and an exact integer lift score. [extension]
+
+    The classic frequent-itemset first rounds at warehouse scale:
+    (1) collapse the fact table to distinct (basket, item) — linear;
+    (2) APRIORI PRUNE: an item below MIN_ITEM_SUPPORT cannot appear in a
+    frequent pair, so infrequent items are dropped BEFORE the pairing
+    self-join (the A-priori downward-closure property — at 100 TB this is
+    what keeps the candidate space bounded);
+    (3) pair by equi-join on the basket key — both sides hash-partition on
+    l_orderkey, so the pairing is co-located and the per-basket fanout is
+    C(items_in_basket, 2), bounded (TPC-H baskets hold ≤ 7 items; a
+    pathological mega-basket would get a per-basket item cap first).
+    Never an all-pairs product across baskets.
+
+    Lift is emitted as an exact scaled integer
+    (pair_support · n_orders · 10⁶) div (support_a · support_b) — BIGINT
+    floor-division is bit-identical across engines, where a double divide
+    is not (determinism playbook, COVERAGE.md)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    support = li.groupBy("l_partkey").agg(F.count("*").alias("item_support"))
+    basket = li.join(
+        support.filter(F.col("item_support") >= MIN_ITEM_SUPPORT), "l_partkey"
+    )
+    a = basket.select(
+        "l_orderkey",
+        F.col("l_partkey").alias("part_a"),
+        F.col("item_support").alias("support_a"),
+    )
+    b = basket.select(
+        "l_orderkey",
+        F.col("l_partkey").alias("part_b"),
+        F.col("item_support").alias("support_b"),
+    )
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b", "support_a", "support_b")
+        .agg(F.count("*").alias("pair_support"))
+        .filter(F.col("pair_support") >= MIN_PAIR_SUPPORT)
+    )
+    tot = li.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    return pairs.join(F.broadcast(tot)).select(
+        "part_a",
+        "part_b",
+        "pair_support",
+        "support_a",
+        "support_b",
+        F.expr(
+            "(pair_support * n_orders * 1000000L)"
+            " div (support_a * support_b)"
+        ).alias("lift_micros"),
+    )
+
+
+QUERIES["frequent_item_pairs"] = frequent_item_pairs
+
+ORACLE["frequent_item_pairs"] = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+sup AS (SELECT l_partkey, count(*) AS item_support FROM li GROUP BY 1),
+basket AS (
+  SELECT li.l_orderkey, li.l_partkey, s.item_support
+  FROM li JOIN sup s USING (l_partkey)
+  WHERE s.item_support >= {MIN_ITEM_SUPPORT}
+),
+pc AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         a.item_support AS support_a, b.item_support AS support_b,
+         count(*) AS pair_support
+  FROM basket a JOIN basket b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2, 3, 4
+  HAVING count(*) >= {MIN_PAIR_SUPPORT}
+),
+tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li)
+SELECT part_a, part_b, pair_support, support_a, support_b,
+       (pair_support * n_orders * 1000000) // (support_a * support_b)
+         AS lift_micros
+FROM pc, tot
+"""
+
+
+def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) per market segment: orders not
+    dominated on (earlier-or-equal day, higher-or-equal price, one
+    strict) by any other order in the segment. [extension]
+
+    Skyline via windows, not the naive NOT-EXISTS self-join: collapse to
+    per-(segment, day) maxima first (linear agg), then a single running
+    prev-day max over the day-level table decides frontier days, then one
+    equi-join back tags the frontier rows. Dominance check cost is
+    |segment-days|, not |orders|².
+
+    The skyline operator is DISTRIBUTIVE — skyline(A ∪ B) =
+    skyline(skyline(A) ∪ skyline(B)) — so at 100 TB the same plan holds:
+    partial per-partition frontiers shrink the day-level table before the
+    per-segment window, and the window partitions by segment (parallel
+    across segments, no global sort).
+
+    All comparisons are on stored values (date, double max — no float
+    arithmetic), so the output is bit-identical across engines."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("day"),
+        "o_totalprice",
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    o = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).select("o_orderkey", "c_mktsegment", "day", "o_totalprice")
+    daymax = o.groupBy("c_mktsegment", "day").agg(
+        F.max("o_totalprice").alias("day_max")
+    )
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sky_days = daymax.withColumn(
+        "prev_max", F.max("day_max").over(w)
+    ).filter(F.col("prev_max").isNull() | (F.col("day_max") > F.col("prev_max")))
+    return (
+        o.join(sky_days, ["c_mktsegment", "day"])
+        .filter(F.col("o_totalprice") == F.col("day_max"))
+        .select(
+            "o_orderkey",
+            "c_mktsegment",
+            "day",
+            F.col("o_totalprice").alias("frontier_price"),
+        )
+    )
+
+
+QUERIES["pareto_frontier_orders"] = pareto_frontier_orders
+
+ORACLE["pareto_frontier_orders"] = """
+WITH o AS (
+  SELECT o_orderkey, c_mktsegment, CAST(o_orderdate AS DATE) AS day,
+         o_totalprice
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+dm AS (
+  SELECT c_mktsegment, day, max(o_totalprice) AS day_max
+  FROM o GROUP BY 1, 2
+),
+sk AS (
+  SELECT *, max(day_max) OVER (
+    PARTITION BY c_mktsegment ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM dm
+)
+SELECT o.o_orderkey, o.c_mktsegment, o.day, o.o_totalprice AS frontier_price
+FROM o JOIN sk ON o.c_mktsegment = sk.c_mktsegment AND o.day = sk.day
+WHERE (sk.prev_max IS NULL OR sk.day_max > sk.prev_max)
+  AND o.o_totalprice = sk.day_max
+"""

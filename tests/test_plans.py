@@ -848,3 +848,34 @@ def test_forward_asof_single_exchange_no_join(spark, sf_dir):
     assert "Join" not in plan, plan
     assert "rangepartitioning" not in plan, plan
     assert "hashpartitioning(o_custkey" in plan, plan
+
+
+def test_frequent_pairs_colocated_basket_join(spark, sf_dir):
+    """The market-basket pairing must be a hash equi-join co-located on
+    the basket key — never a cartesian across baskets. The only loop join
+    allowed is the single-row n_orders broadcast."""
+    from stockmarket_bigdata_project_spark.operators.analytics import (
+        frequent_item_pairs,
+    )
+
+    plan = _plan(frequent_item_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "hashpartitioning(l_orderkey" in plan, plan
+    # formatted plans name each operator twice (tree line + detail block)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+
+
+def test_pareto_frontier_windows_not_self_join(spark, sf_dir):
+    """The skyline must be the day-level window form: no NOT-EXISTS
+    self-join on orders (which would be |orders|² dominance checks), no
+    global sort, segment-partitioned window only."""
+    from stockmarket_bigdata_project_spark.operators.analytics import (
+        pareto_frontier_orders,
+    )
+
+    plan = _plan(pareto_frontier_orders(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(c_mktsegment" in plan, plan
