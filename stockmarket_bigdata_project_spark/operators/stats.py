@@ -780,3 +780,78 @@ FROM dmax g JOIN gaps x
   ON x.n_a = g.n_a AND x.n_b = g.n_b AND x.gap = g.gmax
 GROUP BY g.n_a, g.n_b, g.gmax
 """
+
+
+def _hex15_to_bigint_sql(h: str) -> str:
+    """DuckDB-side parse of the first 15 hex chars of an md5 into a BIGINT
+    (no strtol in DuckDB): per-digit positional expansion. 16^15 − 1 ≈
+    1.15e18 < 2^63, so the value is always in BIGINT range — the exact
+    twin of Spark's conv(substring(md5, 1, 15), 16, 10)."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substring({h}, {i}, 1)) - 1)"
+        f" * {16 ** (15 - i)}"
+        for i in range(1, 16)
+    )
+
+
+def table_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orderless per-month fingerprint of the orders table: row count +
+    bit_xor of a 60-bit row hash (+ min/max hash as extra signal). The
+    replication/migration validation primitive at 100 TB: two copies of a
+    table match iff every (month, n_rows, checksum) row matches, computed
+    with ONE linear scan + map-side partial aggregation and no sort —
+    bit_xor is commutative/associative, so the result is independent of
+    partitioning, task order, and row order. [extension]
+
+    Cross-engine exactness: the row is serialized through types with
+    canonical string forms in BOTH engines (BIGINT, VARCHAR, DECIMAL(15,2),
+    DATE) — never raw doubles, whose string rendering is engine-specific —
+    then md5'd, and the first 15 hex chars parsed to BIGINT (Spark conv vs
+    the DuckDB positional expansion above)."""
+    o = load_table(spark, sf_dir, "orders")
+    day = F.col("o_orderdate").cast("date")
+    rowstr = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(15,2)").cast("string"),
+        day.cast("string"),
+        F.col("o_orderpriority"),
+    )
+    rowhash = F.conv(F.substring(F.md5(rowstr), 1, 15), 16, 10).cast("long")
+    return (
+        o.select(
+            F.date_trunc("month", day).cast("date").alias("month"),
+            rowhash.alias("rowhash"),
+        )
+        .groupBy("month")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.expr("bit_xor(rowhash)").alias("checksum"),
+            F.min("rowhash").alias("min_hash"),
+            F.max("rowhash").alias("max_hash"),
+        )
+    )
+
+
+QUERIES["table_fingerprint_orders"] = table_fingerprint_orders
+
+ORACLE["table_fingerprint_orders"] = f"""
+WITH r AS (
+  SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+           AS month,
+         md5(concat_ws('|',
+             CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+             o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR),
+             CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
+             o_orderpriority)) AS h
+  FROM orders
+), hh AS (
+  SELECT month, {_hex15_to_bigint_sql('h')} AS rowhash FROM r
+)
+SELECT month, count(*) AS n_rows, bit_xor(rowhash) AS checksum,
+       min(rowhash) AS min_hash, max(rowhash) AS max_hash
+FROM hh GROUP BY month
+"""

@@ -47,6 +47,7 @@ _SENSITIVE = [
     "hybrid_retrieval_rrf",  # rrf doubles from channel ranks
     "winsorized_stats",  # clipped mean micros / 1e6
     "incremental_agg_maintenance",  # merged revenue + avg doubles
+    "table_fingerprint_orders",  # bit_xor orderless-checksum claim
 ]
 
 

@@ -879,3 +879,17 @@ def test_pareto_frontier_windows_not_self_join(spark, sf_dir):
     assert "rangepartitioning" not in plan, plan
     assert "SinglePartition" not in plan, plan
     assert "hashpartitioning(c_mktsegment" in plan, plan
+
+
+def test_table_fingerprint_single_linear_aggregate(spark, sf_dir):
+    """The table checksum must be one scan + partial/final hash aggregate:
+    no join, no sort, no global single-partition funnel."""
+    from stockmarket_bigdata_project_spark.operators.stats import (
+        table_fingerprint_orders,
+    )
+
+    plan = _plan(table_fingerprint_orders(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "Sort" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
