@@ -24,6 +24,7 @@ capability surface.
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -721,3 +722,69 @@ SELECT user_id,
 FROM s GROUP BY user_id, session_id
 """,
 }
+
+
+SUPPRESS_DAYS = 7  # cooldown: a kept row blocks the key for this many days
+
+
+def suppression_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cooldown dedup: per customer, keep an order only if ≥ SUPPRESS_DAYS
+    have passed since the LAST KEPT order (first order always kept; ties
+    on a day broken by o_orderkey). [extension]
+
+    This is the alert-throttling / retraining-trigger / near-dup
+    suppression-window primitive. It is genuinely NOT window-expressible:
+    whether a row is kept depends on which earlier rows were KEPT, not
+    just on the raw predecessor (a lag() would reset the cooldown on
+    suppressed rows too). The reference-class escape hatch applies
+    (SURVEY §2.11 custom-operator ladder, step b): applyInPandas per key —
+    parallel across customers, one linear Arrow-batched pass per group,
+    state bounded by one date. At 100 TB the cost profile is one shuffle
+    on the entity key then map-side sequential scans, the same shape as
+    sessionization.
+
+    Oracle: DuckDB recursive CTE advancing (rn → rn+1) per key carries the
+    last-kept date through the recursion — exact date arithmetic, so the
+    kept set is value-level checkable."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("day"),
+    )
+
+    def keep_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["day", "o_orderkey"], kind="mergesort")
+        kept_idx = []
+        last_kept = None
+        for row in pdf.itertuples():
+            d = row.day
+            if last_kept is None or (d - last_kept).days >= SUPPRESS_DAYS:
+                kept_idx.append(row.Index)
+                last_kept = d
+        return pdf.loc[kept_idx, ["o_custkey", "o_orderkey", "day"]]
+
+    out_schema = "o_custkey long, o_orderkey long, day date"
+    return o.groupBy("o_custkey").applyInPandas(keep_group, out_schema)
+
+
+QUERIES["suppression_window_dedup"] = suppression_window_dedup
+
+ORACLE["suppression_window_dedup"] = f"""
+WITH RECURSIVE seq AS (
+  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS day,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+           AS rn
+  FROM orders
+), keep AS (
+  SELECT o_custkey, o_orderkey, day, rn, day AS last_kept, TRUE AS kept
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.o_custkey, s.o_orderkey, s.day, s.rn,
+         CASE WHEN s.day >= k.last_kept + {SUPPRESS_DAYS}
+              THEN s.day ELSE k.last_kept END,
+         s.day >= k.last_kept + {SUPPRESS_DAYS}
+  FROM keep k JOIN seq s ON s.o_custkey = k.o_custkey AND s.rn = k.rn + 1
+)
+SELECT o_custkey, o_orderkey, day FROM keep WHERE kept
+"""

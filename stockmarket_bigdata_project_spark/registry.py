@@ -203,7 +203,7 @@ _INTRODUCED_LATE_R3 = frozenset(
         "media_perceptual_hash_pairs", "source_concentration_hhi",
         "streaming_cms_merge", "asof_join_next_tolerance",
         "frequent_item_pairs", "pareto_frontier_orders",
-        "table_fingerprint_orders",
+        "table_fingerprint_orders", "suppression_window_dedup",
     }
 )
 

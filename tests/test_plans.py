@@ -893,3 +893,17 @@ def test_table_fingerprint_single_linear_aggregate(spark, sf_dir):
     assert "Sort" not in plan, plan
     assert "SinglePartition" not in plan, plan
     assert plan.count("HashAggregate") >= 2, plan  # partial + final
+
+
+def test_suppression_dedup_single_key_shuffle(spark, sf_dir):
+    """The cooldown dedup must be one hash exchange on the entity key
+    feeding the Arrow-grouped pass — no join, no global sort."""
+    from stockmarket_bigdata_project_spark.operators.timeseries import (
+        suppression_window_dedup,
+    )
+
+    plan = _plan(suppression_window_dedup(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "Join" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "hashpartitioning(o_custkey" in plan, plan
