@@ -855,3 +855,66 @@ SELECT month, count(*) AS n_rows, bit_xor(rowhash) AS checksum,
        min(rowhash) AS min_hash, max(rowhash) AS max_hash
 FROM hh GROUP BY month
 """
+
+
+def weighted_median_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted (lower) median of l_extendedprice per
+    return flag: the smallest price whose cumulative weight reaches half
+    the group's total weight. [extension]
+
+    Determinism: prices as integer CENTS, weights as integer quantities;
+    the cumulative weight uses a RANGE frame ordered on cents, so tied
+    prices accumulate as one block and the result is independent of tie
+    order and partitioning. Both engines evaluate the identical
+    2·cum ≥ W rule on exact integers; the final cents→currency divide is
+    one shared-binary64 operation (playbook 3a). Scale shape: one hash
+    exchange on the group key, sort within group for the window — the
+    same cost as any exact order statistic (operators/stats.py header)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    grp = Window.partitionBy("l_returnflag")
+    cum = (
+        grp.orderBy("cents")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        li.withColumn("cum_w", F.sum("w").over(cum))
+        .withColumn("tot_w", F.sum("w").over(grp))
+        .withColumn("n_rows", F.count("*").over(grp))
+        .filter(F.col("cum_w") * 2 >= F.col("tot_w"))
+        .groupBy("l_returnflag", "tot_w", "n_rows")
+        .agg((F.min("cents") / 100.0).alias("weighted_median_price"))
+        .select(
+            "l_returnflag",
+            F.col("tot_w").alias("total_weight"),
+            "n_rows",
+            "weighted_median_price",
+        )
+    )
+
+
+QUERIES["weighted_median_prices"] = weighted_median_prices
+
+ORACLE["weighted_median_prices"] = """
+WITH li AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+), c AS (
+  SELECT l_returnflag, cents, w,
+         sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_w,
+         sum(w) OVER (PARTITION BY l_returnflag) AS tot_w,
+         count(*) OVER (PARTITION BY l_returnflag) AS n_rows
+  FROM li
+)
+SELECT l_returnflag, tot_w AS total_weight, n_rows,
+       min(cents) / 100.0 AS weighted_median_price
+FROM c WHERE cum_w * 2 >= tot_w
+GROUP BY l_returnflag, tot_w, n_rows
+"""

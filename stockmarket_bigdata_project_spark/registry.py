@@ -204,6 +204,7 @@ _INTRODUCED_LATE_R3 = frozenset(
         "streaming_cms_merge", "asof_join_next_tolerance",
         "frequent_item_pairs", "pareto_frontier_orders",
         "table_fingerprint_orders", "suppression_window_dedup",
+        "weighted_median_prices",
     }
 )
 

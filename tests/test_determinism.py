@@ -48,6 +48,7 @@ _SENSITIVE = [
     "winsorized_stats",  # clipped mean micros / 1e6
     "incremental_agg_maintenance",  # merged revenue + avg doubles
     "table_fingerprint_orders",  # bit_xor orderless-checksum claim
+    "weighted_median_prices",  # range-frame cum-weight rule on exact cents
 ]
 
 

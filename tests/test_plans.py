@@ -907,3 +907,17 @@ def test_suppression_dedup_single_key_shuffle(spark, sf_dir):
     assert "Join" not in plan, plan
     assert "rangepartitioning" not in plan, plan
     assert "hashpartitioning(o_custkey" in plan, plan
+
+
+def test_weighted_median_single_group_exchange(spark, sf_dir):
+    """The weighted median must stay one hash exchange on the group key
+    with a within-group sort for the range-frame window — no join, no
+    global range partitioning."""
+    from stockmarket_bigdata_project_spark.operators.stats import (
+        weighted_median_prices,
+    )
+
+    plan = _plan(weighted_median_prices(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "hashpartitioning(l_returnflag" in plan, plan
