@@ -299,10 +299,10 @@ WITH kv AS (
          CAST(json_extract(props::JSON, '$.k') AS BIGINT) AS k_direct
   FROM kv
 )
-SELECT k, count(*) AS n_events, sum(v) AS total_v,
+SELECT k, count(*) AS n_events, CAST(sum(v) AS BIGINT) AS total_v,
        min(v) AS min_v, max(v) AS max_v,
-       sum(n_keys) AS total_keys,
-       sum(coalesce(k_direct, 0)) AS total_k_direct
+       CAST(sum(n_keys) AS BIGINT) AS total_keys,
+       CAST(sum(coalesce(k_direct, 0)) AS BIGINT) AS total_k_direct
 FROM typed GROUP BY k
 """,
     "xml_functions": """

@@ -34,13 +34,16 @@ def _quality_cols() -> dict[str, F.Column]:
     stopword list). Still one plan over one documents scan: these are plain
     Column expressions, composed into this pipeline's projection."""
     q = quality_exprs()
-    return {"n_tokens": q["n_tokens"], "quality_score": q["quality_score"]}
+    return {
+        "n_tokens": q["n_tokens"],
+        "quality_score": q["quality_score"],
+        "quality_micro": q["quality_micro"],
+    }
 
 
-def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The curated corpus: docs passing the quality floor, surviving exact
-    dedup (min doc_id per normalized text) AND near-dedup (canonical member
-    of their LSH component, or not in any component)."""
+def _clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_clean plus the integer micro-unit quality column the stats
+    aggregate sums exactly (kept out of corpus_clean's public schema)."""
     docs = load_table(spark, sf_dir, "documents")
     q = _quality_cols()
     exact_keep = F.min("doc_id").over(Window.partitionBy(F.md5(_normalized())))
@@ -51,6 +54,7 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             q["n_tokens"].alias("n_tokens"),
             q["quality_score"].alias("quality_score"),
+            q["quality_micro"].alias("quality_micro"),
             (F.col("doc_id") == exact_keep).alias("_exact_keep"),
         )
         .filter(F.col("quality_score") >= QUALITY_MIN)
@@ -65,17 +69,25 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.join(near_losers, "doc_id", "left_anti")
 
 
+def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curated corpus: docs passing the quality floor, surviving exact
+    dedup (min doc_id per normalized text) AND near-dedup (canonical member
+    of their LSH component, or not in any component)."""
+    return _clean_docs(spark, sf_dir).drop("quality_micro")
+
+
 def corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """What the pipeline reports: per-source kept-doc counts and token mass
-    of the curated corpus (the number that decides a training run's size)."""
-    clean = corpus_clean(spark, sf_dir)
+    of the curated corpus (the number that decides a training run's size).
+    All-BIGINT output: the mean quality is reported as an exact micro-unit
+    sum (sum_quality_micro / n_docs at the consumer) — r3's gate red was
+    the oracle's sum(int) → HUGEINT in a driver-side dtype conversion, and
+    pure-BIGINT output with explicit oracle casts removes the class."""
+    clean = _clean_docs(spark, sf_dir)
     return clean.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
-        (
-            F.sum(F.col("quality_score").cast("decimal(27,6)")).cast("double")
-            / F.count("quality_score")
-        ).alias("avg_quality"),
+        F.sum("quality_micro").alias("sum_quality_micro"),
     )
 
 
@@ -99,13 +111,16 @@ quality AS (
          CASE WHEN n < 10 THEN 0.0
               ELSE {{quality_micro}} / 1000000.0
          END AS quality_score,
+         CASE WHEN n < 10 THEN CAST(0 AS BIGINT)
+              ELSE CAST({{quality_micro}} AS BIGINT)
+         END AS quality_micro,
          min(doc_id) OVER (
            PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
          ) AS exact_keeper
   FROM qbase
 ),
 clean AS (
-  SELECT doc_id, lang, source, n_tokens, quality_score
+  SELECT doc_id, lang, source, n_tokens, quality_score, quality_micro
   FROM quality
   WHERE quality_score >= {QUALITY_MIN}
     AND doc_id = exact_keeper
@@ -126,9 +141,9 @@ SELECT doc_id, lang, source, n_tokens, quality_score FROM clean
     "corpus_clean_stats": f"""
 {_CC_CHAIN},
 {_CLEAN_SQL.strip()}
-SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
-       CAST(sum(CAST(quality_score AS DECIMAL(27,6))) AS DOUBLE)
-         / count(quality_score) AS avg_quality
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(quality_micro) AS BIGINT) AS sum_quality_micro
 FROM clean GROUP BY source
 """,
 }

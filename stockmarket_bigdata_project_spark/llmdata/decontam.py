@@ -219,7 +219,8 @@ contaminated AS (
   GROUP BY t.doc_id
 )
 SELECT d.source, count(*) AS n_train_docs,
-       sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated
+       CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated
 FROM documents d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
 WHERE d.doc_id % {BENCH_MOD} <> 0
 GROUP BY d.source

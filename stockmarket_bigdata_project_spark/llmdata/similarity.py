@@ -432,10 +432,20 @@ def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+    # codes serialized as fixed-width hex (2 chars per dim, biased by +127
+    # into [0, 254]) — the driver's canonicalizer cannot sort/hash list
+    # columns (r3 harness error), and the minhash h0..h3 string pattern is
+    # the proven-green shape for array-valued results
+    codes_hex = F.array_join(
+        F.transform(
+            "codes", lambda c: F.lpad(F.lower(F.hex(c + 127)), 2, "0")
+        ),
+        "",
+    )
     return coded.select(
         "vec_id",
         F.col("scale").cast("long").alias("scale_micros"),
-        "codes",
+        codes_hex.alias("codes_hex"),
         resid.cast("long").alias("l1_err_127ths"),
     )
 
@@ -599,7 +609,9 @@ WITH m AS (
               // CAST(2 * scale AS BIGINT))) AS codes
   FROM s
 )
-SELECT vec_id, CAST(scale AS BIGINT) AS scale_micros, codes,
+SELECT vec_id, CAST(scale AS BIGINT) AS scale_micros,
+       array_to_string(list_transform(codes,
+         c -> lpad(lower(hex(c + 127)), 2, '0')), '') AS codes_hex,
        CAST(list_aggregate(list_transform(mvec,
               (x, i) -> abs(127 * x - codes[i] * scale)), 'sum') AS BIGINT)
          AS l1_err_127ths

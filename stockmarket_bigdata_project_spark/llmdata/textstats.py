@@ -98,7 +98,11 @@ def quality_exprs() -> dict[str, "F.Column"]:
     t3 = F.least(1600000 * n, 200000 * c)
     micro = _round_div_micro(t1 + t2 + t3, 8 * n)
     score = F.when(n_tokens < 10, 0.0).otherwise(micro / 1000000.0)
+    micro_long = (
+        F.when(n_tokens < 10, F.lit(0)).otherwise(micro).cast("long")
+    )
     return {
+        "quality_micro": micro_long,
         "n_tokens": n_tokens,
         "n_chars": n_chars,
         "n_long": n,
@@ -141,17 +145,17 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = docs.select(
         "doc_id", "source", ws.alias("ws_tokens"), bpe_ish.alias("bpe_tokens")
     )
-    # avg quantized at 6dp by the integer-rational idiom — round(avg(), 6)
-    # of a genuine-real quotient is engine-divergent at half-microunit
-    # boundaries (playbook rule 1)
+    # The mean is emitted as an INTEGER micro-unit value (round-half-up of
+    # 10^6·mean): r3's gate red was the oracle's sum(int) → HUGEINT leaking
+    # into a driver-side dtype conversion (playbook rule 11); pure-BIGINT
+    # output removes the class entirely.
     return per_doc.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("ws_tokens").alias("total_ws_tokens"),
         F.sum("bpe_tokens").alias("total_bpe_tokens"),
-        (
-            _round_div_micro(1000000 * F.sum("bpe_tokens"), F.count("*"))
-            / 1000000.0
-        ).alias("avg_bpe_tokens"),
+        _round_div_micro(1000000 * F.sum("bpe_tokens"), F.count("*"))
+        .cast("long")
+        .alias("avg_bpe_micro"),
     )
 
 
@@ -196,16 +200,23 @@ def rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(N_RARE_TOKENS)
         .select("tok", F.lit(1).alias("is_rare"))
     )
-    return (
+    agg = (
         toks.join(F.broadcast(rare), "tok", "left")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
             F.sum(F.coalesce("is_rare", F.lit(0))).alias("n_rare"),
-            (
-                F.sum(F.coalesce("is_rare", F.lit(0))) / F.count("*")
-            ).alias("rare_ratio"),
         )
+    )
+    # ratio in integer micro-units (round-half-up) — pure-BIGINT output, no
+    # HUGEINT in the oracle, no double anywhere (playbook rule 11)
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_rare",
+        _round_div_micro(1000000 * F.col("n_rare"), F.col("n_tokens"))
+        .cast("long")
+        .alias("rare_ratio_micro"),
     )
 
 
@@ -401,6 +412,65 @@ def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CCNET_SAMPLE_MOD = 5  # deterministic hash sample driving the cutoffs
+
+
+def lm_ccnet_buckets_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of the CCNet bucketing: tercile CUTOFFS come from a
+    deterministic hash sample (doc_id % CCNET_SAMPLE_MOD == 0) and are
+    broadcast back, so the corpus is never globally sorted —
+    lm_perplexity_buckets' exact global ntile (kept as the semantic twin)
+    is this module's one RangePartitioning plan, the thing that dies first
+    on a 1000-executor cluster.
+
+    Plan shape (pinned in test_plans): map-side filter → ONE hash
+    aggregate collecting the sample keys (sort_array is an expression
+    inside the aggregate, not a plan Sort) → 1-row broadcast → map-side
+    bucket assignment. No Sort, no RangePartitioning, anywhere. The sample
+    is bounded by construction (mod chosen so it fits one aggregation
+    buffer; at cluster scale you raise the mod, or two-level the collect).
+
+    Determinism: cutoffs are ORDER STATISTICS (ceil(s/3)-th and
+    ceil(2s/3)-th smallest sample keys) — no interpolated percentile, no
+    float anywhere. Ties are impossible: the sort key is the zero-padded
+    string (mean_bits_micro, doc_id), unique per doc, and binary string
+    order == numeric order for zero-padded non-negatives on both engines."""
+    scored = lm_perplexity_bits(spark, sf_dir).select(
+        "doc_id",
+        _round_div_micro(
+            F.col("sum_bits") * F.lit(1_000_000), F.col("n_tokens")
+        )
+        .cast("long")
+        .alias("mean_bits_micro"),
+    )
+    key = F.concat(
+        F.lpad(F.col("mean_bits_micro").cast("string"), 12, "0"),
+        F.lpad(F.col("doc_id").cast("string"), 10, "0"),
+    )
+    keyed = scored.withColumn("k", key)
+    ks = F.sort_array(F.collect_list("k"))
+    cuts = (
+        keyed.filter(F.col("doc_id") % CCNET_SAMPLE_MOD == 0)
+        .agg(ks.alias("ks"))
+        .select(
+            F.element_at(
+                "ks", F.ceil(F.size("ks") / 3).cast("int")
+            ).alias("c1"),
+            F.element_at(
+                "ks", F.ceil(2 * F.size("ks") / 3).cast("int")
+            ).alias("c2"),
+        )
+    )
+    return keyed.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "mean_bits_micro",
+        F.when(F.col("k") <= F.col("c1"), "head")
+        .when(F.col("k") <= F.col("c2"), "middle")
+        .otherwise("tail")
+        .alias("ccnet_bucket"),
+    )
+
+
 DSIR_TARGET_LANG = "en"  # the "high-quality target" slice DSIR upweights
 
 
@@ -575,6 +645,7 @@ QUERIES = {
     "vocab_oov_rate": vocab_oov_rate,
     "lm_perplexity_bits": lm_perplexity_bits,
     "lm_perplexity_buckets": lm_perplexity_buckets,
+    "lm_ccnet_buckets_sampled": lm_ccnet_buckets_sampled,
     "dsir_importance_bits": dsir_importance_bits,
 }
 
@@ -644,14 +715,15 @@ WITH per_doc AS (
          len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens
   FROM documents
 )
-SELECT source, n_docs, total_ws_tokens, total_bpe_tokens,
-       ((num - (num % den)) / den) / 1000000.0 AS avg_bpe_tokens
+SELECT source, n_docs,
+       CAST(total_ws_tokens AS BIGINT) AS total_ws_tokens,
+       CAST(total_bpe_tokens AS BIGINT) AS total_bpe_tokens,
+       CAST((2 * 1000000 * total_bpe_tokens + n_docs) // (2 * n_docs)
+            AS BIGINT) AS avg_bpe_micro
 FROM (
   SELECT source, count(*) AS n_docs,
          sum(ws_tokens) AS total_ws_tokens,
-         sum(bpe_tokens) AS total_bpe_tokens,
-         2 * 1000000 * sum(bpe_tokens) + count(*) AS num,
-         2 * count(*) AS den
+         sum(bpe_tokens) AS total_bpe_tokens
   FROM per_doc GROUP BY source
 )
 """,
@@ -672,13 +744,17 @@ WITH toks AS (
   SELECT tok, count(*) AS tok_freq FROM toks GROUP BY tok
 ), rare AS (
   SELECT tok FROM vocab ORDER BY tok_freq ASC, tok ASC LIMIT {N_RARE_TOKENS}
+), agg AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         CAST(sum(CASE WHEN r.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rare
+  FROM toks t LEFT JOIN rare r USING (tok)
+  GROUP BY doc_id
 )
-SELECT doc_id, count(*) AS n_tokens,
-       sum(CASE WHEN r.tok IS NOT NULL THEN 1 ELSE 0 END) AS n_rare,
-       sum(CASE WHEN r.tok IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*)
-         AS rare_ratio
-FROM toks t LEFT JOIN rare r USING (tok)
-GROUP BY doc_id
+SELECT doc_id, n_tokens, n_rare,
+       CAST((2 * 1000000 * n_rare + n_tokens) // (2 * n_tokens) AS BIGINT)
+         AS rare_ratio_micro
+FROM agg
 """,
     "repetition_stats": """
 WITH base AS (
@@ -738,7 +814,8 @@ WITH toks AS (
 ), vocab AS (
   SELECT tok, count(*) AS tok_freq FROM toks GROUP BY tok
 )
-SELECT tok_freq, count(*) AS n_types, sum(tok_freq) AS token_mass
+SELECT tok_freq, count(*) AS n_types,
+       CAST(sum(tok_freq) AS BIGINT) AS token_mass
 FROM vocab GROUP BY tok_freq
 """,
 }
@@ -823,6 +900,40 @@ SELECT doc_id, mean_bits_micro,
 FROM scored
 """
 
+ORACLE["lm_ccnet_buckets_sampled"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), vocab AS (
+  SELECT tok, count(*) AS freq FROM toks GROUP BY tok
+), tot AS (
+  SELECT CAST(sum(freq) AS BIGINT) AS total_toks FROM vocab
+), bits_tbl AS (
+  SELECT tok, length(bin(total_toks // freq)) - 1 AS bits
+  FROM vocab, tot
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_tokens, CAST(sum(bits) AS BIGINT) AS sum_bits
+  FROM toks JOIN bits_tbl USING (tok) GROUP BY doc_id
+), keyed AS (
+  SELECT doc_id,
+         (2 * sum_bits * 1000000 + n_tokens) // (2 * n_tokens)
+           AS mean_bits_micro,
+         lpad(CAST((2 * sum_bits * 1000000 + n_tokens) // (2 * n_tokens)
+                   AS VARCHAR), 12, '0')
+           || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS k
+  FROM per_doc
+), cuts AS (
+  SELECT ks[CAST(ceil(len(ks) / 3) AS BIGINT)] AS c1,
+         ks[CAST(ceil(2 * len(ks) / 3) AS BIGINT)] AS c2
+  FROM (SELECT list_sort(list(k)) AS ks FROM keyed
+        WHERE doc_id % {CCNET_SAMPLE_MOD} = 0)
+)
+SELECT doc_id, mean_bits_micro,
+       CASE WHEN k <= c1 THEN 'head'
+            WHEN k <= c2 THEN 'middle'
+            ELSE 'tail' END AS ccnet_bucket
+FROM keyed, cuts
+"""
+
 ORACLE["dsir_importance_bits"] = f"""
 WITH toks AS (
   SELECT doc_id, lang,
@@ -866,7 +977,7 @@ WITH toks AS (
   SELECT t.doc_id, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
   FROM toks t LEFT JOIN vocab v USING (tok)
 )
-SELECT doc_id, count(*) AS n_tokens, sum(oov) AS n_oov,
+SELECT doc_id, count(*) AS n_tokens, CAST(sum(oov) AS BIGINT) AS n_oov,
        CAST(sum(oov) AS DOUBLE) / count(*) AS oov_rate
 FROM flagged GROUP BY doc_id
 """

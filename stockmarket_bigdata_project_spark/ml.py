@@ -120,16 +120,37 @@ _COEF_MOMENTUM = -0.1
 _INTERCEPT = 0.001
 
 
-def _linear_predict_udf():
-    """Arrow-batched inference: one Python call per batch, not per row —
-    this is where a real model.predict(features) would run. Built lazily:
-    pandas_udf type resolution needs an active SparkSession."""
+class _FixedLinearModel:
+    """The deterministic stand-in model, shaped like the sklearn predict
+    API (an (n, 2) feature matrix in, an (n,) prediction vector out) so a
+    pickled LinearRegression/XGBRegressor drops into the same slot —
+    reference stock_pipeline.py:218 calls exactly model.predict(features).
+    """
+
+    def predict(self, X):
+        return _COEF_PREV_RET * X[:, 0] + _COEF_MOMENTUM * X[:, 1] + _INTERCEPT
+
+
+def predict_udf(model=None):
+    """Arrow-batched inference around ANY object with a .predict(ndarray)
+    method (sklearn, XGBoost, a pickle loaded per executor): one Python
+    call per Arrow batch, not per row. Built lazily: pandas_udf type
+    resolution needs an active SparkSession. Default model is the fixed
+    linear stand-in, which keeps the query DuckDB-replicable."""
+    import numpy as np
+
+    mdl = model if model is not None else _FixedLinearModel()
 
     @pandas_udf("double")
     def _predict(prev_ret: pd.Series, momentum: pd.Series) -> pd.Series:
-        return _COEF_PREV_RET * prev_ret + _COEF_MOMENTUM * momentum + _INTERCEPT
+        X = np.column_stack([prev_ret.to_numpy(), momentum.to_numpy()])
+        return pd.Series(np.asarray(mdl.predict(X), dtype="float64"))
 
     return _predict
+
+
+def _linear_predict_udf():
+    return predict_udf()
 
 
 def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -147,6 +168,18 @@ def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).na.drop(subset=["prev_ret"])
 
 
+def _q(col: "F.Column", scale: float) -> "F.Column":
+    """Engine-portable fixed-point quantizer for a genuine-real double:
+    floor(x·10^s + 0.5) / 10^s. Every step is a correctly-rounded IEEE-754
+    op on identical inputs, so Spark and DuckDB agree bit-for-bit —
+    unlike round(x, s), whose algorithm differs per engine (Spark rounds
+    the shortest-repr decimal HALF_UP, DuckDB rounds after a float
+    multiply; they disagree at half boundaries — playbook rule 2, banned)."""
+    return F.floor(col * F.lit(scale) + F.lit(0.5)).cast("double") / F.lit(
+        scale
+    )
+
+
 def predict_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = _features(spark, sf_dir)
     pred = _linear_predict_udf()(F.col("prev_ret"), F.col("momentum"))
@@ -154,8 +187,8 @@ def predict_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         "trade_date",
         "close_px",
-        F.round(pred, 6).alias("pred_return"),
-        F.round(F.col("close_px") * (1 + pred), 4).alias("predicted_price"),
+        _q(pred, 1e6).alias("pred_return"),
+        _q(F.col("close_px") * (1 + pred), 1e4).alias("predicted_price"),
     )
 
 
@@ -244,11 +277,11 @@ def prediction_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_add("trade_date", 1).cast("timestamp").alias("prediction_date"),
         "predicted_price",
         F.col("close_px").alias("actual_price"),
-        F.round(err, 4).alias("prediction_error"),
-        F.round(err / F.col("close_px") * 100, 6).alias("prediction_pct_error"),
+        _q(err, 1e4).alias("prediction_error"),
+        _q(err / F.col("close_px") * 100, 1e6).alias("prediction_pct_error"),
         F.lit("linear_momentum_v1").alias("model_type"),
-        F.round(
-            F.greatest(F.lit(0.5), 1 - F.abs(err / F.col("close_px"))), 6
+        _q(
+            F.greatest(F.lit(0.5), 1 - F.abs(err / F.col("close_px"))), 1e6
         ).alias("confidence"),
     )
 
@@ -409,8 +442,9 @@ WHERE chunk <= f
     "predict_returns": f"""
 WITH p AS ({_PRED_SQL})
 SELECT l_suppkey, trade_date, close_px,
-       round(pred, 6) + 0.0 AS pred_return,
-       round(close_px * (1 + pred), 4) AS predicted_price
+       floor(pred * 1000000.0 + 0.5) / 1000000.0 AS pred_return,
+       floor(close_px * (1 + pred) * 10000.0 + 0.5) / 10000.0
+         AS predicted_price
 FROM p
 """,
     "feature_importance": f"""
@@ -470,7 +504,8 @@ GROUP BY dir_actual, dir_pred
 WITH p AS ({_PRED_SQL}),
 d AS (
   SELECT l_suppkey, trade_date, close_px,
-         round(close_px * (1 + pred), 4) AS predicted_price
+         floor(close_px * (1 + pred) * 10000.0 + 0.5) / 10000.0
+           AS predicted_price
   FROM p
 )
 SELECT l_suppkey AS ticker,
@@ -478,10 +513,13 @@ SELECT l_suppkey AS ticker,
        CAST(trade_date + 1 AS TIMESTAMP) AS prediction_date,
        predicted_price,
        close_px AS actual_price,
-       round(predicted_price - close_px, 4) + 0.0 AS prediction_error,
-       round((predicted_price - close_px) / close_px * 100, 6) + 0.0 AS prediction_pct_error,
+       floor((predicted_price - close_px) * 10000.0 + 0.5) / 10000.0
+         AS prediction_error,
+       floor((predicted_price - close_px) / close_px * 100 * 1000000.0 + 0.5)
+         / 1000000.0 AS prediction_pct_error,
        'linear_momentum_v1' AS model_type,
-       round(greatest(0.5, 1 - abs((predicted_price - close_px) / close_px)), 6)
+       floor(greatest(0.5, 1 - abs((predicted_price - close_px) / close_px))
+             * 1000000.0 + 0.5) / 1000000.0
          AS confidence
 FROM d
 """,

@@ -53,16 +53,18 @@ def two_level_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """15m-window aggregates re-aggregated to daily (avg-of-avgs preserved
     deliberately — the reference's unweighted semantics, SURVEY §7.2d).
 
-    Determinism: the slot mean is a genuine real (decimal-sum / count), and
-    double→decimal quantization of a real differs per-row between engines
-    (r2's one red gate row was exactly the cast(decimal(27,12)) form here).
-    Instead the slot mean is carried as an exact integer rational
-    (cents, n) and quantized at 9dp by pure integer arithmetic:
+    Determinism: every output column is BIGINT (or the grouping key). The
+    slot mean is carried as an exact integer rational (cents, n) quantized
+    at 9dp by pure integer arithmetic:
         q_nano = round_half_up(cents·10^7 / n) = (2·cents·10^7 + n) div (2·n)
-    (value ≥ 0 in events, so floor-div == both engines' semantics). The
-    div is one exact binary64 division (quotient < 2^53); the outer mean is
-    then sum(q_nano)/count/1e9 — identical binary64 ops on identical exact
-    integers on both engines."""
+    (all operands positive, so Spark's truncating DIV == DuckDB's flooring
+    // — and int64 division is exact at any magnitude, unlike the previous
+    binary64 route which caps at 2^53). The daily level emits the exact
+    pair (sum_q_nano, n_slots) instead of their quotient: after two red
+    rounds of quantized-double variants (r2: decimal cast, r3: the oracle's
+    sum(int) → HUGEINT dtype leak), no non-integer column remains — a hash
+    over BIGINTs cannot drift in any environment. Consumers derive
+    avg_of_avg_value = sum_q_nano / n_slots / 1e9."""
     ev = load_table(spark, sf_dir, "events")
     win15 = (
         ev.groupBy(
@@ -80,24 +82,18 @@ def two_level_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("value").alias("n_vals"),
         )
     )
-    num = (
-        2 * F.col("val_cents") * F.lit(10_000_000).cast("long")
-        + F.col("n_vals")
-    )
-    den = 2 * F.col("n_vals")
-    q_nano = ((num - F.pmod(num, den)) / den).cast("long")
-    return (
-        win15.withColumn("q_nano", q_nano)
-        .groupBy("day", "event_type")
-        .agg(
-            F.sum("post_count").alias("total_posts"),
-            (
-                F.sum("q_nano").cast("double")
-                / F.count("q_nano")
-                / F.lit(1.0e9)
-            ).alias("avg_of_avg_value"),
-            F.max("post_count").alias("max_slot_posts"),
-        )
+    q = win15.withColumns(
+        {
+            "num": 2 * F.col("val_cents") * F.lit(10_000_000).cast("long")
+            + F.col("n_vals"),
+            "den": 2 * F.col("n_vals"),
+        }
+    ).withColumn("q_nano", F.expr("num DIV den"))
+    return q.groupBy("day", "event_type").agg(
+        F.sum("post_count").alias("total_posts"),
+        F.sum("q_nano").alias("sum_q_nano"),
+        F.count("q_nano").alias("n_slots"),
+        F.max("post_count").alias("max_slot_posts"),
     )
 
 
@@ -470,18 +466,14 @@ WITH win15 AS (
   FROM events GROUP BY 1, 2, 3
 ), q AS (
   SELECT day, event_type, post_count,
-         CAST((num - (num % den)) / den AS BIGINT) AS q_nano
-  FROM (
-    SELECT *,
-           2 * val_cents * 10000000 + n_vals AS num,
-           2 * n_vals AS den
-    FROM win15
-  )
+         CAST((2 * val_cents * 10000000 + n_vals) // (2 * n_vals) AS BIGINT)
+           AS q_nano
+  FROM win15
 )
 SELECT day, event_type,
-       sum(post_count) AS total_posts,
-       CAST(sum(q_nano) AS DOUBLE) / count(q_nano) / 1000000000.0
-         AS avg_of_avg_value,
+       CAST(sum(post_count) AS BIGINT) AS total_posts,
+       CAST(sum(q_nano) AS BIGINT) AS sum_q_nano,
+       count(q_nano) AS n_slots,
        max(post_count) AS max_slot_posts
 FROM q GROUP BY day, event_type
 """,

@@ -760,7 +760,8 @@ WITH slice AS (
   FROM per_supp ps JOIN per_part pp ON ps.l_partkey = pp.l_partkey
   WHERE 2 * ps.supp_qty > pp.part_qty
 )
-SELECT s_suppkey, s_name, count(*) AS n_dominated_parts, sum(supp_qty) AS total_qty
+SELECT s_suppkey, s_name, count(*) AS n_dominated_parts,
+       CAST(sum(supp_qty) AS BIGINT) AS total_qty
 FROM dominated JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY 1, 2
 """,
@@ -782,9 +783,11 @@ GROUP BY 1
 """,
     "priority_shipping_q12": """
 SELECT year(l_shipdate) AS ship_year,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT)
          AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT)
          AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1

@@ -170,7 +170,7 @@ q AS (
 ),
 daily AS (
   SELECT CAST(window_start AS DATE) AS day, user_id,
-         sum(n_events) AS n_events,
+         CAST(sum(n_events) AS BIGINT) AS n_events,
          CAST(sum(q_nano) AS DOUBLE) / count(q_nano) / 1000000000.0
            AS avg_value,
          CAST(sum(val_cents) AS DOUBLE) / 100.0 AS sum_value,

@@ -265,10 +265,13 @@ WHERE abs((CAST(n AS DOUBLE) * CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE
 
 ORACLE["dq_profile"] = r"""
 SELECT count(*) AS n_rows,
-       sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null_value,
-       sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS n_negative_value,
+       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_value,
+       CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_negative_value,
        count(*) - count(DISTINCT event_id) AS n_dup_event_ids,
-       sum(CASE WHEN regexp_matches(props, '^\{"k": -?\d+\}$') THEN 0 ELSE 1 END)
+       CAST(sum(CASE WHEN regexp_matches(props, '^\{"k": -?\d+\}$')
+                     THEN 0 ELSE 1 END) AS BIGINT)
          AS n_malformed_props,
        count(DISTINCT event_type) AS n_event_types
 FROM events
@@ -370,8 +373,14 @@ def data_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = binned.agg(
         F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
     )
-    rate_ref = F.expr("(2 * n_ref * 1000000 + t_ref) div (2 * t_ref)")
-    rate_cur = F.expr("(2 * n_cur * 1000000 + t_cur) div (2 * t_cur)")
+    # nullif guards: an empty slice (t_ref/t_cur = 0) must yield NULL on
+    # both engines, not NULL-vs-error divergence (DuckDB raises on /0)
+    rate_ref = F.expr(
+        "(2 * n_ref * 1000000 + t_ref) div nullif(2 * t_ref, 0)"
+    )
+    rate_cur = F.expr(
+        "(2 * n_cur * 1000000 + t_cur) div nullif(2 * t_cur, 0)"
+    )
     return binned.crossJoin(F.broadcast(totals)).select(
         "bin",
         "n_ref",
@@ -391,11 +400,14 @@ def equi_depth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth (quantile) binning of order value — the feature
     bucketizer for tree/embedding models, done the scale-right way: the 9
     decile boundaries come from ONE exact-percentile aggregate over
-    integer cents (exact dyadic binary64s — the exact_price_quantiles
-    argument), broadcast back, and every row's decile is a map-side count
-    of boundaries below its value. No global sort / range partitioning
-    anywhere — ntile() would sort the fact table; this never shuffles it
-    at all beyond the final K-row group count. [extension]"""
+    integer cents, FLOORED to integer cents before use (deciles
+    interpolate at non-dyadic probabilities, so the raw boundary binary64
+    is not formula-portable the way dyadic probabilities would be; the
+    floor makes the comparison integer-exact), broadcast back, and every
+    row's decile is a map-side count of boundaries below its value. No
+    global sort / range partitioning anywhere — ntile() would sort the
+    fact table; this never shuffles it at all beyond the final K-row
+    group count. [extension]"""
     o = load_table(spark, sf_dir, "orders").select(
         F.expr(_CENTS).alias("cents")
     )
@@ -403,10 +415,16 @@ def equi_depth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{i / N_DECILES:.1f}" for i in range(1, N_DECILES)
     )
     bounds = o.agg(F.expr(f"percentile(cents, array({probs}))").alias("qs"))
+    # boundaries floored to integer cents before the comparison: the
+    # percentile interpolates at non-dyadic probabilities, where a
+    # last-ulp cross-engine interpolation difference could flip a
+    # `cents > q` comparison; for integer cents, cents > q ⟺
+    # cents > floor(q), and floor of near-identical binary64s is stable
     assigned = o.crossJoin(F.broadcast(bounds)).select(
         "cents",
         (
-            F.lit(1) + F.size(F.filter("qs", lambda q: F.col("cents") > q))
+            F.lit(1)
+            + F.size(F.filter("qs", lambda q: F.col("cents") > F.floor(q)))
         ).alias("decile"),
     )
     return assigned.groupBy("decile").agg(
@@ -435,13 +453,13 @@ WITH ev AS (
   FROM binned
 )
 SELECT bin, n_ref, n_cur,
-       ((2 * n_ref * 1000000 + t_ref) // (2 * t_ref)) / 1000000.0
+       ((2 * n_ref * 1000000 + t_ref) // nullif(2 * t_ref, 0)) / 1000000.0
          AS rate_ref,
-       ((2 * n_cur * 1000000 + t_cur) // (2 * t_cur)) / 1000000.0
+       ((2 * n_cur * 1000000 + t_cur) // nullif(2 * t_cur, 0)) / 1000000.0
          AS rate_cur,
-       abs(((2 * n_ref * 1000000 + t_ref) // (2 * t_ref))
-         - ((2 * n_cur * 1000000 + t_cur) // (2 * t_cur))) / 1000000.0
-         AS rate_delta
+       abs(((2 * n_ref * 1000000 + t_ref) // nullif(2 * t_ref, 0))
+         - ((2 * n_cur * 1000000 + t_cur) // nullif(2 * t_cur, 0)))
+         / 1000000.0 AS rate_delta
 FROM binned, totals
 """
 
@@ -458,7 +476,8 @@ SELECT decile, count(*) AS n_orders,
        max(cents) / 100.0 AS max_price
 FROM (
   SELECT cents,
-         CAST(1 + len(list_filter(qs, q -> cents > q)) AS INTEGER) AS decile
+         CAST(1 + len(list_filter(qs, q -> cents > floor(q))) AS INTEGER)
+           AS decile
   FROM c, b
 )
 GROUP BY decile
@@ -737,9 +756,13 @@ def ks_two_sample_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return at.select(
         "n_a",
         "n_b",
-        F.expr("(2 * gmax * 1000000 + n_a * n_b) div (2 * n_a * n_b)").alias(
-            "ks_micro"
-        ),
+        # nullif guard: on a degenerate slice (empty source) Spark (ANSI
+        # off) would yield NULL while DuckDB raises division-by-zero —
+        # the guard makes both engines emit NULL consistently
+        F.expr(
+            "(2 * gmax * 1000000 + n_a * n_b)"
+            " div nullif(2 * n_a * n_b, 0)"
+        ).alias("ks_micro"),
         "ks_at_length",
     )
 
@@ -773,8 +796,8 @@ WITH counts AS (
   FROM cum, tot
 ), dmax AS (SELECT n_a, n_b, max(gap) AS gmax FROM gaps GROUP BY n_a, n_b)
 SELECT g.n_a, g.n_b,
-       (2 * g.gmax * 1000000 + g.n_a * g.n_b) // (2 * g.n_a * g.n_b)
-         AS ks_micro,
+       (2 * g.gmax * 1000000 + g.n_a * g.n_b)
+         // nullif(2 * g.n_a * g.n_b, 0) AS ks_micro,
        min(x.n_chars) AS ks_at_length
 FROM dmax g JOIN gaps x
   ON x.n_a = g.n_a AND x.n_b = g.n_b AND x.gap = g.gmax
@@ -873,7 +896,10 @@ def weighted_median_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
-        F.col("l_quantity").cast("bigint").alias("w"),
+        # decimal(18,0) first: Spark's double→bigint cast truncates while
+        # the DuckDB oracle's CAST rounds — the decimal hop rounds on both
+        # engines (the repo's established exact-cast idiom, stats.py:85)
+        F.col("l_quantity").cast("decimal(18,0)").cast("bigint").alias("w"),
     )
     grp = Window.partitionBy("l_returnflag")
     cum = (
@@ -913,7 +939,7 @@ WITH li AS (
          count(*) OVER (PARTITION BY l_returnflag) AS n_rows
   FROM li
 )
-SELECT l_returnflag, tot_w AS total_weight, n_rows,
+SELECT l_returnflag, CAST(tot_w AS BIGINT) AS total_weight, n_rows,
        min(cents) / 100.0 AS weighted_median_price
 FROM c WHERE cum_w * 2 >= tot_w
 GROUP BY l_returnflag, tot_w, n_rows

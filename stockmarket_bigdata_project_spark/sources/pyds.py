@@ -142,6 +142,13 @@ class _TickStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> list[_TickSlice]:
         lo, hi = start["tick"], end["tick"]
+        # restart-from-checkpoint: Spark seeds (start, end) from the offset
+        # log WITHOUT calling initialOffset, so a fresh reader instance
+        # (_latest = 0) would otherwise report the next latestOffset()
+        # behind the replayed range and regress the offset log. Ratchet
+        # here (the replayed batch runs before any new latestOffset call)
+        # and in commit() — both paths keep the high-water mark monotonic.
+        self._latest = max(self._latest, lo, hi)
         if hi <= lo:
             return [_TickSlice(lo, lo)]
         step = max(1, math.ceil((hi - lo) / self.n_partitions))
@@ -304,7 +311,7 @@ ORACLE = {
 WITH ticks AS ({_TICKS_SQL})
 SELECT symbol, count(*) AS n_ticks,
        CAST(sum(CAST(px AS DECIMAL(27,2))) AS DOUBLE) AS total_px,
-       sum(qty) AS total_qty,
+       CAST(sum(qty) AS BIGINT) AS total_qty,
        min(ts) AS first_ts, max(ts) AS last_ts
 FROM ticks GROUP BY symbol
 """,
@@ -319,7 +326,7 @@ GROUP BY symbol
 WITH ticks AS ({_TICKS_SQL})
 SELECT symbol, count(*) AS n_ticks,
        CAST(sum(CAST(px AS DECIMAL(27,2))) AS DOUBLE) AS total_px,
-       sum(qty) AS total_qty
+       CAST(sum(qty) AS BIGINT) AS total_qty
 FROM ticks GROUP BY symbol
 """,
 }

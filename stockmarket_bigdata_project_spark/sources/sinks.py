@@ -184,7 +184,7 @@ WITH daily AS (
 )
 SELECT CAST(date_trunc('month', day) AS DATE) AS month,
        count(*) AS n_days,
-       sum(n_orders) AS n_orders,
+       CAST(sum(n_orders) AS BIGINT) AS n_orders,
        CAST(sum(CAST(day_total AS DECIMAL(27,2))) AS DOUBLE) AS month_total
 FROM daily GROUP BY 1
 """,

@@ -332,7 +332,7 @@ if HAS_TWS_DEPS:  # pragma: no cover - absent in the sandbox image
 ORACLE = {
     "observed_scan_metrics": """
 SELECT count(*) AS n_rows,
-       sum(CAST(round(value * 100) AS BIGINT)) AS value_cents,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
        count(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors,
        max(user_id) AS max_user
 FROM events
@@ -362,7 +362,7 @@ per AS (
   FROM e GROUP BY 1, 2
 )
 SELECT user_id, slice,
-       sum(n) OVER win AS running_n,
+       CAST(sum(n) OVER win AS BIGINT) AS running_n,
        CAST(sum(sc) OVER win AS DOUBLE) / 100.0 AS running_sum,
        (CAST(sum(sc) OVER win AS DOUBLE) / 100.0)
          / CAST(sum(w) OVER win AS DOUBLE) AS running_vwap

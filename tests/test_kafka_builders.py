@@ -52,3 +52,47 @@ def test_sink_payload_convention(spark):
     ).first()
     assert payload.key == "1" and '"name":"a"' in payload.value
     assert writer is not None
+
+
+# --- broker-backed smoke (gated: runs only where a real broker exists) -------
+import os
+
+import pytest
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_KAFKA_BROKER"),
+    reason="no Kafka broker in this environment "
+    "(set SPARK_GRAFT_KAFKA_BROKER=host:port to enable)",
+)
+def test_kafka_roundtrip_against_real_broker(spark):
+    """Integration smoke for the S1/S13 builders: produce 10 JSON rows
+    through kafka_sink, read them back with kafka_batch_reader + the S3
+    decode, and assert value-for-value identity. Keeps the builders'
+    correctness EXECUTED (not just asserted) wherever infra exists;
+    skipped-clean in the sandbox, which ships no broker or connector JAR."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from stockmarket_bigdata_project_spark.sources.kafka import (
+        kafka_batch_reader, kafka_sink,
+    )
+
+    broker = os.environ["SPARK_GRAFT_KAFKA_BROKER"]
+    topic = os.environ.get("SPARK_GRAFT_KAFKA_TOPIC", "spark_graft_smoke")
+    src = spark.range(10).select(
+        F.col("id"), F.concat(F.lit("v"), F.col("id")).alias("payload")
+    )
+    kafka_sink(src, broker, topic, key_col="id").save()
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("payload", StringType())]
+    )
+    raw = kafka_batch_reader(spark, broker, topic).load()
+    decoded = raw.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("d")
+    ).select("d.*")
+    rows = {(r.id, r.payload) for r in decoded.collect()}
+    assert {(i, f"v{i}") for i in range(10)} <= rows

@@ -921,3 +921,20 @@ def test_weighted_median_single_group_exchange(spark, sf_dir):
     assert "Join" not in plan, plan
     assert "rangepartitioning" not in plan, plan
     assert "hashpartitioning(l_returnflag" in plan, plan
+
+
+def test_ccnet_sampled_buckets_no_global_sort(spark, sf_dir):
+    """The sampled-cutoff CCNet bucketing must never sort the corpus: the
+    only aggregates are hash aggregates (sort_array is an expression, not
+    a plan Sort), the cutoff row joins back as a broadcast, and no
+    RangePartitioning appears anywhere — the exact global-ntile twin
+    (lm_perplexity_buckets) is the form that dies at 100 TB, and this plan
+    pin keeps its replacement honest."""
+    from stockmarket_bigdata_project_spark.llmdata.textstats import (
+        lm_ccnet_buckets_sampled,
+    )
+
+    plan = _plan(lm_ccnet_buckets_sampled(spark, sf_dir))
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "Sort [" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan

@@ -76,3 +76,22 @@ def test_scan_end_to_end(spark):
     )
     assert df.count() == 10_000
     assert df.rdd.getNumPartitions() == 4
+
+
+def test_stream_reader_restart_never_regresses_offsets():
+    """Restart-from-checkpoint contract: Spark re-creates the stream reader
+    (initialOffset NOT called) and replays the last planned batch via
+    partitions(start, end) from the offset log. The next latestOffset()
+    must be >= the replayed end — a fresh instance that restarts its
+    high-water mark at 0 would regress the offset log."""
+    from stockmarket_bigdata_project_spark.sources.pyds import (
+        _TickStreamReader,
+    )
+
+    r = _TickStreamReader({"n_rows": "100000", "rows_per_batch": "25000"})
+    r.partitions({"tick": 50_000}, {"tick": 75_000})  # checkpoint replay
+    assert r.latestOffset()["tick"] >= 75_000
+    # commit path ratchets too (all-committed restart, no replay needed)
+    r2 = _TickStreamReader({"n_rows": "100000", "rows_per_batch": "25000"})
+    r2.commit({"tick": 75_000})
+    assert r2.latestOffset()["tick"] >= 75_000
