@@ -22,6 +22,7 @@ so both regex variants are exercised identically in Spark and DuckDB.
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -105,6 +106,55 @@ def sentiment_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         ((sign * q).cast("double") / F.lit(1.0e6)).alias("sentiment"),
     )
+
+
+VADER_ALPHA = 15.0  # VADER's compound-score normalization constant
+
+
+def sentiment_udf(lexicon: dict[str, float] | None = None,
+                  normalization: str = "ratio"):
+    """The pluggable M1 inference slot: an Arrow-batched pandas_udf around
+    ANY word→valence lexicon — nltk's VADER lexicon
+    (`SentimentIntensityAnalyzer().lexicon`, reference
+    stock_pipeline.py:139) is exactly this shape and drops straight in.
+    Built lazily (pandas_udf type resolution needs an active session).
+
+    normalization:
+      'ratio' — Σvalence / n_tokens: with the default ±1 wordlist this is
+                the raw form of the oracle-checked `sentiment_score`
+                (which additionally quantizes at 6dp);
+      'vader' — VADER's compound normalization d/sqrt(d²+α), α=15 — the
+                score a real VADER port produces from the summed valences
+                (minus VADER's intensifier/negation heuristics, which need
+                its full rule engine, not just the lexicon).
+
+    The default deterministic lexicon keeps results engine-checkable; a
+    real lexicon makes scores VADER-comparable at the cost of oracle
+    checkability — same trade as ml.predict_udf's model slot."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    lex = lexicon if lexicon is not None else {
+        **{w: 1.0 for w in POS_WORDS},
+        **{w: -1.0 for w in NEG_WORDS},
+    }
+    if normalization not in ("ratio", "vader"):
+        raise ValueError(f"unknown normalization {normalization!r}")
+    use_vader = normalization == "vader"
+
+    @pandas_udf("double")
+    def _score(text: pd.Series) -> pd.Series:
+        def one(t: str) -> float:
+            toks = t.split(" ")
+            d = sum(lex.get(tok, 0.0) for tok in toks)
+            if use_vader:
+                return d / ((d * d + VADER_ALPHA) ** 0.5)
+            return d / len(toks) if toks else 0.0
+
+        return pd.Series(np.fromiter((one(t) for t in text), dtype="float64",
+                                     count=len(text)))
+
+    return _score
 
 
 def sentiment_features(spark: SparkSession, sf_dir: str) -> DataFrame:
