@@ -39,6 +39,7 @@ _MODULE_PATHS = [
     "functions.scalar",
     "functions.text",
     "ml",
+    "serving",
     "streaming.pipelines",
     "streaming.lifecycle",
     "llmdata.dedup",
