@@ -154,8 +154,10 @@ def _recorded_rounds() -> list[dict]:
 
 def _dynamic_proof_state() -> tuple[frozenset[str], frozenset[str]]:
     """(proven, red_fixes) from every recorded round on disk: proven =
-    hash_match=true in ANY round; red = hash_match=false in the LATEST
-    round it was attempted without a later green row."""
+    hash_match=true in ANY round; red = hash_match=false OR a harness
+    error (err set, no hash) in the LATEST round it was attempted without
+    a later green row — an errored row needs its fix proven just as much
+    as a hash-failed one (r3: embedding_int8_quantization)."""
     proven: set[str] = set()
     red: set[str] = set()
     for data in _recorded_rounds():
@@ -165,7 +167,7 @@ def _dynamic_proof_state() -> tuple[frozenset[str], frozenset[str]]:
             if row.get("hash_match") is True:
                 proven.add(name)
                 red.discard(name)
-            elif row.get("hash_match") is False:
+            elif row.get("hash_match") is False or row.get("err"):
                 red.add(name)
                 proven.discard(name)
     return frozenset(proven), frozenset(red)
@@ -176,12 +178,13 @@ def _dynamic_proof_state() -> tuple[frozenset[str], frozenset[str]]:
 # (Floor for the rounds already transcribed; the dynamic state extends it.)
 _STATIC_RED_FIXES = frozenset({"two_level_rollup"})
 
-# Queries introduced LATE in round 3, after this round's 50-slot window
-# composition (two_level_rollup fix + the r2 zero-proof llmdata/multimodal/
-# streaming tier) was already swept and finalized: they queue BEHIND the
-# pre-existing unproven tier so they don't displace the planned proofs, and
-# rotate into the round-4 window instead. All are local-exact-verified at
-# sf0.01 AND sf0.1.
+# Queries introduced LATE in round 3, after that round's 50-slot window
+# composition was already swept and finalized. In round 3 they queued
+# BEHIND the pre-existing unproven tier so they wouldn't displace the
+# planned proofs; with that window recorded, the protection inverts: these
+# are now the OLDEST zero-proof rows (local-exact-verified at sf0.01 AND
+# sf0.1 since their introduction), so they front the round-4 window right
+# after the red-row fixes (r3 verdict task 4).
 _INTRODUCED_LATE_R3 = frozenset(
     {
         "near_dup_source_matrix", "incremental_dedup_new_docs",
@@ -223,7 +226,10 @@ def _rotate(items: dict, oracle_names: frozenset[str], origin: dict) -> dict:
 
     def key(name: str):
         if name in red_fixes:
-            tier = -1
+            # an errored/red rows-only query cannot earn a hash proof, so
+            # it must not consume a tier -1 window slot a hash-checkable
+            # fix could use — it fronts the rows-only tier instead
+            tier = -1 if name in oracle_names else 1
         elif name in proven:
             tier = 2
         elif name in oracle_names:
@@ -235,7 +241,12 @@ def _rotate(items: dict, oracle_names: frozenset[str], origin: dict) -> dict:
             mod_rank = _FRONT_MODULE_ORDER.index(mod)
         except ValueError:
             mod_rank = len(_FRONT_MODULE_ORDER)
-        return (tier, name in _INTRODUCED_LATE_R3, mod_rank)
+        return (
+            tier,
+            name not in red_fixes,
+            name not in _INTRODUCED_LATE_R3,
+            mod_rank,
+        )
 
     return dict(sorted(items.items(), key=lambda kv: key(kv[0])))
 

@@ -20,7 +20,9 @@ def test_rotation_tiers_are_ordered():
 
     def tier(n: str) -> int:
         if n in red:
-            return -1
+            # a red rows-only query fronts the rows-only tier instead of
+            # consuming a hash-checkable fix slot (registry._rotate)
+            return -1 if n in oracled else 1
         if n in proven:
             return 2
         if n in oracled:
