@@ -193,6 +193,20 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver loop is K plan-building iterations — no data ever reaches the
     driver. A production trainer runs the same plan with the vocabulary
     staged as a table per round."""
+    out, _ = _bpe_train(spark, sf_dir)
+    return out.select(
+        "merge_round",
+        "l",
+        "r",
+        F.concat(F.col("l"), F.col("r")).alias("merged"),
+        "weight",
+    )
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """(merge table, trained vocabulary) — the vocabulary carries each
+    word's FINAL symbol string after all BPE_ROUNDS merges, which is what
+    the encode pass joins against."""
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
     wfreq = words.groupBy("word").agg(F.count("*").alias("wf"))
@@ -206,7 +220,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(" "),
     )
-    cur = wfreq.select("wf", sym0.alias("sym"))
+    cur = wfreq.select("word", "wf", sym0.alias("sym"))
     out = None
     for rnd in range(1, BPE_ROUNDS + 1):
         syms = F.split(F.trim(F.col("sym")), " ")
@@ -234,6 +248,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = top if out is None else out.unionByName(top)
         winner = top.select(F.col("l").alias("ml"), F.col("r").alias("mr"))
         cur = cur.crossJoin(F.broadcast(winner)).select(
+            "word",
             "wf",
             F.replace(
                 F.col("sym"),
@@ -243,16 +258,50 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(F.lit(" "), F.col("ml"), F.col("mr"), F.lit(" ")),
             ).alias("sym"),
         )
-    return out.select(
-        "merge_round",
-        "l",
-        "r",
-        F.concat(F.col("l"), F.col("r")).alias("merged"),
-        "weight",
+    return out, cur
+
+
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENCODE half of the BPE surface: apply the trained merge table to
+    the whole corpus and report, per document, the numbers a training
+    pipeline actually budgets with — word count, encoded BPE token count,
+    longest learned symbol used, and how many words collapsed to a single
+    token. Pure-BIGINT output (playbook rule 11).
+
+    Scale shape (the part that matters at 100 TB): encoding happens ONCE
+    PER DISTINCT WORD — the trained vocabulary (word → final symbol
+    string) is vocab-sized, and the corpus joins against it on `word`
+    (plain equi-join, vocab is NOT assumed broadcastable at real scale;
+    AQE may still broadcast it locally). The token stream itself is never
+    re-derived per occurrence, which is the difference between encoding
+    the vocabulary and encoding 100 TB of text."""
+    _, vocab = _bpe_train(spark, sf_dir)
+    syms = F.split(F.trim("sym"), " ")
+    enc = vocab.select(
+        "word",
+        F.size(syms).alias("n_syms"),
+        F.array_max(F.transform(syms, F.length)).alias("max_sym_len"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    return (
+        toks.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_syms").alias("n_bpe_tokens"),
+            F.max("max_sym_len").alias("max_symbol_len"),
+            F.sum((F.col("n_syms") == 1).cast("long")).alias(
+                "n_single_token_words"
+            ),
+        )
     )
 
 
 QUERIES["bpe_train_merges"] = bpe_train_merges
+QUERIES["bpe_encode_stats"] = bpe_encode_stats
 
 
 def _bpe_round_sql(k: int) -> str:
@@ -296,4 +345,63 @@ WITH wfreq AS MATERIALIZED (
 ),
 {_BPE_ROUNDS_SQL}
 {_BPE_UNION_SQL}
+"""
+
+
+def _bpe_round_sql_enc(k: int) -> str:
+    """Encode-side round CTEs: identical merge arithmetic to
+    _bpe_round_sql, but the symbol states carry `word` so the trained
+    vocabulary can join back onto the corpus."""
+    return f"""e_c{k} AS MATERIALIZED (
+  SELECT l, r,
+         row_number() OVER (ORDER BY weight DESC, l ASC, r ASC) AS rk
+  FROM (
+    SELECT t[i] AS l, t[i + 1] AS r, CAST(sum(wf) AS BIGINT) AS weight
+    FROM (SELECT wf, t, unnest(range(1, len(t))) AS i
+          FROM (SELECT wf, string_split(trim(sym), ' ') AS t FROM e_s{k - 1}))
+    GROUP BY l, r
+  )
+), e_s{k} AS MATERIALIZED (
+  SELECT word, wf,
+         replace(sym, ' ' || m.l || ' ' || m.r || ' ',
+                 ' ' || m.l || m.r || ' ') AS sym
+  FROM e_s{k - 1}, (SELECT l, r FROM e_c{k} WHERE rk = 1) m
+)"""
+
+
+_BPE_ENC_ROUNDS_SQL = ",\n".join(
+    _bpe_round_sql_enc(k) for k in range(1, BPE_ROUNDS + 1)
+)
+
+ORACLE["bpe_encode_stats"] = f"""
+WITH wfreq AS MATERIALIZED (
+  SELECT word, count(*) AS wf
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  GROUP BY word
+), e_s0 AS MATERIALIZED (
+  SELECT word, wf,
+         ' ' || array_to_string(
+           list_transform(range(1, length(word) + 1),
+                          i -> substring(word, CAST(i AS INTEGER), 1)),
+           ' ') || ' ' AS sym
+  FROM wfreq
+),
+{_BPE_ENC_ROUNDS_SQL},
+enc AS MATERIALIZED (
+  SELECT word,
+         CAST(len(string_split(trim(sym), ' ')) AS INTEGER) AS n_syms,
+         CAST(list_max(list_transform(string_split(trim(sym), ' '),
+                                      s -> length(s))) AS INTEGER)
+           AS max_sym_len
+  FROM e_s{BPE_ROUNDS}
+), toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+)
+SELECT doc_id, count(*) AS n_words,
+       CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens,
+       CAST(max(max_sym_len) AS INTEGER) AS max_symbol_len,
+       CAST(sum(CASE WHEN n_syms = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_single_token_words
+FROM toks JOIN enc USING (word)
+GROUP BY doc_id
 """
