@@ -518,3 +518,65 @@ SELECT n_sources, n_docs,
          AS effective_sources_micro
 FROM agg
 """
+
+
+N_EPOCH_SHARDS = 8  # output shards per training epoch
+EPOCH_SEED = "epoch1"  # deterministic epoch salt (one per epoch in practice)
+
+
+def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle — the data-loader pass that
+    turns a curated corpus into shuffled epoch shards: every doc gets a
+    (shard, pos) address from a salted hash, so each epoch's read order is
+    pseudo-random yet exactly reproducible across reruns, engines, and
+    cluster layouts (an RNG shuffle is none of those — the same argument
+    as hash sampling, module docstring).
+
+    shard = first-16-bits-of-md5(seed:doc_id) mod N_EPOCH_SHARDS;
+    pos    = rank of the full md5 within the shard (doc_id tiebreak —
+    md5 collisions on the hex string are not assumed away).
+
+    Scale shape: the hash is map-side; the per-shard ordering is ONE hash
+    exchange on `shard` with an in-shard sort — exactly the
+    repartition + sortWithinPartitions a shard writer pays anyway, and
+    never a global sort (no RangePartitioning across shards). New epoch =
+    new salt; nothing is re-read into the driver."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit(EPOCH_SEED + ":"), F.col("doc_id").cast("string")))
+    hv = F.conv(F.substring(h, 1, 4), 16, 10).cast("int")
+    keyed = docs.select(
+        "doc_id",
+        h.alias("h"),
+        (hv % N_EPOCH_SHARDS).alias("shard"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).alias("pos"),
+    )
+
+
+QUERIES["epoch_shuffle_order"] = epoch_shuffle_order
+
+_EPOCH_HEX16 = " + ".join(
+    f"(strpos('0123456789abcdef', substring(h, {d + 1}, 1)) - 1)"
+    f" * {16 ** (3 - d)}"
+    for d in range(4)
+)
+
+ORACLE["epoch_shuffle_order"] = f"""
+WITH keyed AS (
+  SELECT doc_id, h,
+         CAST(({_EPOCH_HEX16}) % {N_EPOCH_SHARDS} AS INTEGER) AS shard
+  FROM (SELECT doc_id,
+               md5('{EPOCH_SEED}:' || CAST(doc_id AS VARCHAR)) AS h
+        FROM documents)
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+            AS INTEGER) AS pos
+FROM keyed
+"""
