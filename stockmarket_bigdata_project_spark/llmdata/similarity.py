@@ -179,6 +179,39 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def retrieval_eval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K of the IVF ANN path against the exact scan — the
+    evaluation every similarity stack runs before trusting its index: per
+    query, |exact top-K ∩ IVF top-K| and the recall in integer micro
+    units (round-half-up — no double anywhere, playbook rule 11).
+
+    Both sides are the engine's own deterministic rankings, so the number
+    is value-level oracle-checkable, not a property-test bound (the ≥0.8
+    floor lives in test_properties; THIS query reports the exact figure a
+    dashboard would track). Cost: bounded by the two kNN plans over the
+    N_QUERIES query set — evaluation never scans more than retrieval did."""
+    exact = knn_bruteforce(spark, sf_dir).select("query_id", "cand_id")
+    approx = knn_ivf(spark, sf_dir).select("query_id", "cand_id")
+    hits = (
+        exact.join(approx, ["query_id", "cand_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    base = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+        )
+        .withColumn(
+            "recall_micro",
+            F.expr("(2 * n_hit * 1000000 + n_exact) DIV (2 * n_exact)"),
+        )
+    )
+
+
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold tuned to testdata's
     max inter-vector cosine ~0.51 so the query has signal)."""
@@ -459,6 +492,7 @@ QUERIES = {
     "label_centroid_similarity": label_centroid_similarity,
     "embedding_int8_quantization": embedding_int8_quantization,
     "semdedup_survivors": semdedup_survivors,
+    "retrieval_eval_recall": retrieval_eval_recall,
 }
 
 _MVEC_SQL = "list_transform(embedding, x -> round(x::DOUBLE * 1000000))"
@@ -618,6 +652,25 @@ SELECT vec_id, CAST(scale AS BIGINT) AS scale_micros,
 FROM q
 """,
 }
+
+ORACLE["retrieval_eval_recall"] = f"""
+WITH exact AS (
+  SELECT query_id, cand_id FROM ({ORACLE["knn_bruteforce"]})
+), approx AS (
+  SELECT query_id, cand_id FROM ({ORACLE["knn_ivf"]})
+), base AS (
+  SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id
+), hits AS (
+  SELECT e.query_id, count(*) AS n_hit
+  FROM exact e JOIN approx a USING (query_id, cand_id)
+  GROUP BY e.query_id
+)
+SELECT b.query_id, b.n_exact,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       (2 * CAST(coalesce(h.n_hit, 0) AS BIGINT) * 1000000 + b.n_exact)
+         // (2 * b.n_exact) AS recall_micro
+FROM base b LEFT JOIN hits h USING (query_id)
+"""
 
 ORACLE["embedding_range_query"] = f"""
 WITH e AS (
