@@ -65,6 +65,22 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _host_calibration() -> float:
+    """Seconds for a fixed, deterministic, single-core CPU workload — a
+    host-speed canary recorded beside the query timings so cross-round
+    comparisons can separate engine changes from box changes (round 4: the
+    identical test suite ran +33% slower than at the round-3 verdict on
+    unchanged code; absolute bench totals moved with it)."""
+    import hashlib
+
+    start = time.perf_counter()
+    h = b"calib"
+    for _ in range(200_000):
+        h = hashlib.md5(h).digest()
+    assert h  # keep the loop un-eliminable
+    return round(time.perf_counter() - start, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -99,6 +115,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_cold": cold,
+                "host_calibration_sec": _host_calibration(),
                 "sf": sf,
             }
         )
