@@ -49,6 +49,13 @@ _SENSITIVE = [
     "incremental_agg_maintenance",  # merged revenue + avg doubles
     "table_fingerprint_orders",  # bit_xor orderless-checksum claim
     "weighted_median_prices",  # range-frame cum-weight rule on exact cents
+    # round-4 additions
+    "predict_returns",  # floor-quantized genuine-real predictions
+    "dashboard_snapshot",  # last/prev window + micro-pct + error sums
+    "lm_ccnet_buckets_sampled",  # order-statistic cutoffs from a hash sample
+    "bpe_encode_stats",  # trained-vocab join + per-doc integer sums
+    "epoch_shuffle_order",  # salted-hash shard/pos under any partitioning
+    "retrieval_eval_recall",  # intersection of two ranked top-k sets
 ]
 
 
