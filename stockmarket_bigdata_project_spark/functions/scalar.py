@@ -64,8 +64,14 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("l_extendedprice", 0).alias("price_round"),
         F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
         F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
-        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
-        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        # genuine reals quantized via floor(x·10^6 + 0.5)/10^6 — pure IEEE
+        # ops identical on both engines, unlike round()'s algorithm
+        # (playbook rule 2; sqrt is correctly rounded on both, ln's 1-ulp
+        # libm delta is absorbed by the quantization off half boundaries)
+        (F.floor(F.sqrt("l_quantity") * 1e6 + F.lit(0.5)).cast("double")
+         / 1e6).alias("qty_sqrt"),
+        (F.floor(F.log("l_extendedprice") * 1e6 + F.lit(0.5)).cast("double")
+         / 1e6).alias("price_ln"),
         F.round(F.pow("l_quantity", 2), 2).alias("qty_sq"),
         F.greatest(F.lit(0.5), F.round(1 - F.col("l_discount"), 2)).alias("conf"),
         F.least(F.col("l_tax"), F.col("l_discount")).alias("min_rate"),
@@ -263,8 +269,8 @@ SELECT l_orderkey, l_linenumber,
        round(l_extendedprice, 0) AS price_round,
        abs(l_discount - 0.05) AS disc_dev,
        CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
-       round(sqrt(l_quantity), 6) AS qty_sqrt,
-       round(ln(l_extendedprice), 6) AS price_ln,
+       floor(sqrt(l_quantity) * 1000000.0 + 0.5) / 1000000.0 AS qty_sqrt,
+       floor(ln(l_extendedprice) * 1000000.0 + 0.5) / 1000000.0 AS price_ln,
        round(pow(l_quantity, 2), 2) AS qty_sq,
        greatest(0.5, round(1 - l_discount, 2)) AS conf,
        least(l_tax, l_discount) AS min_rate
