@@ -91,9 +91,41 @@ def corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's terminal artifact in ONE declarative plan: curate the
+    corpus (quality floor → exact dedup → near-dedup resolution), address
+    every surviving doc into a deterministic epoch shard
+    (sampling.epoch_shuffle_order's salted-md5 hash), and emit the
+    per-(shard, source) manifest — doc count and token mass — that a
+    training launcher reads to schedule its data loaders.
+
+    Composition, not re-implementation: the curation comes from
+    _clean_docs (same plan as corpus_clean), the shard address from the
+    same hash the shuffle-order query uses. Catalyst sees one tree; the
+    manifest adds a single map-side hash + one K·S-row aggregate on top
+    of the curation plan. All-BIGINT output (playbook rule 11)."""
+    from .sampling import EPOCH_SEED, N_EPOCH_SHARDS
+
+    clean = _clean_docs(spark, sf_dir)
+    h = F.md5(
+        F.concat(F.lit(EPOCH_SEED + ":"), F.col("doc_id").cast("string"))
+    )
+    hv = F.conv(F.substring(h, 1, 4), 16, 10).cast("int")
+    return (
+        clean.withColumn("shard", hv % N_EPOCH_SHARDS)
+        .groupBy("shard", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("quality_micro").alias("sum_quality_micro"),
+        )
+    )
+
+
 QUERIES = {
     "corpus_clean": corpus_clean,
     "corpus_clean_stats": corpus_clean_stats,
+    "training_manifest": training_manifest,
 }
 
 _CLEAN_SQL = f"""
@@ -147,3 +179,31 @@ SELECT source, count(*) AS n_docs,
 FROM clean GROUP BY source
 """,
 }
+
+_SHARD_HEX16 = " + ".join(
+    f"(strpos('0123456789abcdef', substring(h, {d + 1}, 1)) - 1)"
+    f" * {16 ** (3 - d)}"
+    for d in range(4)
+)
+
+
+def _manifest_oracle() -> str:
+    from .sampling import EPOCH_SEED, N_EPOCH_SHARDS
+
+    return f"""
+{_CC_CHAIN},
+{_CLEAN_SQL.strip()},
+sharded AS (
+  SELECT source, n_tokens, quality_micro,
+         CAST(({_SHARD_HEX16}) % {N_EPOCH_SHARDS} AS INTEGER) AS shard
+  FROM (SELECT *, md5('{EPOCH_SEED}:' || CAST(doc_id AS VARCHAR)) AS h
+        FROM clean)
+)
+SELECT shard, source, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(quality_micro) AS BIGINT) AS sum_quality_micro
+FROM sharded GROUP BY shard, source
+"""
+
+
+ORACLE["training_manifest"] = _manifest_oracle()
