@@ -1076,3 +1076,99 @@ def compression_ratio_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["compression_ratio_scores"] = compression_ratio_scores
+
+
+# --- Gopher-style rule bundle (Rae et al. 2021, Table A1) --------------------
+GOPHER_MIN_TOKENS = 50
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MIN_MEAN_TOK = 3  # mean token length bounds (chars)
+GOPHER_MAX_MEAN_TOK = 10
+
+
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule bundle as one map-side pass: per doc, each rule's
+    boolean flag plus the keep decision — the canonical heuristic filter
+    set (doc length bounds, mean-token-length band, symbol and digit
+    ratios, stopword floor) that real curation stacks run before any
+    model-based scoring.
+
+    Every ratio rule is an INTEGER CROSS-MULTIPLICATION, never a
+    division: symbol_ratio > 1/10 is `10·n_sym > n_chars`, the mean-token
+    band is `3·n ≤ c ≤ 10·n` — zero floats anywhere, so the oracle is
+    trivially bit-portable (playbook rules 1/11 by construction). Zero
+    shuffle: pure per-row expressions folded into the scan stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tok()
+    n = F.size(toks).cast("long")
+    n_chars = F.length("text").cast("long")
+    c = n_chars - (n - 1)  # chars minus separators
+    n_sym = F.length(
+        F.regexp_replace(F.col("text"), r"[a-z0-9 ]", "")
+    ).cast("long")
+    n_digit = (
+        n_chars - F.length(F.regexp_replace(F.col("text"), r"[0-9]", ""))
+    ).cast("long")
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin(*[F.lit(w) for w in STOPWORDS]))
+    ).cast("long")
+    too_short = (n < GOPHER_MIN_TOKENS).cast("int")
+    too_long = (n > GOPHER_MAX_TOKENS).cast("int")
+    bad_mean_tok = (
+        (c < GOPHER_MIN_MEAN_TOK * n) | (c > GOPHER_MAX_MEAN_TOK * n)
+    ).cast("int")
+    symbol_heavy = (10 * n_sym > n_chars).cast("int")
+    digit_heavy = (5 * n_digit > n_chars).cast("int")
+    no_stopword = (n_stop == 0).cast("int")
+    flags_sum = (
+        too_short + too_long + bad_mean_tok + symbol_heavy + digit_heavy
+        + no_stopword
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        too_short.alias("too_short"),
+        too_long.alias("too_long"),
+        bad_mean_tok.alias("bad_mean_tok_len"),
+        symbol_heavy.alias("symbol_heavy"),
+        digit_heavy.alias("digit_heavy"),
+        no_stopword.alias("no_stopword"),
+        (flags_sum == 0).cast("int").alias("keep"),
+    )
+
+
+QUERIES["gopher_quality_flags"] = gopher_quality_flags
+
+ORACLE["gopher_quality_flags"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(text) - (len(string_split(text, ' ')) - 1) AS BIGINT)
+           AS c,
+         CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS BIGINT)
+           AS n_sym,
+         CAST(length(text)
+              - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT)
+           AS n_digit,
+         CAST(len(list_filter(string_split(text, ' '),
+                  tok -> tok IN ('{_STOP_SQL}'))) AS BIGINT) AS n_stop
+  FROM documents
+), f AS (
+  SELECT doc_id, n,
+         CAST(n < {GOPHER_MIN_TOKENS} AS INTEGER) AS too_short,
+         CAST(n > {GOPHER_MAX_TOKENS} AS INTEGER) AS too_long,
+         CAST(c < {GOPHER_MIN_MEAN_TOK} * n
+              OR c > {GOPHER_MAX_MEAN_TOK} * n AS INTEGER)
+           AS bad_mean_tok_len,
+         CAST(10 * n_sym > n_chars AS INTEGER) AS symbol_heavy,
+         CAST(5 * n_digit > n_chars AS INTEGER) AS digit_heavy,
+         CAST(n_stop = 0 AS INTEGER) AS no_stopword
+  FROM t
+)
+SELECT doc_id, n AS n_tokens,
+       too_short, too_long, bad_mean_tok_len, symbol_heavy, digit_heavy,
+       no_stopword,
+       CAST(too_short + too_long + bad_mean_tok_len + symbol_heavy
+            + digit_heavy + no_stopword = 0 AS INTEGER) AS keep
+FROM f
+"""
