@@ -56,6 +56,9 @@ _SENSITIVE = [
     "bpe_encode_stats",  # trained-vocab join + per-doc integer sums
     "epoch_shuffle_order",  # salted-hash shard/pos under any partitioning
     "retrieval_eval_recall",  # intersection of two ranked top-k sets
+    "training_manifest",  # curation + shard hash composition
+    "kmeans_exact_assignments",  # unrolled integer Lloyd iterations
+    "gopher_quality_flags",  # integer cross-multiplication rules
 ]
 
 
