@@ -68,3 +68,45 @@ def test_mongo_builder_option_mapping(spark):
 
     with _pytest.raises(Exception, match="(?i)mongodb|not.*found|failed"):
         writer.save()
+
+
+def test_streaming_upsert_into_docstore_end_to_end(spark, sf_dir):
+    """The seam under a REAL micro-batch stream: replay the events corpus
+    (one slice per trigger), aggregate per event_type, and upsert every
+    micro-batch into a ParquetDocumentStore via foreach_batch_upsert.
+    Terminal state must equal the batch aggregate over the whole corpus —
+    the exactly-once-for-keyed-state property, proven through the actual
+    foreachBatch machinery rather than manual sink calls."""
+    import pyspark.sql.functions as F
+
+    from stockmarket_bigdata_project_spark.catalog import load_table
+    from stockmarket_bigdata_project_spark.streaming.pipelines import (
+        _events_stream,
+    )
+
+    store = ParquetDocumentStore()
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(foreach_batch_upsert(store, keys=["event_type"]))
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            __import__("tempfile").mkdtemp(prefix="spark_graft_ckpt_"),
+        )
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {(r.event_type, r.n) for r in store.read(spark).collect()}
+    expect = {
+        (r.event_type, r.n)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == expect

@@ -112,3 +112,22 @@ def test_oracle_checked_spark_schemas_match_and_canonicalize(
                     (name, f"type-family mismatch on {c}", (st, dcols[c]))
                 )
     assert not problems, problems
+
+
+def test_lint_actually_catches_nonportable_types():
+    """Guard the guard: the portable-type check must FLAG the exact shapes
+    that burned round 3 — a bare sum over an integer column (HUGEINT) and
+    a list output — when fed deliberately-bad SQL. If DuckDB ever changes
+    sum()'s return type, this tells us the lint's premise moved."""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT 1::BIGINT AS x")
+
+    rel = con.sql("SELECT sum(x) AS s FROM t")
+    assert str(rel.types[0]).split("(")[0] not in PORTABLE_DUCK, rel.types
+
+    rel = con.sql("SELECT [x, x] AS lst FROM t")
+    assert str(rel.types[0]).split("(")[0] not in PORTABLE_DUCK, rel.types
+
+    rel = con.sql("SELECT CAST(sum(x) AS BIGINT) AS s FROM t")
+    assert str(rel.types[0]).split("(")[0] in PORTABLE_DUCK, rel.types
+    con.close()
