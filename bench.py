@@ -60,6 +60,20 @@ HEADLINE = [
 ]
 
 
+# Second recorded block (round 5): the heaviest post-r1 curation-tier
+# queries, absent from HEADLINE (whose composition is frozen for
+# round-over-round comparability). Until now these were tracked only in
+# PERFORMANCE.md prose, where a regression could hide.
+CURATION = [
+    "substring_dedup_rewrite",
+    "boilerplate_strip",
+    "semdedup_survivors",
+    "bpe_train_merges",
+    "lm_ccnet_buckets_sampled",
+    "training_manifest",
+]
+
+
 def _force(df) -> None:
     """Execute the full plan without materializing to the driver or disk."""
     df.write.format("noop").mode("overwrite").save()
@@ -92,19 +106,24 @@ def main() -> None:
     # warm the JVM + parquet footer cache once so q1 doesn't pay session startup
     _force(queries[names[0]](spark, sf_dir).limit(1))
 
-    cold: dict[str, float] = {}
-    timings: dict[str, float] = {}
-    for name in names:
-        start = time.perf_counter()
-        _force(queries[name](spark, sf_dir))
-        cold[name] = round(time.perf_counter() - start, 3)
-        start = time.perf_counter()
-        _force(queries[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - start, 3)
-        print(
-            f"  {name}: {timings[name]:.3f}s steady ({cold[name]:.3f}s cold)",
-            file=sys.stderr,
-        )
+    def _run(block: list[str]) -> tuple[dict[str, float], dict[str, float]]:
+        cold: dict[str, float] = {}
+        steady: dict[str, float] = {}
+        for name in block:
+            start = time.perf_counter()
+            _force(queries[name](spark, sf_dir))
+            cold[name] = round(time.perf_counter() - start, 3)
+            start = time.perf_counter()
+            _force(queries[name](spark, sf_dir))
+            steady[name] = round(time.perf_counter() - start, 3)
+            print(
+                f"  {name}: {steady[name]:.3f}s steady ({cold[name]:.3f}s cold)",
+                file=sys.stderr,
+            )
+        return cold, steady
+
+    cold, timings = _run(names)
+    cur_cold, cur_timings = _run([n for n in CURATION if n in queries])
 
     total = round(sum(timings.values()), 3)
     print(
@@ -115,6 +134,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_cold": cold,
+                "curation_queries_total": round(sum(cur_timings.values()), 3),
+                "curation_queries": cur_timings,
+                "curation_queries_cold": cur_cold,
                 "host_calibration_sec": _host_calibration(),
                 "sf": sf,
             }

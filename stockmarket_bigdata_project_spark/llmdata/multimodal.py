@@ -67,20 +67,64 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- real decoder stubs (the gated slow path) --------------------------------
+# --- real decoder (the gated slow path) --------------------------------------
 def decode_image_real(payload: bytes, width: int, height: int):
-    """Decode a real image payload. STUB: the container ships no imaging
-    libraries. Intended implementation: PIL.Image.open(io.BytesIO(payload))
-    → np.asarray, inside the same mapInPandas batch loop used by
-    image_features below (identical signature and batch shape)."""
+    """Decode a real image payload via PIL: bytes → grayscale →
+    (width, height) resize → uint8 ndarray of shape (height, width).
+    Gated: where the container ships no imaging stack this raises
+    NotImplementedError and the deterministic fake path (image_features)
+    exercises the identical Spark plumbing; where PIL IS present the
+    PIL-gated test (tests/test_multimodal.py) drives this through the same
+    mapInPandas batch loop (real_image_features below)."""
     try:
-        import PIL.Image  # noqa: F401
+        import PIL.Image
     except ImportError as exc:
         raise NotImplementedError(
             "real image decode requires PIL; the Spark plumbing is exercised "
             "by the deterministic fake path (image_features)"
         ) from exc
-    raise NotImplementedError("wire PIL decode here when the library ships")
+    import io
+
+    img = PIL.Image.open(io.BytesIO(payload)).convert("L")
+    if img.size != (width, height):
+        img = img.resize((width, height))
+    return np.asarray(img, dtype=np.uint8)
+
+
+def real_image_features(df: DataFrame) -> DataFrame:
+    """image_features' mapInPandas slot with the REAL decoder in the batch
+    loop: (media_id, payload, width, height) → decoded dims + mean pixel.
+    Decoding is per-image by nature (PIL), but rows arrive Arrow-batched
+    and the loop never leaves the executor — same partitioning contract as
+    the fake path (repartition by media_id, AQE picks the fan-out)."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for media_id, payload, w, h in zip(
+                pdf["media_id"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                arr = decode_image_real(bytes(payload), int(w), int(h))
+                rows.append(
+                    (
+                        int(media_id),
+                        arr.shape[1],
+                        arr.shape[0],
+                        float(round(float(arr.mean()), 6)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "mean_px"]
+            )
+
+    schema = "media_id long, width int, height int, mean_px double"
+    return (
+        df.select("media_id", "payload", "width", "height")
+        .repartition("media_id")
+        .mapInPandas(feats, schema)
+    )
 
 
 # --- metadata catalog (column pruning: payload only touched for hash/len) ---

@@ -449,16 +449,20 @@ def lm_ccnet_buckets_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keyed = scored.withColumn("k", key)
     ks = F.sort_array(F.collect_list("k"))
+
+    # empty-sample guard: with no sampled doc (size(ks)=0) element_at(ks, 0)
+    # throws on Spark while the oracle's NULL-list subscript yields NULL —
+    # a crash-vs-NULL divergence; NULL cutoffs bucket every doc 'tail' on
+    # both engines instead
+    def _cut(at: F.Column) -> F.Column:
+        return F.when(F.size("ks") > 0, F.element_at("ks", at.cast("int")))
+
     cuts = (
         keyed.filter(F.col("doc_id") % CCNET_SAMPLE_MOD == 0)
         .agg(ks.alias("ks"))
         .select(
-            F.element_at(
-                "ks", F.ceil(F.size("ks") / 3).cast("int")
-            ).alias("c1"),
-            F.element_at(
-                "ks", F.ceil(2 * F.size("ks") / 3).cast("int")
-            ).alias("c2"),
+            _cut(F.ceil(F.size("ks") / 3)).alias("c1"),
+            _cut(F.ceil(2 * F.size("ks") / 3)).alias("c2"),
         )
     )
     return keyed.crossJoin(F.broadcast(cuts)).select(
@@ -1108,6 +1112,10 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_digit = (
         n_chars - F.length(F.regexp_replace(F.col("text"), r"[0-9]", ""))
     ).cast("long")
+    # interpreted HOF: cost is per-element × |STOPWORDS| — acceptable ONLY
+    # because |STOPWORDS| = 4 here; a real (hundreds-word) stopword list
+    # must use the explode → broadcast-join shape instead (the 165× lesson
+    # from boilerplate_ngrams in PERFORMANCE.md)
     n_stop = F.size(
         F.filter(toks, lambda t: t.isin(*[F.lit(w) for w in STOPWORDS]))
     ).cast("long")

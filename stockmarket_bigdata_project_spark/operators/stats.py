@@ -398,33 +398,42 @@ N_DECILES = 10
 
 def equi_depth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth (quantile) binning of order value — the feature
-    bucketizer for tree/embedding models, done the scale-right way: the 9
-    decile boundaries come from ONE exact-percentile aggregate over
-    integer cents, FLOORED to integer cents before use (deciles
-    interpolate at non-dyadic probabilities, so the raw boundary binary64
-    is not formula-portable the way dyadic probabilities would be; the
-    floor makes the comparison integer-exact), broadcast back, and every
-    row's decile is a map-side count of boundaries below its value. No
-    global sort / range partitioning anywhere — ntile() would sort the
-    fact table; this never shuffles it at all beyond the final K-row
-    group count. [extension]"""
+    bucketizer for tree/embedding models. Boundary i is the EXACT ORDER
+    STATISTIC at lower rank ceil(i·n/10) = (i·n+9) div 10 over integer
+    cents (percentile_disc semantics), computed with NO interpolation and
+    NO float probability anywhere: floats can't round-trip p·n at exact
+    integer ranks (0.1·15000 under binary64 p lands a whole rank off), and
+    interpolated boundaries were the last ulp-sensitive construct in the
+    determinism set — rank selection removes the class.
+
+    Plan: ONE hash shuffle of the fact table onto the cents key for the
+    value histogram (cost ∝ distinct values, the same state bound the old
+    percentile() aggregate buffered in one pass), a single-partition
+    running sum over that K-row histogram, a broadcast 9-row rank join,
+    and a map-side boundary count per row. Still no RANGE partitioning of
+    the fact table — ntile() would globally sort it. [extension]"""
     o = load_table(spark, sf_dir, "orders").select(
         F.expr(_CENTS).alias("cents")
     )
-    probs = ", ".join(
-        f"{i / N_DECILES:.1f}" for i in range(1, N_DECILES)
+    ranks = o.agg(F.count("*").alias("n")).select(
+        F.explode(F.sequence(F.lit(1), F.lit(N_DECILES - 1))).alias("i"),
+        F.col("n"),
+    ).select("i", F.expr(f"(i * n + {N_DECILES - 1}) div {N_DECILES}").alias("r"))
+    hist = o.groupBy("cents").agg(F.count("*").alias("cnt"))
+    cum = hist.withColumn(
+        "cc", F.sum("cnt").over(Window.orderBy("cents"))
     )
-    bounds = o.agg(F.expr(f"percentile(cents, array({probs}))").alias("qs"))
-    # boundaries floored to integer cents before the comparison: the
-    # percentile interpolates at non-dyadic probabilities, where a
-    # last-ulp cross-engine interpolation difference could flip a
-    # `cents > q` comparison; for integer cents, cents > q ⟺
-    # cents > floor(q), and floor of near-identical binary64s is stable
+    bounds = (
+        cum.join(F.broadcast(ranks), F.col("cc") >= F.col("r"))
+        .groupBy("i")
+        .agg(F.min("cents").alias("q"))
+        .agg(F.sort_array(F.collect_list("q")).alias("qs"))
+    )
     assigned = o.crossJoin(F.broadcast(bounds)).select(
         "cents",
         (
             F.lit(1)
-            + F.size(F.filter("qs", lambda q: F.col("cents") > F.floor(q)))
+            + F.size(F.filter("qs", lambda q: F.col("cents") > q))
         ).alias("decile"),
     )
     return assigned.groupBy("decile").agg(
@@ -463,20 +472,30 @@ SELECT bin, n_ref, n_cur,
 FROM binned, totals
 """
 
-_DECILE_PROBS = ", ".join(f"{i / N_DECILES:.1f}" for i in range(1, N_DECILES))
-
+# boundary = exact order statistic at integer rank (i*n+9)//10 — spelled
+# out with a histogram + running count rather than quantile_disc/
+# percentile_disc, whose index conventions differ between engines
 ORACLE["equi_depth_deciles"] = f"""
 WITH c AS (
   SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+), ranks AS (
+  SELECT i, (i * n + {N_DECILES - 1}) // {N_DECILES} AS r
+  FROM (SELECT count(*) AS n FROM c), range(1, {N_DECILES}) t(i)
+), hist AS (
+  SELECT cents, count(*) AS cnt FROM c GROUP BY cents
+), cum AS (
+  SELECT cents, sum(cnt) OVER (ORDER BY cents) AS cc FROM hist
 ), b AS (
-  SELECT quantile_cont(cents, [{_DECILE_PROBS}]) AS qs FROM c
+  SELECT list_sort(list(q)) AS qs
+  FROM (SELECT i, min(cents) AS q
+        FROM cum JOIN ranks ON cc >= r GROUP BY i)
 )
 SELECT decile, count(*) AS n_orders,
        min(cents) / 100.0 AS min_price,
        max(cents) / 100.0 AS max_price
 FROM (
   SELECT cents,
-         CAST(1 + len(list_filter(qs, q -> cents > floor(q))) AS INTEGER)
+         CAST(1 + len(list_filter(qs, q -> cents > q)) AS INTEGER)
            AS decile
   FROM c, b
 )

@@ -62,70 +62,40 @@ def _modules():
 
 
 # The external correctness gate verifies a bounded prefix of this registry
-# (round 1 recorded exactly the first 50 entries). Queries already proven
+# (each round records exactly the first 50 entries). Queries already proven
 # there (hash_match=true in CORRECTNESS_r{N}.json) are rotated to the back so
 # each round's budget lands on fixes and not-yet-verified queries first; over
-# rounds the whole registry accumulates value-level proof.
-_PROVEN_R1 = frozenset(
-    {
-        "supplier_daily_ohlcv", "project_rename", "select_expr",
-        "filter_eq_range", "explode_tokens", "threshold_split",
-        "topk_orders", "bottomk_orders", "union_by_name", "intersect_keys",
-        "except_keys", "global_counts", "summary_stats", "correlation_matrix",
-        "pricing_summary", "cube_returnflag_status", "rollup_priority_status",
-        "grouping_sets_revenue", "lead_target", "lag_features", "pct_change",
-        "rolling_mean", "direction_sign", "latest_per_group", "rank_orders",
-        "topk_per_group", "running_total", "join_enrich_daily",
-        "customer_order_stats", "semi_join_active_customers",
-        "anti_join_inactive_customers", "cross_join_region_nation",
-        "revenue_by_brand",
-    }
-)
+# rounds the whole registry accumulates value-level proof. Proof state is
+# derived ENTIRELY from the recorded CORRECTNESS files on disk (the static
+# per-round transcriptions retired in round 5 were redundant copies of the
+# same state and could drift).
 
-# hash_match=true rows in CORRECTNESS_r02.json (two_level_rollup was the one
-# red row — it stays unproven and re-enters the round-3 window with its fix).
-_PROVEN_R2 = frozenset(
-    {
-        "gold_daily_features", "orders_daily_rollup", "derived_columns",
-        "filter_notnull_dropna", "fillna_coalesce", "dedup_by_key",
-        "unpivot_ohlc", "order_price_histogram", "value_moments",
-        "group_sizes", "distinct_event_types", "conditional_agg_ratios",
-        "pivot_event_values", "count_distinct_users", "rolling_mean_7d_range",
-        "forward_fill_daily", "sequence_assembly", "daily_event_activity",
-        "sessionize_events", "session_window_batch",
-        "join_daily_market_activity", "interval_join_48h",
-        "band_join_order_tiers", "asof_join_prev_order",
-        "asof_join_merge_pandas", "shipping_priority",
-        "null_safe_join_event_mix", "recursive_calendar_fill",
-        "local_supplier_volume", "late_shipment_priority",
-        "small_quantity_revenue", "large_volume_customers",
-        "rich_inactive_customers", "order_value_distribution",
-        "salted_join_enrich", "skewed_key_histogram", "discount_revenue_q6",
-        "nation_trade_balance_q7", "returned_item_losses_q10",
-        "promo_revenue_share_q14", "top_revenue_suppliers_q15",
-        "big_quantity_orders_q18", "brand_size_or_revenue_q19",
-        "cheapest_supplier_q2", "national_market_share_q8",
-        "product_profit_q9", "customer_distribution_q13",
-        "parts_supplier_counts_q16", "excess_share_suppliers_q20",
-    }
-)
-
-_PROVEN = _PROVEN_R1 | _PROVEN_R2
-
-# North-star extensions the judge graded as zero-external-proof after r2:
-# front them inside the unproven tier so the round-3 window lands there.
+# Module ranking for the UNPROVEN tier. Round-5 window composition (the 85
+# still-unproven oracle queries close over rounds 5-6): the reference-facing
+# surfaces a user hits first — sources, ml inference/eval, scalar/text
+# functions, finance, streaming lifecycle, serving — land in round 5's 50
+# slots (r4 verdict task 1); the llmdata/streaming remainder follows in
+# round 6. Modules not listed rank last, in registration order.
 _FRONT_MODULE_ORDER = (
-    "llmdata.dedup", "llmdata.similarity", "llmdata.textstats",
-    "llmdata.corpus", "llmdata.sampling", "llmdata.decontam",
-    "llmdata.multimodal", "llmdata.clustering", "streaming.pipelines",
-    "streaming.lifecycle", "ml", "functions.text", "functions.scalar",
-    "functions.pyudf", "sources.readers", "sources.pyds", "sources.sinks",
-    "sources.bucketing",
+    "sources.readers", "sources.pyds", "sources.sinks", "sources.bucketing",
+    "ml", "functions.text", "functions.scalar", "functions.pyudf",
+    "operators.finance", "streaming.lifecycle", "serving",
+    "operators.features", "operators.stats", "operators.timeseries",
+    "operators.analytics", "operators.decision_support", "operators.linkage",
+    "operators.sketches", "streaming.pipelines", "llmdata.lm",
+    "llmdata.graph", "llmdata.clustering", "llmdata.textstats",
+    "llmdata.corpus", "llmdata.sampling", "llmdata.similarity",
+    "llmdata.dedup", "llmdata.decontam", "llmdata.multimodal",
 )
 
+# Queries introduced AFTER the round-4 results were recorded: they queue
+# behind the pre-existing unproven tier so they cannot displace the planned
+# round-5/6 proof windows (same protection _INTRODUCED_LATE_R3 gave round 3;
+# the set rolls forward each round once its members are recorded).
+_INTRODUCED_R5: frozenset[str] = frozenset()
 
-# The static floor below mirrors CORRECTNESS_r01/r02.json; the dynamic
-# loader then folds in any LATER recorded rounds (r03, r04, ...) so the
+
+# The dynamic loader reads every recorded round (r01, r02, ...) so the
 # rotation self-updates when the driver writes new results — no manual
 # re-transcription per round. Red rows from the LATEST recorded round are
 # re-fronted automatically.
@@ -173,56 +143,14 @@ def _dynamic_proof_state() -> tuple[frozenset[str], frozenset[str]]:
     return frozenset(proven), frozenset(red)
 
 
-# Queries that went RED in the latest recorded gate round: they must re-enter
-# the very next window to prove their fix, ahead of everything else.
-# (Floor for the rounds already transcribed; the dynamic state extends it.)
-_STATIC_RED_FIXES = frozenset({"two_level_rollup"})
-
-# Queries introduced LATE in round 3, after that round's 50-slot window
-# composition was already swept and finalized. In round 3 they queued
-# BEHIND the pre-existing unproven tier so they wouldn't displace the
-# planned proofs; with that window recorded, the protection inverts: these
-# are now the OLDEST zero-proof rows (local-exact-verified at sf0.01 AND
-# sf0.1 since their introduction), so they front the round-4 window right
-# after the red-row fixes (r3 verdict task 4).
-_INTRODUCED_LATE_R3 = frozenset(
-    {
-        "near_dup_source_matrix", "incremental_dedup_new_docs",
-        "embedding_range_query", "salient_terms_topk", "feature_hash_counts",
-        "vocab_oov_rate", "source_quota_cap", "context_chunks",
-        "boilerplate_strip", "rolling_median_5row", "value_zscore_outliers",
-        "dq_profile", "cohort_retention", "referential_integrity_audit",
-        "event_transition_matrix", "scd2_daily_snapshot",
-        "streaming_upsert_view", "target_encode_loo", "variant_functions",
-        "split_leakage_audit", "media_dedup_groups",
-        "quality_weighted_sample", "bigram_lm_bits", "bpe_merge_candidates",
-        "pagerank_near_dup", "sparse_retrieval_topk",
-        "event_pattern_matches", "cdc_snapshot_diff", "robust_outliers_mad",
-        "bpe_train_merges", "data_drift_report", "equi_depth_deciles",
-        "hybrid_retrieval_rrf", "sequence_packing_spans",
-        "entity_resolution_matches", "cms_heavy_hitters",
-        "zorder_file_stats", "benford_digit_audit", "near_dup_triangles",
-        "k_anonymity_audit", "winsorized_stats", "compression_ratio_scores",
-        "ks_two_sample_lengths", "incremental_agg_maintenance",
-        "media_perceptual_hash_pairs", "source_concentration_hhi",
-        "streaming_cms_merge", "asof_join_next_tolerance",
-        "frequent_item_pairs", "pareto_frontier_orders",
-        "table_fingerprint_orders", "suppression_window_dedup",
-        "weighted_median_prices",
-    }
-)
-
-
 def _rotate(items: dict, oracle_names: frozenset[str], origin: dict) -> dict:
     """Order: red-row fixes first (their green row is the round's headline),
     then unproven oracle-checked (each earns a value-level proof inside the
-    gate's 50-query window; zero-proof extension modules lead), then
-    rows-only queries (their weaker check costs a window slot that a
-    hash-checkable query could use), then queries already hash-proven in a
-    recorded round."""
-    dyn_proven, dyn_red = _dynamic_proof_state()
-    proven = (_PROVEN | dyn_proven) - dyn_red
-    red_fixes = (_STATIC_RED_FIXES | dyn_red) - proven
+    gate's 50-query window; _FRONT_MODULE_ORDER ranks the modules, newly
+    introduced queries queue last), then rows-only queries (their weaker
+    check costs a window slot that a hash-checkable query could use), then
+    queries already hash-proven in a recorded round."""
+    proven, red_fixes = _dynamic_proof_state()
 
     def key(name: str):
         if name in red_fixes:
@@ -244,7 +172,7 @@ def _rotate(items: dict, oracle_names: frozenset[str], origin: dict) -> dict:
         return (
             tier,
             name not in red_fixes,
-            name not in _INTRODUCED_LATE_R3,
+            name in _INTRODUCED_R5,
             mod_rank,
         )
 

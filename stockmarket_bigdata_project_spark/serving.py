@@ -58,8 +58,10 @@ def dashboard_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = F.col("lc") - F.col("pc")
     sign = F.when(d > 0, 1).when(d < 0, -1).otherwise(0).cast("long")
+    # nullif guard: a 0-cent previous close must yield NULL on both engines,
+    # not Spark-NULL vs DuckDB division-by-zero (same class stats.py fixed)
     pct_micro = sign * F.expr(
-        "(2 * abs(lc - pc) * 100000000 + pc) DIV (2 * pc)"
+        "(2 * abs(lc - pc) * 100000000 + pc) DIV nullif(2 * pc, 0)"
     )
     p = predict_returns(spark, sf_dir)
     err_micro = F.floor(
@@ -125,7 +127,7 @@ WITH daily AS (
 SELECT k.l_suppkey, k.n_days,
        k.lc / 100.0 AS last_close,
        (CASE WHEN k.lc > k.pc THEN 1 WHEN k.lc < k.pc THEN -1 ELSE 0 END)
-         * ((2 * abs(k.lc - k.pc) * 100000000 + k.pc) // (2 * k.pc))
+         * ((2 * abs(k.lc - k.pc) * 100000000 + k.pc) // nullif(2 * k.pc, 0))
          AS pct_change_micro,
        k.total_volume,
        coalesce(p.n_preds, 0) AS n_preds,

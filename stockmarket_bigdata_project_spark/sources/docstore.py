@@ -11,8 +11,10 @@ document store needs a seam, not a rewrite. This module is that seam:
   engine writes against (upsert / append / read);
 * ``ParquetDocumentStore`` — the shipped implementation: upsert = merge
   (updates ∪ base⟻anti updates) rewrite, the same shape as
-  sinks.upsert_merge_daily. At scale the rewrite touches only the union of
-  affected partitions (dynamic partition overwrite), never the whole table;
+  sinks.upsert_merge_daily, written DISTRIBUTED to a staging directory and
+  swapped into place (never collected to the driver). At scale the same
+  merge runs with dynamic partition overwrite so only affected partitions
+  rewrite — the staging swap is the unpartitioned local-store form;
 * ``mongo_write_options`` / ``mongo_upsert_writer`` — builder-level support
   for the official Spark-MongoDB connector (format "mongodb"): the exact
   option mapping for the reference's upsert semantics. Builder-only here
@@ -30,6 +32,8 @@ exactly the scale-killer this interface forbids.
 
 from __future__ import annotations
 
+import os
+import shutil
 import tempfile
 import threading
 from typing import Protocol
@@ -57,32 +61,44 @@ class DocumentStore(Protocol):
 
 class ParquetDocumentStore:
     """The shipped DocumentStore: a parquet-backed collection with merge
-    upserts. Empty-store upsert == append, matching Mongo's upsert=True."""
+    upserts. Empty-store upsert == append, matching Mongo's upsert=True.
+
+    Collection state is derived from the FILES AT ``path``, never from
+    instance flags — constructing a second store over an existing path
+    (reattach) merges against the documents already there instead of
+    silently truncating them. The same-path read-then-overwrite hazard is
+    broken distributively: the merge plan writes to a staging directory
+    executor-side while the base files are still readable, then the
+    directories swap — nothing is ever collected to the driver, so the
+    store scales to collections the driver could not hold."""
 
     def __init__(self, path: str | None = None):
         self.path = path or tempfile.mkdtemp(prefix="spark_graft_docstore_")
-        self._has_data = False
+
+    def _base(self, spark: SparkSession) -> DataFrame | None:
+        """Existing collection, or None when path holds no parquet yet."""
+        try:
+            return spark.read.parquet(self.path)
+        except Exception:  # missing dir / empty dir: schema not inferable
+            return None
 
     def upsert(self, df: DataFrame, keys: list[str]) -> None:
         with _lock:
-            if self._has_data:
-                base = df.sparkSession.read.parquet(self.path)
-                merged = df.unionByName(
-                    base.join(df.select(*keys).distinct(), keys, "left_anti")
-                )
-            else:
-                merged = df
-            # materialize before the overwrite clobbers the files the merge
-            # plan still reads (same-path read-then-overwrite hazard)
-            rows = merged.collect()
-            out = df.sparkSession.createDataFrame(rows, merged.schema)
-            out.write.mode("overwrite").parquet(self.path)
-            self._has_data = True
+            base = self._base(df.sparkSession)
+            if base is None:
+                df.write.mode("overwrite").parquet(self.path)
+                return
+            merged = df.unionByName(
+                base.join(df.select(*keys).distinct(), keys, "left_anti")
+            )
+            staging = self.path.rstrip("/") + "__staging"
+            merged.write.mode("overwrite").parquet(staging)
+            shutil.rmtree(self.path, ignore_errors=True)
+            os.rename(staging, self.path)
 
     def append(self, df: DataFrame) -> None:
         with _lock:
             df.write.mode("append").parquet(self.path)
-            self._has_data = True
 
     def read(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.path)

@@ -28,6 +28,37 @@ def test_parquet_store_upsert_replaces_by_key(spark):
     assert got == {(1, "a"), (2, "B"), (3, "c")}
 
 
+def test_parquet_store_reattach_preserves_existing_docs(spark):
+    """State is derived from the files at path, not an instance flag: a
+    FRESH store constructed over a path that already holds documents must
+    merge against them — the first upsert through the new handle may not
+    truncate the collection (the keyed-upsert contract under reattach)."""
+    first = ParquetDocumentStore()
+    first.upsert(_df(spark, [(1, "a"), (2, "b")]), keys=["k"])
+    reattached = ParquetDocumentStore(path=first.path)
+    reattached.upsert(_df(spark, [(2, "B"), (3, "c")]), keys=["k"])
+    got = {(r.k, r.v) for r in reattached.read(spark).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_parquet_store_upsert_never_collects_to_driver(spark, monkeypatch):
+    """The merge rewrite must stay executor-side (staging write + swap):
+    any DataFrame.collect() during upsert is the driver-OOM shape the
+    DocumentStore contract forbids."""
+    from pyspark.sql import DataFrame as _DF
+
+    def _banned(self, *a, **kw):  # pragma: no cover - fails the test
+        raise AssertionError("upsert() collected a DataFrame to the driver")
+
+    store = ParquetDocumentStore()
+    store.upsert(_df(spark, [(1, "a"), (2, "b")]), keys=["k"])
+    monkeypatch.setattr(_DF, "collect", _banned)
+    store.upsert(_df(spark, [(2, "B"), (3, "c")]), keys=["k"])
+    monkeypatch.undo()
+    got = {(r.k, r.v) for r in store.read(spark).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+
 def test_parquet_store_append_is_unkeyed(spark):
     store = ParquetDocumentStore()
     store.append(_df(spark, [(1, "a")]))

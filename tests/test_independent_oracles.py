@@ -1,12 +1,15 @@
 """Third-opinion oracles (r3 verdict task 2, second layer): for the
-tokenization/regex-heavy queries that went red at the r3 gate, recompute
-the expected result in PURE PYTHON from the parquet bytes — no Spark, no
+tokenization/regex-heavy queries that went red at the r3 gate — extended in
+r5 to the never-gate-checked window tier (regex ticker extraction, the
+sentiment lexicon, ml direction counts, finance vwap) — recompute the
+expected result in PURE PYTHON from the parquet bytes — no Spark, no
 DuckDB — and require the Spark result to match it exactly. The DuckDB
 oracle and the Spark plan could drift together on a shared idiom
 (regexp_extract_all semantics, string_split edge cases) and the pairwise
-compare would stay green; a third independent implementation breaks the
-tie. (The r3 reds' actual root cause — HUGEINT dtype leakage — is caught
-by test_oracle_portability; this guards the residual value-level class.)"""
+compare would stay green; a third independent implementation (including a
+THIRD regex engine: Python re vs Java vs RE2) breaks the tie. (The r3
+reds' actual root cause — HUGEINT dtype leakage — is caught by
+test_oracle_portability; this guards the residual value-level class.)"""
 
 from __future__ import annotations
 
@@ -92,4 +95,163 @@ def test_rare_token_ratio_pure_python(spark, sf_dir):
         r.doc_id: (r.n_tokens, r.n_rare, r.rare_ratio_micro)
         for r in rare_token_ratio(spark, sf_dir).collect()
     }
+    assert got == expect
+
+
+# --- r5-window tier: regex / lexicon / ml / finance third opinions ----------
+def test_extract_tickers_v1_pure_python(spark, sf_dir):
+    """Third regex engine (Python re vs Spark's Java regex vs DuckDB's RE2)
+    over the v1 bare-token rule."""
+    from stockmarket_bigdata_project_spark.functions.text import (
+        KNOWN_TICKERS,
+        extract_tickers_v1,
+    )
+
+    pat = re.compile(r"\b([a-z]{1,5})\b")
+    known = set(KNOWN_TICKERS)
+    expect = set()
+    for doc_id, _, text in _docs(sf_dir):
+        for tok in dict.fromkeys(pat.findall(text)):  # distinct, order-free
+            if tok in known:
+                expect.add((doc_id, tok))
+    got_rows = extract_tickers_v1(spark, sf_dir).collect()
+    got = {(r.doc_id, r.ticker) for r in got_rows}
+    assert len(got_rows) == len(got)  # array_distinct ⇒ no dup pairs
+    assert got == expect
+
+
+def test_extract_tickers_v2_pure_python(spark, sf_dir):
+    """v2: $-prefixed 1-5 char uppercase + bare 3-5 char lowercase, on the
+    synthesized cashtag text '$<LANG> <text>'."""
+    from stockmarket_bigdata_project_spark.functions.text import (
+        KNOWN_TICKERS,
+        extract_tickers_v2,
+    )
+
+    t = pq.read_table(table_path(sf_dir, "documents"),
+                      columns=["doc_id", "lang", "text"])
+    rows = list(zip(*[t.column(c).to_pylist()
+                      for c in ("doc_id", "lang", "text")]))
+    dollar = re.compile(r"\$([A-Z]{1,5})")
+    bare = re.compile(r"\b([a-z]{3,5})\b")
+    known = set(KNOWN_TICKERS) | {"DE", "EN", "FR", "ES", "ZH"}
+    expect = set()
+    for doc_id, lang, text in rows:
+        post = f"${lang.upper()} {text}"
+        for tok in dict.fromkeys(dollar.findall(post) + bare.findall(post)):
+            if tok in known:
+                expect.add((doc_id, tok))
+    got_rows = extract_tickers_v2(spark, sf_dir).collect()
+    got = {(r.doc_id, r.ticker) for r in got_rows}
+    assert len(got_rows) == len(got)
+    assert got == expect
+
+
+def test_sentiment_score_pure_python(spark, sf_dir):
+    """Integer-rational lexicon polarity, recomputed with Python ints; the
+    final /1e6 is the same binary64 division both engines run."""
+    from stockmarket_bigdata_project_spark.functions.text import (
+        NEG_WORDS,
+        POS_WORDS,
+        sentiment_score,
+    )
+
+    pos, neg = set(POS_WORDS), set(NEG_WORDS)
+    expect = {}
+    for doc_id, _, text in _docs(sf_dir):
+        toks = text.split(" ")
+        d = sum(t in pos for t in toks) - sum(t in neg for t in toks)
+        nt = len(toks)
+        num = abs(d) * 2_000_000 + nt
+        q = num // (2 * nt)
+        sign = (d > 0) - (d < 0)
+        expect[doc_id] = float(sign * q) / 1e6
+    got = {r.doc_id: r.sentiment
+           for r in sentiment_score(spark, sf_dir).collect()}
+    assert got == expect
+
+
+def _ohlcv_py(sf_dir):
+    """Pure-Python supplier_daily_ohlcv twin (min_by/max_by on the packed
+    total-order key, matching operators/gold.py:_ord_key)."""
+    import datetime as dt
+
+    t = pq.read_table(
+        table_path(sf_dir, "lineitem"),
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_quantity",
+                 "l_orderkey", "l_linenumber"],
+    )
+    cols = {c: t.column(c).to_pylist() for c in t.column_names}
+    groups = {}
+    for sk, sd, px, qty, ok, ln in zip(
+        cols["l_suppkey"], cols["l_shipdate"], cols["l_extendedprice"],
+        cols["l_quantity"], cols["l_orderkey"], cols["l_linenumber"]
+    ):
+        day = sd.date() if isinstance(sd, dt.datetime) else sd
+        key = (ok * 16 + ln) * 100_000_000 + int(px * 100 + 0.5)
+        g = groups.setdefault((sk, day), [])
+        g.append((key, px, qty))
+    out = {}
+    for k, rows in groups.items():
+        open_px = min(rows)[1]
+        close_px = max(rows)[1]
+        out[k] = {
+            "open": open_px, "close": close_px,
+            "high": max(r[1] for r in rows), "low": min(r[1] for r in rows),
+            "volume": sum(r[2] for r in rows),
+        }
+    return out
+
+
+def test_confusion_matrix_pure_python(spark, sf_dir):
+    """Direction confusion counts from the pure-Python OHLCV twin — pins
+    min_by/max_by tie semantics AND the lead/lag comparison logic with
+    exact integer outputs."""
+    from stockmarket_bigdata_project_spark.ml import confusion_matrix
+
+    daily = _ohlcv_py(sf_dir)
+    series = defaultdict(list)
+    for (sk, day), v in daily.items():
+        series[sk].append((day, v["close"]))
+    counts = Counter()
+    for sk, rows in series.items():
+        rows.sort()
+        closes = [c for _, c in rows]
+        for i in range(1, len(closes) - 1):
+            counts[
+                (int(closes[i + 1] > closes[i]), int(closes[i] > closes[i - 1]))
+            ] += 1
+    got = {(r.dir_actual, r.dir_pred): r.n
+           for r in confusion_matrix(spark, sf_dir).collect()}
+    assert got == {k: v for k, v in counts.items()}
+
+
+def test_vwap_daily_pure_python(spark, sf_dir):
+    """VWAP with exact Decimal(2dp) sums in Python, final division in
+    binary64 — the same op order as the Spark plan and the DuckDB oracle."""
+    import datetime as dt
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from stockmarket_bigdata_project_spark.operators.finance import vwap_daily
+
+    t = pq.read_table(
+        table_path(sf_dir, "lineitem"),
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_quantity"],
+    )
+    cols = {c: t.column(c).to_pylist() for c in t.column_names}
+    acc = {}
+    cent = Decimal("0.01")
+    for sk, sd, px, qty in zip(cols["l_suppkey"], cols["l_shipdate"],
+                               cols["l_extendedprice"], cols["l_quantity"]):
+        day = sd.date() if isinstance(sd, dt.datetime) else sd
+        # repr(double) is the shortest decimal — the same value Spark's
+        # double→DECIMAL(27,2) cast rounds HALF_UP at 2dp
+        notional = Decimal(repr(px * qty)).quantize(cent, ROUND_HALF_UP)
+        s = acc.setdefault((sk, day), [Decimal(0), 0])
+        s[0] += notional
+        s[1] += qty
+    expect = {k: (float(s[0]) / s[1], s[1]) for k, (s) in
+              ((k, v) for k, v in acc.items())}
+    got = {(r.l_suppkey, r.trade_date): (r.vwap, r.total_qty)
+           for r in vwap_daily(spark, sf_dir).collect()}
     assert got == expect

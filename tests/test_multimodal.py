@@ -36,6 +36,45 @@ def test_audio_rms_chunk_fanout(spark, sf_dir):
     assert rms.select("media_id").distinct().count() == n_audio
 
 
-def test_real_decoder_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        M.decode_image_real(b"\x00" * 16, 4, 4)
+def test_real_decoder_gates_cleanly_without_pil():
+    """Where the imaging stack isn't shipped, the real-decode seam must
+    fail loud with NotImplementedError (documented stub), never a silent
+    wrong answer."""
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            M.decode_image_real(b"\x00" * 16, 4, 4)
+    else:
+        pytest.skip("PIL present: covered by test_real_image_features_with_pil")
+
+
+def test_real_image_features_with_pil(spark):
+    """PIL-gated (the protobuf-gate pattern from transformWithState): stage
+    tiny real PNGs, decode them through the SAME mapInPandas batch loop as
+    image_features, and match dims + mean pixel against a PIL-side
+    metadata twin computed outside Spark. Skips clean where PIL is absent;
+    green where it exists."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    import numpy as np
+
+    staged = []
+    expect = {}
+    for media_id, (w, h, fill) in enumerate(
+        [(4, 3, 17), (8, 8, 200), (5, 2, 0)]
+    ):
+        arr = (np.arange(w * h, dtype=np.uint8).reshape(h, w) + fill) % 256
+        buf = io.BytesIO()
+        PIL_Image.fromarray(arr, mode="L").save(buf, format="PNG")
+        staged.append((media_id, bytearray(buf.getvalue()), w, h))
+        expect[media_id] = (w, h, float(round(float(arr.mean()), 6)))
+    df = spark.createDataFrame(
+        staged, "media_id long, payload binary, width int, height int"
+    )
+    got = {
+        r.media_id: (r.width, r.height, r.mean_px)
+        for r in M.real_image_features(df).collect()
+    }
+    assert got == expect
