@@ -59,6 +59,21 @@ _SENSITIVE = [
     "training_manifest",  # curation + shard hash composition
     "kmeans_exact_assignments",  # unrolled integer Lloyd iterations
     "gopher_quality_flags",  # integer cross-multiplication rules
+    # round-5 gate-window tier: float-bearing reference-facing surfaces
+    "scale_features",  # fit stats from shuffled sums → per-row z
+    "sentiment_score",  # integer-rational lexicon polarity / 1e6
+    "pandas_udaf_weighted_price",  # Arrow UDAF partial-merge order
+    "feature_importance",  # |corr| ranking from power sums
+    "math_functions",  # floor-quantized sqrt/ln surface
+    "twap_hourly",  # hourly close picks + exact-cents mean
+    "rolling_volatility",  # window stddev from integer power sums
+    "rolling_beta",  # cov/var ratio from exact sums
+    "max_drawdown",  # running-max drawdown over ordered frames
+    "cumulative_return",  # product-as-sum-of-logs alternative path
+    "silver_15m_features",  # 15-min bars → forward-filled features
+    "medallion_e2e_daily",  # bronze→silver→gold composition
+    "exact_price_quantiles",  # exact order statistics at dyadic ranks
+    "stateful_running_vwap",  # applyInPandasWithState batch twin
 ]
 
 

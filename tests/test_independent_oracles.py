@@ -255,3 +255,91 @@ def test_vwap_daily_pure_python(spark, sf_dir):
     got = {(r.l_suppkey, r.trade_date): (r.vwap, r.total_qty)
            for r in vwap_daily(spark, sf_dir).collect()}
     assert got == expect
+
+
+def test_eval_metrics_pure_python(spark, sf_dir):
+    """Pure-Python recompute of the naive-forecast error metrics — the most
+    determinism-engineered float surface in the r5 window (decimal MAE sum,
+    BIGINT square-cents RMSE, integer-rational MAPE)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from stockmarket_bigdata_project_spark.ml import eval_metrics
+
+    daily = _ohlcv_py(sf_dir)
+    series = defaultdict(list)
+    for (sk, day), v in daily.items():
+        series[sk].append((day, v["close"]))
+
+    def half_up(x: float) -> int:
+        return int(Decimal(repr(x)).quantize(Decimal(1), ROUND_HALF_UP))
+
+    micro6 = Decimal("0.000001")
+    expect = {}
+    for sk, rows in series.items():
+        rows.sort()
+        closes = [c for _, c in rows]
+        if len(closes) < 2:
+            continue
+        mae_sum = Decimal(0)
+        sq_sum = 0
+        mape_sum = 0
+        dir_hits = []
+        n = 0
+        for i in range(1, len(closes)):
+            close, pred = closes[i], closes[i - 1]
+            err = close - pred
+            n += 1
+            mae_sum += Decimal(repr(abs(err))).quantize(micro6, ROUND_HALF_UP)
+            ec, cc = half_up(err * 100), half_up(close * 100)
+            sq_sum += ec * ec
+            mape_sum += (abs(ec) * 2_000_000_000 + cc) // (2 * cc)
+            if i >= 2:  # dir_pred needs prev2; row 2's NULL is avg-skipped
+                prev2 = closes[i - 2]
+                da = (err > 0) - (err < 0)
+                dp = (pred > prev2) - (pred < prev2)
+                dir_hits.append(int(da == dp))
+        import math as _m
+
+        expect[sk] = (
+            float(mae_sum) / n,
+            _m.sqrt(float(sq_sum) / 10000.0 / n),
+            float(mape_sum) / 1e9 / n,
+            sum(dir_hits) / len(dir_hits) if dir_hits else None,
+            n,
+        )
+    got = {
+        r.l_suppkey: (r.mae, r.rmse, r.mape, r.direction_accuracy, r.n)
+        for r in eval_metrics(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_twap_hourly_pure_python(spark, sf_dir):
+    """TWAP per (user, hour): exact Decimal(2dp) value sums / observation
+    count, recomputed from the parquet bytes."""
+    import datetime as dt
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from stockmarket_bigdata_project_spark.operators.finance import twap_hourly
+
+    t = pq.read_table(table_path(sf_dir, "events"),
+                      columns=["ts", "user_id", "value"])
+    cent = Decimal("0.01")
+    acc = {}
+    for ts, uid, val in zip(*[t.column(c).to_pylist()
+                              for c in ("ts", "user_id", "value")]):
+        hour = ts.replace(minute=0, second=0, microsecond=0)
+        s = acc.setdefault((uid, hour), [Decimal(0), 0, 0])
+        if val is not None:
+            s[0] += Decimal(repr(val)).quantize(cent, ROUND_HALF_UP)
+            s[1] += 1
+        s[2] += 1
+    expect = {
+        k: (float(v[0]) / v[1] if v[1] else None, v[2])
+        for k, v in acc.items()
+    }
+    got = {
+        (r.user_id, r.hour): (r.twap, r.n_obs)
+        for r in twap_hourly(spark, sf_dir).collect()
+    }
+    assert got == expect
