@@ -343,3 +343,142 @@ def test_twap_hourly_pure_python(spark, sf_dir):
         for r in twap_hourly(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+# --- round-6 window pre-screen: the iterative unrolled-CTE oracles ----------
+# (r4 verdict task 2 names these as the riskiest idiom class: the Spark loop
+# and the unrolled DuckDB CTEs could drift TOGETHER on a shared assumption;
+# a third implementation of the iteration itself breaks the tie.)
+def test_bpe_train_merges_pure_python(spark, sf_dir):
+    """Full BPE trainer recompute: word freq → symbol strings → weighted
+    pair counts → (weight DESC, l, r ASC) winner → non-overlapping
+    string-replace re-tokenize, for BPE_ROUNDS rounds. Ties compare on
+    UTF-8 bytes, matching Spark/DuckDB binary string order."""
+    from stockmarket_bigdata_project_spark.llmdata.lm import (
+        BPE_ROUNDS,
+        bpe_train_merges,
+    )
+
+    wf = Counter()
+    for _, _, text in _docs(sf_dir):
+        wf.update(text.split(" "))
+    sym = {w: " " + " ".join(w) + " " for w in wf}
+    expect = set()
+    for rnd in range(1, BPE_ROUNDS + 1):
+        weights = Counter()
+        for w, s in sym.items():
+            toks = s.strip().split(" ")
+            for l, r in zip(toks, toks[1:]):
+                weights[(l, r)] += wf[w]
+        (l, r), wt = min(
+            weights.items(),
+            key=lambda kv: (-kv[1], kv[0][0].encode(), kv[0][1].encode()),
+        )
+        expect.add((rnd, l, r, l + r, wt))
+        sym = {
+            w: s.replace(f" {l} {r} ", f" {l}{r} ") for w, s in sym.items()
+        }
+    got = {
+        (r_.merge_round, r_.l, r_.r, r_.merged, r_.weight)
+        for r_ in bpe_train_merges(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_pagerank_iteration_pure_python(spark, sf_dir):
+    """Fixed-point PageRank iteration recomputed with Python ints, seeded
+    from the (gate-proven) verified LSH pair set: deg, PR_SCALE//n init,
+    rank' = base + (85·Σ rank//deg)//100 for PR_ITER rounds. Floor
+    division throughout — all quantities nonnegative on both engines."""
+    from stockmarket_bigdata_project_spark.llmdata.dedup import (
+        minhash_lsh_pairs,
+    )
+    from stockmarket_bigdata_project_spark.llmdata.graph import (
+        PR_ITER,
+        PR_SCALE,
+        pagerank_near_dup,
+    )
+
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(spark, sf_dir).collect()
+    ]
+    edges = defaultdict(list)
+    for a, b in pairs:
+        edges[a].append(b)
+        edges[b].append(a)
+    deg = {v: len(ns) for v, ns in edges.items()}
+    n = len(deg)
+    init = PR_SCALE // n
+    base = (15 * init) // 100
+    rank = {v: init for v in deg}
+    for _ in range(PR_ITER):
+        insum = defaultdict(int)
+        for v, ns in edges.items():
+            share = rank[v] // deg[v]
+            for u in ns:
+                insum[u] += share
+        rank = {v: base + (85 * insum[v]) // 100 for v in deg}
+    expect = {v: (deg[v], rank[v], rank[v] / 1.0e12) for v in deg}
+    got = {
+        r.doc_id: (r.degree, r.rank_fp, r.pagerank)
+        for r in pagerank_near_dup(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_kmeans_exact_assignments_pure_python(spark, sf_dir):
+    """Integer Lloyd recompute: micro-unit vectors (shortest-repr half-up
+    rounding, Spark's BigDecimal semantics), exact integer L2, argmin with
+    (dist, cid) tie order, sign-aware round-half-away centroid means."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from stockmarket_bigdata_project_spark.llmdata.clustering import (
+        EXACT_ITERS,
+        K_EXACT,
+        kmeans_exact_assignments,
+    )
+
+    t = pq.read_table(table_path(sf_dir, "embeddings"),
+                      columns=["vec_id", "embedding"])
+    vecs = {}
+    for vid, emb in zip(t.column("vec_id").to_pylist(),
+                        t.column("embedding").to_pylist()):
+        vecs[vid] = [
+            int(Decimal(repr(x * 1_000_000)).quantize(
+                Decimal(1), ROUND_HALF_UP))
+            for x in emb
+        ]
+
+    def assign(cent):
+        out = {}
+        for vid, mv in vecs.items():
+            best = min(
+                (sum((a - b) * (a - b) for a, b in zip(mv, cv)), cid)
+                for cid, cv in cent.items()
+            )
+            out[vid] = best  # (dist, cid)
+        return out
+
+    cent = {vid: list(vecs[vid]) for vid in vecs if vid < K_EXACT}
+    for _ in range(EXACT_ITERS):
+        assigned = assign(cent)
+        sums = defaultdict(lambda: [0, 0])  # (cid, dim) -> [s, n]
+        for vid, (_, cid) in assigned.items():
+            for dim, v in enumerate(vecs[vid]):
+                s = sums[(cid, dim)]
+                s[0] += v
+                s[1] += 1
+        cent = defaultdict(dict)
+        for (cid, dim), (s, cnt) in sums.items():
+            m = (2 * s + cnt) // (2 * cnt) if s >= 0 \
+                else -((2 * -s + cnt) // (2 * cnt))
+            cent[cid][dim] = m
+        cent = {cid: [d[i] for i in range(len(d))] for cid, d in cent.items()}
+    final = assign(cent)
+    expect = {vid: (cid, dist) for vid, (dist, cid) in final.items()}
+    got = {
+        r.vec_id: (r.cluster_id, r.dist_sq)
+        for r in kmeans_exact_assignments(spark, sf_dir).collect()
+    }
+    assert got == expect
