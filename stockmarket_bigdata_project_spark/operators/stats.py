@@ -408,10 +408,14 @@ def equi_depth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: ONE hash shuffle of the fact table onto the cents key for the
     value histogram (cost ∝ distinct values, the same state bound the old
-    percentile() aggregate buffered in one pass), a single-partition
-    running sum over that K-row histogram, a broadcast 9-row rank join,
-    and a map-side boundary count per row. Still no RANGE partitioning of
-    the fact table — ntile() would globally sort it. [extension]"""
+    percentile() aggregate buffered in one pass), a TWO-LEVEL distributed
+    prefix sum over that histogram (within-bucket running sums partitioned
+    by a coarse cents bucket + a broadcast running-offset table over the
+    ≤|domain|/10⁵ buckets — no single-partition pass over the full
+    histogram), a broadcast 9-row rank join, and a map-side boundary count
+    per row. All-integer counts, so the two-level decomposition is exact
+    in any partitioning. Still no RANGE partitioning of the fact table —
+    ntile() would globally sort it. [extension]"""
     o = load_table(spark, sf_dir, "orders").select(
         F.expr(_CENTS).alias("cents")
     )
@@ -419,9 +423,31 @@ def equi_depth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence(F.lit(1), F.lit(N_DECILES - 1))).alias("i"),
         F.col("n"),
     ).select("i", F.expr(f"(i * n + {N_DECILES - 1}) div {N_DECILES}").alias("r"))
-    hist = o.groupBy("cents").agg(F.count("*").alias("cnt"))
-    cum = hist.withColumn(
-        "cc", F.sum("cnt").over(Window.orderBy("cents"))
+    hist = o.groupBy("cents").agg(F.count("*").alias("cnt")).withColumn(
+        "bkt", F.expr("cents div 100000")
+    )
+    within = F.sum("cnt").over(
+        Window.partitionBy("bkt").orderBy("cents")
+    )
+    offsets = (
+        hist.groupBy("bkt")
+        .agg(F.sum("cnt").alias("bt"))
+        .select(
+            "bkt",
+            F.coalesce(
+                F.sum("bt").over(
+                    Window.orderBy("bkt").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("off"),
+        )
+    )
+    cum = (
+        hist.withColumn("wc", within)
+        .join(F.broadcast(offsets), "bkt")
+        .select("cents", (F.col("off") + F.col("wc")).alias("cc"))
     )
     bounds = (
         cum.join(F.broadcast(ranks), F.col("cc") >= F.col("r"))
