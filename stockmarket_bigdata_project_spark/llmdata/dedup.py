@@ -882,3 +882,94 @@ FROM (
   FROM base b LEFT JOIN covered c USING (doc_id)
 ) b
 """
+
+
+# --- line-level (CCNet-style) cross-document dedup ---------------------------
+LINE_LEN = 8  # tokens per synthesized line (documents carry no newlines)
+
+
+def line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document LINE-level dedup accounting — the CCNet/RefinedWeb
+    paragraph-hash pass (Wenzek et al. 2019 dedup by paragraph hash;
+    Penedo et al. 2023 line dedup), the granularity between exact-doc
+    dedup (dedup_exact) and substring dedup (duplicate_spans): a line is
+    dropped when the SAME line already occurred anywhere in the corpus,
+    keeping the globally-first occurrence (min (doc_id, line_idx)).
+
+    The corpus has no newlines, so lines are synthesized as fixed
+    LINE_LEN-token windows (the context_chunks idiom); per doc the output
+    is pure-BIGINT accounting: total lines, lines whose content occurs
+    >1× corpus-wide, lines removed (non-first occurrences), and tokens
+    retained after the cut.
+
+    Scale shape: lines explode map-side in the scan stage (≈ n_tokens/
+    LINE_LEN rows, each reduced to a 32-char md5 — the raw line text
+    never shuffles); ONE hash exchange on the line hash computes both the
+    corpus occurrence count and the first-occurrence rank in a single
+    partitioning (two window phases, one exchange); one groupBy(doc_id)
+    folds the per-doc counters. No sort of the corpus, no driver state —
+    at 100 TB this is the standard two-shuffle dedup-accounting plan, and
+    the same ranked-lines intermediate is the rewrite input if the caller
+    wants the retained text (substring_dedup_rewrite's act-step shape).
+    [extension]"""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    n_lines = F.expr(f"(size(ws) + {LINE_LEN - 1}) div {LINE_LEN}")
+    line_toks = F.slice("ws", F.col("li") * LINE_LEN + 1, LINE_LEN)
+    lines = base.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_lines - 1)).alias("li"),
+        "ws",
+    ).select(
+        "doc_id",
+        "li",
+        F.md5(F.array_join(line_toks, " ")).alias("h"),
+        F.size(line_toks).cast("long").alias("ntok"),
+    )
+    part = Window.partitionBy("h")
+    ranked = lines.select(
+        "doc_id",
+        "ntok",
+        F.count("*").over(part).alias("cnt"),
+        F.row_number().over(part.orderBy("doc_id", "li")).alias("rn"),
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum((F.col("cnt") > 1).cast("long")).alias("n_dup_lines"),
+        F.sum((F.col("rn") > 1).cast("long")).alias("n_removed"),
+        F.sum(
+            F.when(F.col("rn") == 1, F.col("ntok")).otherwise(F.lit(0))
+        ).alias("n_tokens_kept"),
+    )
+
+
+QUERIES["line_dedup_stats"] = line_dedup_stats
+
+ORACLE["line_dedup_stats"] = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), lines AS (
+  SELECT doc_id, i AS li,
+         md5(array_to_string(
+           list_slice(ws, {LINE_LEN} * i + 1, {LINE_LEN} * i + {LINE_LEN}),
+           ' ')) AS h,
+         CAST(len(list_slice(ws, {LINE_LEN} * i + 1,
+                             {LINE_LEN} * i + {LINE_LEN})) AS BIGINT) AS ntok
+  FROM (SELECT doc_id, ws,
+               unnest(range((len(ws) + {LINE_LEN - 1}) // {LINE_LEN})) AS i
+        FROM base)
+), ranked AS (
+  SELECT doc_id, ntok,
+         count(*) OVER (PARTITION BY h) AS cnt,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, li) AS rn
+  FROM lines
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_lines,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(sum(CASE WHEN rn = 1 THEN ntok ELSE 0 END) AS BIGINT)
+         AS n_tokens_kept
+FROM ranked GROUP BY doc_id
+"""

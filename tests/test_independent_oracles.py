@@ -482,3 +482,36 @@ def test_kmeans_exact_assignments_pure_python(spark, sf_dir):
         for r in kmeans_exact_assignments(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_line_dedup_stats_pure_python(spark, sf_dir):
+    """Line-level dedup accounting recomputed in pure Python: fixed
+    LINE_LEN-token lines, corpus-wide occurrence counts, first-occurrence
+    keep rule on (doc_id, line_idx)."""
+    from stockmarket_bigdata_project_spark.llmdata.dedup import (
+        LINE_LEN,
+        line_dedup_stats,
+    )
+
+    occurrences = defaultdict(list)  # line -> [(doc_id, li, ntok)]
+    for doc_id, _, text in _docs(sf_dir):
+        ws = text.split(" ")
+        for li in range((len(ws) + LINE_LEN - 1) // LINE_LEN):
+            toks = ws[li * LINE_LEN:(li + 1) * LINE_LEN]
+            occurrences[" ".join(toks)].append((doc_id, li, len(toks)))
+    stats = defaultdict(lambda: [0, 0, 0, 0])  # doc -> [n, dup, rm, kept]
+    for occs in occurrences.values():
+        occs.sort()
+        dup = len(occs) > 1
+        for rank, (doc_id, _, ntok) in enumerate(occs):
+            s = stats[doc_id]
+            s[0] += 1
+            s[1] += int(dup)
+            s[2] += int(rank > 0)
+            s[3] += ntok if rank == 0 else 0
+    expect = {d: tuple(v) for d, v in stats.items()}
+    got = {
+        r.doc_id: (r.n_lines, r.n_dup_lines, r.n_removed, r.n_tokens_kept)
+        for r in line_dedup_stats(spark, sf_dir).collect()
+    }
+    assert got == expect
