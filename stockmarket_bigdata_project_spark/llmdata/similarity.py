@@ -963,3 +963,193 @@ FROM (
 )
 WHERE fused_rank <= {HY_TOP_K}
 """
+
+
+# --- product quantization (PQ codes + asymmetric-distance search) ------------
+PQ_SUB = 4  # subspaces
+PQ_SUBDIM = 16  # dims per subspace (embeddings are 64-dim)
+PQ_K = 4  # codebook entries per subspace (init = subvectors of vec_id < PQ_K)
+
+
+def _pq_l2(a, b) -> F.Column:
+    """Exact integer L2 over micro subvectors: every partial stays far
+    below 2^53, so the double fold is exact in any order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_subvectors(e: DataFrame) -> DataFrame:
+    """(vec_id, sub_id, svec): each vector split into PQ_SUB contiguous
+    PQ_SUBDIM-dim subvectors — map-side explode in the scan stage."""
+    return e.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_SUB - 1))).alias("sub_id"),
+        "mvec",
+    ).select(
+        "vec_id",
+        "sub_id",
+        F.slice(
+            "mvec", F.col("sub_id") * PQ_SUBDIM + 1, PQ_SUBDIM
+        ).alias("svec"),
+    )
+
+
+def _pq_codebook(e: DataFrame) -> DataFrame:
+    """Per-subspace codebook: subvectors of the first PQ_K vectors — the
+    deterministic k-means stand-in (the knn_ivf argument: the quantization
+    MECHANICS are the operator; training would slot kmeans_fit here)."""
+    return _pq_subvectors(e.filter(F.col("vec_id") < PQ_K)).select(
+        F.col("vec_id").alias("code"),
+        "sub_id",
+        F.col("svec").alias("cvec"),
+    )
+
+
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (Jégou et al. 2011): each vector's
+    PQ_SUB subvectors are assigned to their nearest codebook entry by
+    exact integer L2, ties → lower code. Output is flat (vec_id, sub_id,
+    code, dist_sq) rows — dist_sq is the per-subspace quantization error
+    whose sum is the vector's total reconstruction error.
+
+    Scale shape: subvectors explode map-side; the (PQ_SUB·PQ_K)-row
+    codebook broadcasts; assignment is a map-side min(struct(dist, code))
+    partial-aggregated by (vec_id, sub_id) — one hash exchange of K-fold
+    compressed rows, no window sort anywhere. At 100 TB the codes table
+    (vec_id + PQ_SUB bytes) is the ANN index payload: 64 dims × 8 bytes
+    collapse to 4 codes. [extension]"""
+    e = _emb(spark, sf_dir)
+    scored = _pq_subvectors(e).join(F.broadcast(_pq_codebook(e)), "sub_id")
+    dc = F.struct(
+        _pq_l2("svec", "cvec").cast("long").alias("d"),
+        F.col("code").alias("c"),
+    )
+    return (
+        scored.select("vec_id", "sub_id", dc.alias("dc"))
+        .groupBy("vec_id", "sub_id")
+        .agg(F.min("dc").alias("m"))
+        .select(
+            "vec_id",
+            "sub_id",
+            F.col("m.c").alias("code"),
+            F.col("m.d").alias("dist_sq"),
+        )
+    )
+
+
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k search: each query (vec_id <
+    N_QUERIES) builds a per-subspace lookup table of exact integer L2
+    distances to every codebook entry, and a candidate's ADC distance is
+    the sum of the PQ_SUB table entries its codes select — the IVF-PQ
+    search arithmetic, approximate w.r.t. true L2 (the query meets codes,
+    never raw candidate vectors) but fully deterministic: integer
+    distances, BIGINT sums, (dist ASC, cand_id ASC) tie order.
+
+    Scale shape: the LUT is (N_QUERIES·PQ_SUB·PQ_K) rows — broadcast; the
+    codes table joins it map-side on (sub_id, code) and one hash exchange
+    on (query_id, cand_id) folds the PQ_SUB partial distances; the top-k
+    window is partitioned per query. The corpus' raw vectors are read
+    exactly once (to encode); search itself touches only codes — the
+    entire point of PQ at 100 TB. [extension]"""
+    e = _emb(spark, sf_dir)
+    codes = pq_codes(spark, sf_dir)
+    lut = (
+        _pq_subvectors(e.filter(F.col("vec_id") < N_QUERIES))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "sub_id",
+            F.col("svec").alias("qvec"),
+        )
+        .join(F.broadcast(_pq_codebook(e)), "sub_id")
+        .select(
+            "query_id",
+            "sub_id",
+            "code",
+            _pq_l2("qvec", "cvec").cast("long").alias("pd"),
+        )
+    )
+    dists = (
+        codes.join(F.broadcast(lut), ["sub_id", "code"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pd").alias("adc_dist_sq"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist_sq"), F.asc("vec_id")
+    )
+    return (
+        dists.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            "adc_dist_sq",
+            "rank",
+        )
+    )
+
+
+QUERIES["pq_codes"] = pq_codes
+QUERIES["pq_adc_topk"] = pq_adc_topk
+
+_PQ_SV_SQL = f"""
+pqe AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> round(x::DOUBLE * 1000000)) AS mvec
+  FROM embeddings
+), pqsv AS (
+  SELECT vec_id, i AS sub_id,
+         list_slice(mvec, {PQ_SUBDIM} * i + 1,
+                    {PQ_SUBDIM} * i + {PQ_SUBDIM}) AS svec
+  FROM (SELECT vec_id, mvec, unnest(range({PQ_SUB})) AS i FROM pqe)
+), pqcb AS (
+  SELECT vec_id AS code, sub_id, svec AS cvec FROM pqsv
+  WHERE vec_id < {PQ_K}
+), pqbest AS (
+  SELECT vec_id, sub_id, code, d FROM (
+    SELECT s.vec_id, s.sub_id, c.code,
+           CAST(list_sum(list_transform(list_zip(s.svec, c.cvec),
+                p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d,
+           row_number() OVER (PARTITION BY s.vec_id, s.sub_id
+                              ORDER BY list_sum(list_transform(
+                                list_zip(s.svec, c.cvec),
+                                p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC,
+                              c.code ASC) AS rn
+    FROM pqsv s JOIN pqcb c USING (sub_id)
+  ) WHERE rn = 1
+)"""
+
+ORACLE["pq_codes"] = f"""
+WITH {_PQ_SV_SQL}
+SELECT vec_id, sub_id, code, d AS dist_sq FROM pqbest
+"""
+
+ORACLE["pq_adc_topk"] = f"""
+WITH {_PQ_SV_SQL},
+pqlut AS (
+  SELECT q.vec_id AS query_id, q.sub_id, c.code,
+         CAST(list_sum(list_transform(list_zip(q.svec, c.cvec),
+              p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS pd
+  FROM pqsv q JOIN pqcb c USING (sub_id)
+  WHERE q.vec_id < {N_QUERIES}
+),
+pqdists AS (
+  SELECT l.query_id, b.vec_id AS cand_id, CAST(sum(l.pd) AS BIGINT)
+           AS adc_dist_sq
+  FROM pqbest b
+  JOIN pqlut l ON l.sub_id = b.sub_id AND l.code = b.code
+  WHERE l.query_id <> b.vec_id
+  GROUP BY l.query_id, b.vec_id
+)
+SELECT query_id, cand_id, adc_dist_sq, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT query_id, cand_id, adc_dist_sq,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist_sq ASC, cand_id ASC) AS rank
+  FROM pqdists
+) WHERE rank <= {TOP_K}
+"""

@@ -92,7 +92,9 @@ _FRONT_MODULE_ORDER = (
 # behind the pre-existing unproven tier so they cannot displace the planned
 # round-5/6 proof windows (same protection _INTRODUCED_LATE_R3 gave round 3;
 # the set rolls forward each round once its members are recorded).
-_INTRODUCED_R5: frozenset[str] = frozenset({"line_dedup_stats"})
+_INTRODUCED_R5: frozenset[str] = frozenset(
+    {"line_dedup_stats", "pq_codes", "pq_adc_topk"}
+)
 
 
 # The dynamic loader reads every recorded round (r01, r02, ...) so the

@@ -8,6 +8,7 @@ checkpoint-recovery exactly-once.
 from __future__ import annotations
 
 import time
+from collections import defaultdict
 
 import pyspark.sql.functions as F
 
@@ -477,3 +478,68 @@ def test_entity_resolution_blocking_complete_for_dist1(spark, sf_dir):
         .collect()
     }
     assert got == brute
+
+
+def test_pq_codes_invariants(spark, sf_dir):
+    """Every vector yields exactly PQ_SUB subspace rows with codes in
+    [0, PQ_K); the codebook seed vectors (vec_id < PQ_K) encode themselves
+    with zero quantization error in every subspace."""
+    from stockmarket_bigdata_project_spark.llmdata.similarity import (
+        PQ_K,
+        PQ_SUB,
+        pq_codes,
+    )
+
+    rows = pq_codes(spark, sf_dir).collect()
+    per_vec = defaultdict(list)
+    for r in rows:
+        assert 0 <= r.code < PQ_K
+        assert r.dist_sq >= 0
+        per_vec[r.vec_id].append(r)
+    assert all(len(v) == PQ_SUB for v in per_vec.values())
+    for vid in range(PQ_K):
+        assert all(r.dist_sq == 0 and r.code == vid for r in per_vec[vid])
+
+
+def test_pq_adc_equals_lut_sum(spark, sf_dir):
+    """A candidate's ADC distance must equal the sum over subspaces of the
+    exact query↔codebook-entry distances its codes select — recomputed
+    here from pq_codes + raw embeddings in Python ints."""
+    from stockmarket_bigdata_project_spark.llmdata.similarity import (
+        PQ_K,
+        PQ_SUB,
+        PQ_SUBDIM,
+        pq_adc_topk,
+        pq_codes,
+    )
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pyarrow.parquet as pq_
+
+    from stockmarket_bigdata_project_spark.catalog import table_path
+
+    t = pq_.read_table(table_path(sf_dir, "embeddings"),
+                       columns=["vec_id", "embedding"])
+    mvec = {
+        vid: [int(Decimal(repr(x * 1_000_000)).quantize(
+            Decimal(1), ROUND_HALF_UP)) for x in emb]
+        for vid, emb in zip(t.column("vec_id").to_pylist(),
+                            t.column("embedding").to_pylist())
+    }
+    codes = {
+        (r.vec_id, r.sub_id): r.code
+        for r in pq_codes(spark, sf_dir).collect()
+    }
+
+    def sub(v, s):
+        return mvec[v][s * PQ_SUBDIM:(s + 1) * PQ_SUBDIM]
+
+    def l2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    for r in pq_adc_topk(spark, sf_dir).collect():
+        expect = sum(
+            l2(sub(r.query_id, s), sub(codes[(r.cand_id, s)], s))
+            for s in range(PQ_SUB)
+        )
+        assert r.adc_dist_sq == expect
