@@ -1016,26 +1016,27 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose sum is the vector's total reconstruction error.
 
     Scale shape: subvectors explode map-side; the (PQ_SUB·PQ_K)-row
-    codebook broadcasts; assignment is a map-side min(struct(dist, code))
-    partial-aggregated by (vec_id, sub_id) — one hash exchange of K-fold
-    compressed rows, no window sort anywhere. At 100 TB the codes table
-    (vec_id + PQ_SUB bytes) is the ANN index payload: 64 dims × 8 bytes
-    collapse to 4 codes. [extension]"""
+    codebook broadcasts; assignment packs (dist, code) into ONE BIGINT
+    (dist·PQ_K + code — argmin with the lower-code tie rule as a plain
+    integer min, which stays HASH-aggregable with a map-side partial,
+    where min-of-struct would force a SortAggregate) — one hash exchange
+    of K-fold compressed rows, no window sort anywhere. At 100 TB the
+    codes table (vec_id + PQ_SUB bytes) is the ANN index payload: 64 dims
+    × 8 bytes collapse to 4 codes. [extension]"""
     e = _emb(spark, sf_dir)
     scored = _pq_subvectors(e).join(F.broadcast(_pq_codebook(e)), "sub_id")
-    dc = F.struct(
-        _pq_l2("svec", "cvec").cast("long").alias("d"),
-        F.col("code").alias("c"),
+    packed = (
+        _pq_l2("svec", "cvec").cast("long") * PQ_K + F.col("code")
     )
     return (
-        scored.select("vec_id", "sub_id", dc.alias("dc"))
+        scored.select("vec_id", "sub_id", packed.alias("dc"))
         .groupBy("vec_id", "sub_id")
         .agg(F.min("dc").alias("m"))
         .select(
             "vec_id",
             "sub_id",
-            F.col("m.c").alias("code"),
-            F.col("m.d").alias("dist_sq"),
+            F.expr(f"m % {PQ_K}").alias("code"),
+            F.expr(f"m div {PQ_K}").alias("dist_sq"),
         )
     )
 

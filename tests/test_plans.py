@@ -938,3 +938,53 @@ def test_ccnet_sampled_buckets_no_global_sort(spark, sf_dir):
     assert "rangepartitioning" not in plan.lower(), plan
     assert "Sort [" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+# --- round-5 additions -------------------------------------------------------
+def test_line_dedup_single_line_hash_exchange(spark, sf_dir):
+    """line_dedup_stats: lines reduce to md5 map-side; corpus shuffles
+    exactly twice (line hash for count+rank, doc_id for the fold) — no
+    global sort, no cartesian, and the raw text column never reaches an
+    exchange (only the 32-char hash does)."""
+    from stockmarket_bigdata_project_spark.llmdata.dedup import (
+        line_dedup_stats,
+    )
+
+    plan = _plan(line_dedup_stats(spark, sf_dir))
+    assert "hashpartitioning(h" in plan, plan
+    assert "hashpartitioning(doc_id" in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_pq_codes_broadcast_codebook_no_window(spark, sf_dir):
+    """pq_codes: the codebook joins by broadcast (never a shuffled join),
+    and assignment is a partial-aggregated min(struct) — no window sort,
+    no range partitioning."""
+    from stockmarket_bigdata_project_spark.llmdata.similarity import (
+        pq_codes,
+    )
+
+    plan = _plan(pq_codes(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert plan.count("HashAggregate") >= 4, plan  # partial+final
+
+
+def test_pq_adc_search_never_joins_raw_vectors(spark, sf_dir):
+    """pq_adc_topk: search cost is codes × broadcast LUT — the only joins
+    are broadcasts, the top-k window partitions by query_id (no global
+    sort), and no cartesian anywhere."""
+    from stockmarket_bigdata_project_spark.llmdata.similarity import (
+        pq_adc_topk,
+    )
+
+    plan = _plan(pq_adc_topk(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "hashpartitioning(query_id" in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
