@@ -74,6 +74,9 @@ _SENSITIVE = [
     "medallion_e2e_daily",  # bronze→silver→gold composition
     "exact_price_quantiles",  # exact order statistics at dyadic ranks
     "stateful_running_vwap",  # applyInPandasWithState batch twin
+    # round-5 additions (all-integer outputs; guard pins the tie rules)
+    "line_dedup_stats",  # first-occurrence keep rule on (doc_id, li)
+    "pq_adc_topk",  # packed-BIGINT argmin + ADC tie order
 ]
 
 
