@@ -965,10 +965,11 @@ WHERE fused_rank <= {HY_TOP_K}
 """
 
 
-# --- product quantization (PQ codes + asymmetric-distance search) ------------
+# --- product quantization (PQ codes + ADC search + exact re-rank) ------------
 PQ_SUB = 4  # subspaces
 PQ_SUBDIM = 16  # dims per subspace (embeddings are 64-dim)
-PQ_K = 4  # codebook entries per subspace (init = subvectors of vec_id < PQ_K)
+PQ_K = 16  # codebook entries per subspace (init = subvectors of vec_id < PQ_K)
+PQ_SHORTLIST = 100  # ADC shortlist size fed to the exact re-rank stage
 
 
 def _pq_l2(a, b) -> F.Column:
@@ -1025,9 +1026,7 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     × 8 bytes collapse to 4 codes. [extension]"""
     e = _emb(spark, sf_dir)
     scored = _pq_subvectors(e).join(F.broadcast(_pq_codebook(e)), "sub_id")
-    packed = (
-        _pq_l2("svec", "cvec").cast("long") * PQ_K + F.col("code")
-    )
+    packed = _pq_l2("svec", "cvec").cast("long") * PQ_K + F.col("code")
     return (
         scored.select("vec_id", "sub_id", packed.alias("dc"))
         .groupBy("vec_id", "sub_id")
@@ -1041,21 +1040,12 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ asymmetric-distance top-k search: each query (vec_id <
-    N_QUERIES) builds a per-subspace lookup table of exact integer L2
-    distances to every codebook entry, and a candidate's ADC distance is
-    the sum of the PQ_SUB table entries its codes select — the IVF-PQ
-    search arithmetic, approximate w.r.t. true L2 (the query meets codes,
-    never raw candidate vectors) but fully deterministic: integer
-    distances, BIGINT sums, (dist ASC, cand_id ASC) tie order.
-
-    Scale shape: the LUT is (N_QUERIES·PQ_SUB·PQ_K) rows — broadcast; the
-    codes table joins it map-side on (sub_id, code) and one hash exchange
-    on (query_id, cand_id) folds the PQ_SUB partial distances; the top-k
-    window is partitioned per query. The corpus' raw vectors are read
-    exactly once (to encode); search itself touches only codes — the
-    entire point of PQ at 100 TB. [extension]"""
+def _pq_adc_dists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, vec_id, adc_dist_sq) for every query × candidate: each
+    query's per-subspace lookup table of exact integer L2 distances to
+    every codebook entry broadcasts, the codes table joins it map-side on
+    (sub_id, code), and one hash exchange on (query_id, vec_id) folds the
+    PQ_SUB partial distances."""
     e = _emb(spark, sf_dir)
     codes = pq_codes(spark, sf_dir)
     lut = (
@@ -1073,17 +1063,31 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             _pq_l2("qvec", "cvec").cast("long").alias("pd"),
         )
     )
-    dists = (
+    return (
         codes.join(F.broadcast(lut), ["sub_id", "code"])
         .filter(F.col("query_id") != F.col("vec_id"))
         .groupBy("query_id", "vec_id")
         .agg(F.sum("pd").alias("adc_dist_sq"))
     )
+
+
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k search: a candidate's ADC distance is
+    the sum of the PQ_SUB lookup-table entries its codes select — the
+    IVF-PQ search arithmetic, approximate w.r.t. true L2 (the query meets
+    codes, never raw candidate vectors) but fully deterministic: integer
+    distances, BIGINT sums, (dist ASC, cand_id ASC) tie order.
+
+    Scale shape: see _pq_adc_dists (broadcast LUT + one hash exchange);
+    the top-k window partitions per query. The corpus' raw vectors are
+    read exactly once (to encode); search itself touches only codes — the
+    entire point of PQ at 100 TB. [extension]"""
     w = Window.partitionBy("query_id").orderBy(
         F.asc("adc_dist_sq"), F.asc("vec_id")
     )
     return (
-        dists.withColumn("rank", F.row_number().over(w))
+        _pq_adc_dists(spark, sf_dir)
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select(
             "query_id",
@@ -1094,23 +1098,121 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production two-stage path: ADC shortlists PQ_SHORTLIST
+    candidates per query from codes alone, then ONLY those shortlisted
+    vectors are fetched for an exact integer-L2 re-rank to top-k — the
+    standard IVF-PQ + re-rank pipeline, where the expensive full-vector
+    read is bounded by |queries|·PQ_SHORTLIST regardless of corpus size.
+
+    Exact everywhere it matters: the shortlist cut is deterministic
+    (ADC ASC, cand ASC), the re-rank distance is the exact integer L2 the
+    brute-force scan would compute, so a hit in the shortlist ranks
+    exactly as brute force would rank it. [extension]"""
+    e = _emb(spark, sf_dir)
+    ws = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist_sq"), F.asc("vec_id")
+    )
+    short = (
+        _pq_adc_dists(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= PQ_SHORTLIST)
+        .select("query_id", "vec_id")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("mvec").alias("qvec")
+    )
+    rer = (
+        short.join(e.select("vec_id", "mvec"), "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            _pq_l2("mvec", "qvec").cast("long").alias("dist_sq"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.asc("dist_sq"), F.asc("cand_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "dist_sq", "rank")
+    )
+
+
+def pq_eval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K of the shipped PQ search path (ADC shortlist → exact
+    re-rank) against the EXACT-L2 top-k (the retrieval_eval_recall
+    pattern, but on PQ's own metric — L2, not cosine, so the baseline is
+    computed inline rather than reusing the cosine kNN): per query,
+    |exact-L2 top-K ∩ re-ranked top-K| and the recall in integer micro
+    units (round-half-up, no double anywhere).
+
+    The exact side is one broadcast of the N_QUERIES query vectors against
+    the corpus — the same bounded cost knn_bruteforce pays; full-dim
+    integer L2 partials stay far below 2^53, so the fold is exact."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("mvec").alias("qvec")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("dist_sq"), F.asc("cand_id")
+    )
+    exact = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            _pq_l2("mvec", "qvec").cast("long").alias("dist_sq"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "cand_id")
+    )
+    approx = pq_rerank_topk(spark, sf_dir).select("query_id", "cand_id")
+    hits = (
+        exact.join(approx, ["query_id", "cand_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    base = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+        )
+        .withColumn(
+            "recall_micro",
+            F.expr("(2 * n_hit * 1000000 + n_exact) DIV (2 * n_exact)"),
+        )
+    )
+
+
 QUERIES["pq_codes"] = pq_codes
 QUERIES["pq_adc_topk"] = pq_adc_topk
+QUERIES["pq_rerank_topk"] = pq_rerank_topk
+QUERIES["pq_eval_recall"] = pq_eval_recall
 
-_PQ_SV_SQL = f"""
-pqe AS (
+# Shared CTE chain (MATERIALIZED per playbook rule 10: several downstream
+# CTEs re-reference these, and DuckDB inlines plain CTEs per reference).
+_PQ_BASE_SQL = f"""
+pqe AS MATERIALIZED (
   SELECT vec_id,
          list_transform(embedding, x -> round(x::DOUBLE * 1000000)) AS mvec
   FROM embeddings
-), pqsv AS (
+), pqsv AS MATERIALIZED (
   SELECT vec_id, i AS sub_id,
          list_slice(mvec, {PQ_SUBDIM} * i + 1,
                     {PQ_SUBDIM} * i + {PQ_SUBDIM}) AS svec
   FROM (SELECT vec_id, mvec, unnest(range({PQ_SUB})) AS i FROM pqe)
-), pqcb AS (
+), pqcb AS MATERIALIZED (
   SELECT vec_id AS code, sub_id, svec AS cvec FROM pqsv
   WHERE vec_id < {PQ_K}
-), pqbest AS (
+), pqbest AS MATERIALIZED (
   SELECT vec_id, sub_id, code, d FROM (
     SELECT s.vec_id, s.sub_id, c.code,
            CAST(list_sum(list_transform(list_zip(s.svec, c.cvec),
@@ -1124,28 +1226,45 @@ pqe AS (
   ) WHERE rn = 1
 )"""
 
-ORACLE["pq_codes"] = f"""
-WITH {_PQ_SV_SQL}
-SELECT vec_id, sub_id, code, d AS dist_sq FROM pqbest
-"""
-
-ORACLE["pq_adc_topk"] = f"""
-WITH {_PQ_SV_SQL},
-pqlut AS (
+_PQ_ADC_SQL = f"""{_PQ_BASE_SQL},
+pqlut AS MATERIALIZED (
   SELECT q.vec_id AS query_id, q.sub_id, c.code,
          CAST(list_sum(list_transform(list_zip(q.svec, c.cvec),
               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS pd
   FROM pqsv q JOIN pqcb c USING (sub_id)
   WHERE q.vec_id < {N_QUERIES}
 ),
-pqdists AS (
+pqdists AS MATERIALIZED (
   SELECT l.query_id, b.vec_id AS cand_id, CAST(sum(l.pd) AS BIGINT)
            AS adc_dist_sq
   FROM pqbest b
   JOIN pqlut l ON l.sub_id = b.sub_id AND l.code = b.code
   WHERE l.query_id <> b.vec_id
   GROUP BY l.query_id, b.vec_id
-)
+)"""
+
+_PQ_EXACT_L2_SQL = f"""
+pqexact AS MATERIALIZED (
+  SELECT query_id, cand_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS cand_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY CAST(list_sum(list_transform(list_zip(e.mvec, q.mvec),
+                      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) ASC,
+                      e.vec_id ASC) AS rn
+    FROM pqe e
+    JOIN (SELECT vec_id, mvec FROM pqe WHERE vec_id < {N_QUERIES}) q
+      ON e.vec_id <> q.vec_id
+  ) WHERE rn <= {TOP_K}
+)"""
+
+ORACLE["pq_codes"] = f"""
+WITH {_PQ_BASE_SQL}
+SELECT vec_id, sub_id, code, d AS dist_sq FROM pqbest
+"""
+
+ORACLE["pq_adc_topk"] = f"""
+WITH {_PQ_ADC_SQL}
 SELECT query_id, cand_id, adc_dist_sq, CAST(rank AS INTEGER) AS rank
 FROM (
   SELECT query_id, cand_id, adc_dist_sq,
@@ -1153,4 +1272,53 @@ FROM (
                             ORDER BY adc_dist_sq ASC, cand_id ASC) AS rank
   FROM pqdists
 ) WHERE rank <= {TOP_K}
+"""
+
+_PQ_RERANK_SQL = f"""{_PQ_ADC_SQL},
+pqshort AS MATERIALIZED (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_dist_sq ASC, cand_id ASC) AS rn
+    FROM pqdists
+  ) WHERE rn <= {PQ_SHORTLIST}
+),
+pqrerank AS MATERIALIZED (
+  SELECT s.query_id, s.cand_id,
+         CAST(list_sum(list_transform(list_zip(e.mvec, q.mvec),
+              p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist_sq
+  FROM pqshort s
+  JOIN pqe e ON e.vec_id = s.cand_id
+  JOIN pqe q ON q.vec_id = s.query_id
+),
+pqreranked AS MATERIALIZED (
+  SELECT query_id, cand_id, dist_sq,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist_sq ASC, cand_id ASC) AS rank
+  FROM pqrerank
+)"""
+
+ORACLE["pq_rerank_topk"] = f"""
+WITH {_PQ_RERANK_SQL}
+SELECT query_id, cand_id, dist_sq, CAST(rank AS INTEGER) AS rank
+FROM pqreranked WHERE rank <= {TOP_K}
+"""
+
+ORACLE["pq_eval_recall"] = f"""
+WITH {_PQ_RERANK_SQL},
+{_PQ_EXACT_L2_SQL},
+pqapprox AS (
+  SELECT query_id, cand_id FROM pqreranked WHERE rank <= {TOP_K}
+), pqrbase AS (
+  SELECT query_id, count(*) AS n_exact FROM pqexact GROUP BY query_id
+), pqrhits AS (
+  SELECT e.query_id, count(*) AS n_hit
+  FROM pqexact e JOIN pqapprox a USING (query_id, cand_id)
+  GROUP BY e.query_id
+)
+SELECT b.query_id, b.n_exact,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       (2 * CAST(coalesce(h.n_hit, 0) AS BIGINT) * 1000000 + b.n_exact)
+         // (2 * b.n_exact) AS recall_micro
+FROM pqrbase b LEFT JOIN pqrhits h USING (query_id)
 """

@@ -93,7 +93,8 @@ _FRONT_MODULE_ORDER = (
 # round-5/6 proof windows (same protection _INTRODUCED_LATE_R3 gave round 3;
 # the set rolls forward each round once its members are recorded).
 _INTRODUCED_R5: frozenset[str] = frozenset(
-    {"line_dedup_stats", "pq_codes", "pq_adc_topk"}
+    {"line_dedup_stats", "pq_codes", "pq_adc_topk", "pq_rerank_topk",
+     "pq_eval_recall"}
 )
 
 

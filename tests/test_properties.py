@@ -543,3 +543,47 @@ def test_pq_adc_equals_lut_sum(spark, sf_dir):
             for s in range(PQ_SUB)
         )
         assert r.adc_dist_sq == expect
+
+
+def test_pq_rerank_recall_floor(spark, sf_dir):
+    """The two-stage PQ path (ADC shortlist → exact re-rank) must keep a
+    recall floor against exact L2 — approximate by design; the floor pins
+    regressions in the shortlist cut or codebook resolution."""
+    from stockmarket_bigdata_project_spark.llmdata.similarity import (
+        pq_eval_recall,
+    )
+
+    rows = pq_eval_recall(spark, sf_dir).collect()
+    recall = sum(r.n_hit for r in rows) / sum(r.n_exact for r in rows)
+    assert recall >= 0.5, f"PQ re-rank recall collapsed: {recall:.2f}"
+
+
+def test_pq_rerank_hits_rank_like_bruteforce(spark, sf_dir):
+    """Re-rank exactness: any candidate in BOTH the re-ranked top-k and
+    the exact top-k must carry the same exact L2 distance the brute-force
+    scan computes (the re-rank stage may lose candidates the shortlist
+    missed, but must never mis-rank one it has)."""
+    from stockmarket_bigdata_project_spark.llmdata.similarity import (
+        N_QUERIES,
+        _emb,
+        _pq_l2,
+        pq_rerank_topk,
+    )
+    import pyspark.sql.functions as FF
+
+    e = _emb(spark, sf_dir)
+    q = e.filter(FF.col("vec_id") < N_QUERIES).select(
+        FF.col("vec_id").alias("query_id"), FF.col("mvec").alias("qvec")
+    )
+    exact = {
+        (r.query_id, r.vec_id): r.d
+        for r in e.crossJoin(FF.broadcast(q))
+        .filter(FF.col("vec_id") != FF.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            _pq_l2("mvec", "qvec").cast("long").alias("d"),
+        )
+        .collect()
+    }
+    for r in pq_rerank_topk(spark, sf_dir).collect():
+        assert exact[(r.query_id, r.cand_id)] == r.dist_sq
