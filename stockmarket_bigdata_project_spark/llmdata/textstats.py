@@ -1180,3 +1180,79 @@ SELECT doc_id, n AS n_tokens,
             + digit_heavy + no_stopword = 0 AS INTEGER) AS keep
 FROM f
 """
+
+
+# --- corpus-induced stopword density (the scale-right stopword shape) --------
+N_INDUCED_STOPWORDS = 20
+
+
+def induced_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-driven stopword induction + per-doc density: the top
+    N_INDUCED_STOPWORDS tokens by corpus frequency ARE the stopword list
+    (the classic data-driven alternative to a hand list), and each doc's
+    density is stop-token occurrences / tokens in integer micros.
+
+    This is the explode → broadcast-join shape the gopher_quality_flags
+    comment defers to: a membership test against a REAL-sized stopword
+    list must never run as an interpreted per-element HOF (cost ∝
+    |list|·|tokens|, the 165× boilerplate_ngrams lesson) — instead the
+    token stream explodes once in the scan stage, the induced list is a
+    TakeOrderedAndProject over one token aggregate (ties at the cut break
+    on the token string, deterministic), and counting is a broadcast
+    equi-join + per-doc fold. Two passes over the token stream (induce,
+    then count) — at 100 TB the induced list would be staged as a table
+    and the second pass is the only one per scoring run. [extension]"""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(N_INDUCED_STOPWORDS)
+        .select("tok")
+    )
+    hits = (
+        toks.join(F.broadcast(top), "tok")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_stop"))
+    )
+    base = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    n_stop = F.coalesce("n_stop", F.lit(0).cast("long"))
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        n_stop.alias("n_stop"),
+        _round_div_micro(1_000_000 * n_stop, F.col("n_tokens"))
+        .cast("long")
+        .alias("density_micro"),
+    )
+
+
+QUERIES["induced_stopword_density"] = induced_stopword_density
+
+ORACLE["induced_stopword_density"] = f"""
+WITH stoks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), stop AS (
+  SELECT tok FROM (
+    SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok ASC) AS rn
+    FROM stoks GROUP BY tok
+  ) WHERE rn <= {N_INDUCED_STOPWORDS}
+), shits AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_stop
+  FROM stoks JOIN stop USING (tok) GROUP BY doc_id
+), sbase AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT b.doc_id, b.n_tokens,
+       CAST(coalesce(h.n_stop, 0) AS BIGINT) AS n_stop,
+       (2 * 1000000 * CAST(coalesce(h.n_stop, 0) AS BIGINT) + b.n_tokens)
+         // (2 * b.n_tokens) AS density_micro
+FROM sbase b LEFT JOIN shits h USING (doc_id)
+"""

@@ -94,7 +94,7 @@ _FRONT_MODULE_ORDER = (
 # the set rolls forward each round once its members are recorded).
 _INTRODUCED_R5: frozenset[str] = frozenset(
     {"line_dedup_stats", "pq_codes", "pq_adc_topk", "pq_rerank_topk",
-     "pq_eval_recall"}
+     "pq_eval_recall", "induced_stopword_density"}
 )
 
 

@@ -988,3 +988,19 @@ def test_pq_adc_search_never_joins_raw_vectors(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "hashpartitioning(query_id" in plan, plan
     assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_induced_stopwords_take_ordered_and_broadcast(spark, sf_dir):
+    """induced_stopword_density: the stopword cut is a distributed
+    TakeOrderedAndProject (never a global sort), membership is a
+    broadcast equi-join (never an interpreted per-element HOF or a
+    shuffled join), and no range partitioning anywhere."""
+    from stockmarket_bigdata_project_spark.llmdata.textstats import (
+        induced_stopword_density,
+    )
+
+    plan = _plan(induced_stopword_density(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "CartesianProduct" not in plan, plan
