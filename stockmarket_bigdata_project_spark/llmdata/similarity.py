@@ -1322,3 +1322,144 @@ SELECT b.query_id, b.n_exact,
          // (2 * b.n_exact) AS recall_micro
 FROM pqrbase b LEFT JOIN pqrhits h USING (query_id)
 """
+
+
+def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search (Jégou et al. 2011 §V, the FAISS IVFADC layout): a
+    coarse inverted index prunes the corpus to each query's NPROBE probed
+    buckets, and ADC over PQ codes ranks ONLY those candidates — the
+    composition of knn_ivf's pruning with pq_adc_topk's arithmetic, which
+    is the shape a 100 TB ANN index actually runs. Search cost is
+    ∝ (probed fraction) × |codes|, never the corpus, and raw vectors are
+    never read at search time at all: the scan feeding the search stage
+    touches only the (vec_id, 4-code) index rows.
+
+    Deterministic end-to-end: coarse assignment is an exact-integer-L2
+    packed-BIGINT argmin (dist·N_CENTROIDS + id → plain MIN, which stays
+    HASH-aggregable with a map-side partial; ties → lower centroid),
+    probes use the same metric over the broadcast centroid table, ADC
+    partials are BIGINT, final order (adc ASC, cand ASC). [extension]"""
+    e = _emb(spark, sf_dir)
+    cent = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("mvec").alias("cvec")
+    )
+    # coarse assignment: nearest centroid by exact integer L2.  Packed
+    # argmin bound: 64 dims × (2e6)² × 8 centroids ≈ 2.1e15 < 2^53.
+    packed = (
+        _pq_l2("mvec", "cvec").cast("long") * N_CENTROIDS
+        + F.col("centroid_id")
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", packed.alias("dc"))
+        .groupBy("vec_id")
+        .agg(F.min("dc").alias("m"))
+        .select("vec_id", F.expr(f"m % {N_CENTROIDS}").alias("bucket"))
+    )
+    # each query probes its NPROBE nearest coarse buckets (same metric)
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.asc("cl2"), F.asc("centroid_id")
+    )
+    probes = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "mvec")
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "centroid_id",
+            _pq_l2("mvec", "cvec").cast("long").alias("cl2"),
+        )
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= NPROBE)
+        .select("query_id", F.col("centroid_id").alias("bucket"))
+    )
+    # candidates = ids in probed buckets; ADC over their codes only.
+    # probes is |queries|·NPROBE rows — broadcast it (the stats coming out
+    # of the window would otherwise default this to a shuffled join).
+    cands = (
+        F.broadcast(probes).join(assigned, "bucket")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id")
+    )
+    lut = (
+        _pq_subvectors(e.filter(F.col("vec_id") < N_QUERIES))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "sub_id",
+            F.col("svec").alias("qvec"),
+        )
+        .join(F.broadcast(_pq_codebook(e)), "sub_id")
+        .select(
+            "query_id",
+            "sub_id",
+            "code",
+            _pq_l2("qvec", "cvec").cast("long").alias("pd"),
+        )
+    )
+    adc = (
+        cands.join(pq_codes(spark, sf_dir), "vec_id")
+        .join(F.broadcast(lut), ["query_id", "sub_id", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pd").alias("adc_dist_sq"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist_sq"), F.asc("vec_id")
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            "adc_dist_sq",
+            "rank",
+        )
+    )
+
+
+QUERIES["ivf_pq_topk"] = ivf_pq_topk
+
+# Oracle computes the same value by the simpler route: full-pair ADC
+# (pqdists) restricted to the IVF candidate set — value-identical to the
+# engine's candidates-only shape, because ADC(q, c) does not depend on
+# which bucket c sits in.
+ORACLE["ivf_pq_topk"] = f"""
+WITH {_PQ_ADC_SQL},
+ivfcent AS MATERIALIZED (
+  SELECT vec_id AS centroid_id, mvec AS cvec FROM pqe
+  WHERE vec_id < {N_CENTROIDS}
+),
+ivfassign AS MATERIALIZED (
+  SELECT vec_id, centroid_id AS bucket FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY CAST(list_sum(list_transform(list_zip(e.mvec, c.cvec),
+                      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) ASC,
+                      c.centroid_id ASC) AS rn
+    FROM pqe e CROSS JOIN ivfcent c
+  ) WHERE rn = 1
+),
+ivfprobe AS MATERIALIZED (
+  SELECT query_id, centroid_id AS bucket FROM (
+    SELECT q.vec_id AS query_id, c.centroid_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY CAST(list_sum(list_transform(list_zip(q.mvec, c.cvec),
+                      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) ASC,
+                      c.centroid_id ASC) AS rn
+    FROM pqe q CROSS JOIN ivfcent c WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rn <= {NPROBE}
+),
+ivfadc AS (
+  SELECT d.query_id, d.cand_id, d.adc_dist_sq
+  FROM pqdists d
+  JOIN ivfassign a ON a.vec_id = d.cand_id
+  JOIN ivfprobe p ON p.query_id = d.query_id AND p.bucket = a.bucket
+)
+SELECT query_id, cand_id, adc_dist_sq, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT query_id, cand_id, adc_dist_sq,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist_sq ASC, cand_id ASC) AS rank
+  FROM ivfadc
+) WHERE rank <= {TOP_K}
+"""

@@ -77,6 +77,7 @@ _SENSITIVE = [
     # round-5 additions (all-integer outputs; guard pins the tie rules)
     "line_dedup_stats",  # first-occurrence keep rule on (doc_id, li)
     "pq_adc_topk",  # packed-BIGINT argmin + ADC tie order
+    "ivf_pq_topk",  # coarse-bucket argmin + probe cut + ADC tie order
 ]
 
 

@@ -1004,3 +1004,23 @@ def test_induced_stopwords_take_ordered_and_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "rangepartitioning" not in plan.lower(), plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_ivf_pq_search_prunes_before_codes_join(spark, sf_dir):
+    """ivf_pq_topk: the only join allowed to shuffle is the
+    candidate × codes equi-join on vec_id (the index-scan the search is
+    supposed to pay); probes, centroids, LUT and codebook all broadcast;
+    no cartesian on the corpus, no range partitioning, no sort aggregate
+    (the coarse argmin stays a packed-BIGINT hash aggregate)."""
+    from stockmarket_bigdata_project_spark.llmdata.similarity import (
+        ivf_pq_topk,
+    )
+
+    plan = _plan(ivf_pq_topk(spark, sf_dir))
+    # formatted explain names each operator twice (tree + detail header):
+    # one SMJ operator ⇒ two occurrences of the string
+    assert plan.count("SortMergeJoin") <= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "SortAggregate" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
