@@ -13,6 +13,8 @@ stock-market engine is actually asked for — every one a single
                       built from window avgs (identical formula both engines)
   max_drawdown        running-peak drawdown + per-supplier max
   cumulative_return   compounded return via exp(sum(log1p(r))) - 1
+  trend_mann_kendall  Mann-Kendall S + Theil-Sen slope over the trailing
+                      TREND_WINDOW dates (per-key-bounded pair join)
 
 Scale notes: all queries share the (l_suppkey, trade_date) partitioning of
 supplier_daily_ohlcv — one exchange feeds every chained window; frames are
@@ -252,6 +254,78 @@ def cumulative_return(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TREND_WINDOW = 30  # trailing trade dates per supplier entering the trend
+
+
+def trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust trend diagnostics per supplier over the trailing TREND_WINDOW
+    trade dates: the Mann-Kendall S statistic (Σ sign(c_j − c_i) over all
+    date-ordered pairs) and the Theil-Sen slope (median of the pairwise
+    slopes (c_j − c_i)/days) — the outlier-robust trend pair a quant
+    dashboard computes where rolling_beta's least-squares fit is too
+    fragile. Suppliers with a single trading day have no pairs and drop
+    out (inner-join semantics, both engines).
+
+    Determinism: prices as exact integer cents; sign() as a CASE (never a
+    float signum); each slope is ONE binary64 division of exact integers
+    < 2^53, so both engines produce the identical bit pattern; the median
+    is the lower-rank order statistic — with tied slope values the
+    selected VALUE is tie-order-independent.
+
+    Scale shape: the all-pairs step is bounded per key — the trailing
+    window caps it at C(TREND_WINDOW, 2) = 435 pairs per supplier — so
+    the self-join is a hash equi-join on l_suppkey whose output is linear
+    in suppliers, never days². One exchange on l_suppkey feeds the
+    ranking window, the pair join, and both aggregates. [extension]"""
+    s = supplier_daily_ohlcv(spark, sf_dir).select(
+        "l_suppkey",
+        "trade_date",
+        F.round(F.col("close_px") * 100).cast("long").alias("cents"),
+    )
+    wrec = Window.partitionBy("l_suppkey").orderBy(F.desc("trade_date"))
+    r = (
+        s.withColumn("rec", F.row_number().over(wrec))
+        .filter(F.col("rec") <= TREND_WINDOW)
+        .select("l_suppkey", "trade_date", "cents")
+    )
+    a, b = r.alias("a"), r.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_suppkey") == F.col("b.l_suppkey"))
+        & (F.col("a.trade_date") < F.col("b.trade_date")),
+    ).select(
+        F.col("a.l_suppkey").alias("l_suppkey"),
+        (F.col("b.cents") - F.col("a.cents")).alias("dy"),
+        F.datediff("b.trade_date", "a.trade_date").alias("dx"),
+    )
+    pr = pairs.select(
+        "l_suppkey",
+        (F.col("dy").cast("double") / F.col("dx")).alias("slope"),
+        F.when(F.col("dy") > 0, F.lit(1))
+        .when(F.col("dy") < 0, F.lit(-1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("sgn"),
+    )
+    stats = pr.groupBy("l_suppkey").agg(
+        F.count("*").alias("n_pairs"), F.sum("sgn").alias("mk_s")
+    )
+    wmed = Window.partitionBy("l_suppkey").orderBy("slope")
+    wall = Window.partitionBy("l_suppkey")
+    sen = (
+        pr.withColumn("rn", F.row_number().over(wmed))
+        .withColumn("np", F.count("*").over(wall))
+        .filter(F.col("rn") == F.expr("(np + 1) DIV 2"))
+        .select("l_suppkey", F.col("slope").alias("sen_slope"))
+    )
+    n_days = r.groupBy("l_suppkey").agg(F.count("*").alias("n_days"))
+    return (
+        n_days.join(stats, "l_suppkey")
+        .join(sen, "l_suppkey")
+        .select("l_suppkey", "n_days", "n_pairs", "mk_s", "sen_slope")
+    )
+
+
 QUERIES = {
     "vwap_daily": vwap_daily,
     "twap_hourly": twap_hourly,
@@ -259,6 +333,7 @@ QUERIES = {
     "rolling_beta": rolling_beta,
     "max_drawdown": max_drawdown,
     "cumulative_return": cumulative_return,
+    "trend_mann_kendall": trend_mann_kendall,
 }
 
 ORACLE = {
@@ -383,5 +458,45 @@ FROM cents
 WHERE p IS NOT NULL
 WINDOW w AS (PARTITION BY l_suppkey ORDER BY trade_date
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+
+    "trend_mann_kendall": f"""
+WITH stock AS ({SUPPLIER_DAILY_SQL}),
+recents AS (
+  SELECT l_suppkey, trade_date, c FROM (
+    SELECT l_suppkey, trade_date,
+           CAST(round(close_px * 100) AS BIGINT) AS c,
+           row_number() OVER (PARTITION BY l_suppkey
+                              ORDER BY trade_date DESC) AS rec
+    FROM stock
+  ) WHERE rec <= {TREND_WINDOW}
+),
+prs AS (
+  SELECT a.l_suppkey,
+         CAST(b.c - a.c AS DOUBLE)
+           / date_diff('day', a.trade_date, b.trade_date) AS slope,
+         CASE WHEN b.c > a.c THEN 1
+              WHEN b.c < a.c THEN -1 ELSE 0 END AS sgn
+  FROM recents a JOIN recents b
+    ON a.l_suppkey = b.l_suppkey AND a.trade_date < b.trade_date
+),
+st AS (
+  SELECT l_suppkey, count(*) AS n_pairs,
+         CAST(sum(sgn) AS BIGINT) AS mk_s
+  FROM prs GROUP BY l_suppkey
+),
+sen AS (
+  SELECT l_suppkey, slope AS sen_slope FROM (
+    SELECT l_suppkey, slope,
+           row_number() OVER (PARTITION BY l_suppkey ORDER BY slope) AS rn,
+           count(*) OVER (PARTITION BY l_suppkey) AS np
+    FROM prs
+  ) WHERE rn = (np + 1) // 2
+),
+nd AS (
+  SELECT l_suppkey, count(*) AS n_days FROM recents GROUP BY l_suppkey
+)
+SELECT n.l_suppkey, n.n_days, s.n_pairs, s.mk_s, m.sen_slope
+FROM nd n JOIN st s USING (l_suppkey) JOIN sen m USING (l_suppkey)
 """,
 }

@@ -78,6 +78,7 @@ _SENSITIVE = [
     "line_dedup_stats",  # first-occurrence keep rule on (doc_id, li)
     "pq_adc_topk",  # packed-BIGINT argmin + ADC tie order
     "ivf_pq_topk",  # coarse-bucket argmin + probe cut + ADC tie order
+    "trend_mann_kendall",  # pairwise slope order statistic (float median)
 ]
 
 
