@@ -635,6 +635,78 @@ def lm_perplexity_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WIN_K = 3  # tokens per winnowing k-gram
+WIN_W = 4  # hashes per winnowing window
+_WIN_PACK = 1_000_000  # position-packing radix (doc token positions < 1e6)
+
+
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken 2003 —
+    the MOSS scheme): hash every WIN_K-token gram with the repo's
+    polynomial rolling hash, slide a window of WIN_W consecutive hashes,
+    and keep each window's minimum (ties → rightmost position). The
+    selected (position, hash) set is the ~2/(w+1)-density fingerprint
+    index that guarantees any match of length ≥ WIN_W+WIN_K−1 tokens
+    shares a fingerprint — the principled way to subsample a substring-
+    dedup index instead of keeping every gram (cf. duplicate_spans, which
+    keeps all of them).
+
+    Determinism: the (hash ASC, position DESC) selection is ONE integer
+    min over packed h·RADIX + (RADIX − pos) — hash-window evaluable on
+    both engines, no struct ordering. Packing bound: h < 1e9+7 and
+    pos < 1e6 keep the packed value < 2^50.
+
+    Scale shape: grams explode map-side from the document scan; the only
+    exchange is the per-doc window's hashpartitioning(doc_id) (the
+    frame is WIN_W rows — constant state); the closing DISTINCT is a
+    hash aggregate on the same key. Nothing corpus-wide, nothing
+    all-pairs; output ∝ tokens/(w+1). [extension]"""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.split("text", " ").alias("ws")
+    ).withColumn("n", F.size("ws"))
+    tok_val = lambda t: (F.ascii(t) + F.length(t) * 7).cast("long")  # noqa: E731
+    grams = (
+        base.filter(F.col("n") >= WIN_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n") - F.lit(WIN_K - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.aggregate(
+                            F.slice("ws", i, F.lit(WIN_K)),
+                            F.lit(0).cast("long"),
+                            lambda acc, t: (acc * FP_BASE + tok_val(t))
+                            % FP_MOD,
+                        ).alias("h"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    )
+    wf = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WIN_W - 1)
+    return (
+        grams.withColumn(
+            "packed",
+            F.col("h") * _WIN_PACK + (F.lit(_WIN_PACK) - F.col("pos")),
+        )
+        .withColumn("m", F.min("packed").over(wf))
+        .withColumn("c", F.count("*").over(wf))
+        .filter(F.col("c") == WIN_W)
+        .select(
+            "doc_id",
+            (F.lit(_WIN_PACK) - F.col("m") % _WIN_PACK)
+            .cast("int")
+            .alias("sel_pos"),
+            F.expr(f"m DIV {_WIN_PACK}").alias("fp_hash"),
+        )
+        .distinct()
+    )
+
+
 QUERIES = {
     "lang_id_scores": lang_id_scores,
     "quality_scores": quality_scores,
@@ -651,6 +723,7 @@ QUERIES = {
     "lm_perplexity_buckets": lm_perplexity_buckets,
     "lm_ccnet_buckets_sampled": lm_ccnet_buckets_sampled,
     "dsir_importance_bits": dsir_importance_bits,
+    "winnowing_fingerprints": winnowing_fingerprints,
 }
 
 # 16-bit value of the first 4 hex digits of md5(tok), by pure string/integer
@@ -1255,4 +1328,35 @@ SELECT b.doc_id, b.n_tokens,
        (2 * 1000000 * CAST(coalesce(h.n_stop, 0) AS BIGINT) + b.n_tokens)
          // (2 * b.n_tokens) AS density_micro
 FROM sbase b LEFT JOIN shits h USING (doc_id)
+"""
+
+ORACLE["winnowing_fingerprints"] = f"""
+WITH wbase AS (
+  SELECT doc_id, string_split(text, ' ') AS l,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), wgrams AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(l[i:i + {WIN_K} - 1],
+                            t -> CAST(ascii(t) + length(t) * 7 AS BIGINT))),
+           (acc, v) -> (acc * {FP_BASE} + v) % {FP_MOD}
+         ) AS h
+  FROM wbase, unnest(generate_series(1, n - {WIN_K} + 1)) AS t(i)
+  WHERE n >= {WIN_K}
+), wsel AS (
+  SELECT doc_id,
+         min(h * {_WIN_PACK} + ({_WIN_PACK} - pos))
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {WIN_W} - 1 FOLLOWING) AS m,
+         count(*)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {WIN_W} - 1 FOLLOWING) AS c
+  FROM wgrams
+)
+SELECT DISTINCT doc_id,
+       CAST({_WIN_PACK} - (m % {_WIN_PACK}) AS INTEGER) AS sel_pos,
+       m // {_WIN_PACK} AS fp_hash
+FROM wsel WHERE c = {WIN_W}
 """

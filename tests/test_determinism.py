@@ -79,6 +79,7 @@ _SENSITIVE = [
     "pq_adc_topk",  # packed-BIGINT argmin + ADC tie order
     "ivf_pq_topk",  # coarse-bucket argmin + probe cut + ADC tie order
     "trend_mann_kendall",  # pairwise slope order statistic (float median)
+    "winnowing_fingerprints",  # packed (hash, rightmost-pos) window min
 ]
 
 

@@ -1024,3 +1024,18 @@ def test_ivf_pq_search_prunes_before_codes_join(spark, sf_dir):
     assert "rangepartitioning" not in plan.lower(), plan
     assert "SortAggregate" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_winnowing_single_exchange(spark, sf_dir):
+    """winnowing_fingerprints: grams explode map-side, the window and the
+    closing DISTINCT share ONE hashpartitioning(doc_id) exchange — no
+    second shuffle, no range partitioning, no join anywhere."""
+    from stockmarket_bigdata_project_spark.llmdata.textstats import (
+        winnowing_fingerprints,
+    )
+
+    plan = _plan(winnowing_fingerprints(spark, sf_dir))
+    assert plan.count("Exchange") <= 2, plan  # tree + detail of ONE node
+    assert "hashpartitioning(doc_id" in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "Join" not in plan, plan
