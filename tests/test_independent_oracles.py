@@ -515,3 +515,61 @@ def test_line_dedup_stats_pure_python(spark, sf_dir):
         for r in line_dedup_stats(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_trend_mann_kendall_pure_python(spark, sf_dir):
+    """Pure-Python recompute of the Mann-Kendall / Theil-Sen trend pair —
+    the float-bearing finance query that entered the r5 window after the
+    pre-screen sweeps. Rebuilds the OHLCV close (arg-max on the composite
+    ord_key), quantizes to exact integer cents via the shortest-repr
+    HALF_UP rule (the same value Spark's round(double) produces), forms
+    the trailing-window pairs, and takes the lower-median slope — each
+    slope ONE binary64 division of exact ints, bit-identical everywhere."""
+    import datetime as dt
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from stockmarket_bigdata_project_spark.operators.finance import (
+        TREND_WINDOW,
+        trend_mann_kendall,
+    )
+
+    t = pq.read_table(
+        table_path(sf_dir, "lineitem"),
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                 "l_orderkey", "l_linenumber"],
+    )
+    cols = {c: t.column(c).to_pylist() for c in t.column_names}
+    close = {}  # (suppkey, day) -> (ord_key, px)
+    for sk, sd, px, ok, ln in zip(cols["l_suppkey"], cols["l_shipdate"],
+                                  cols["l_extendedprice"],
+                                  cols["l_orderkey"], cols["l_linenumber"]):
+        day = sd.date() if isinstance(sd, dt.datetime) else sd
+        cents_px = int(Decimal(repr(px * 100)).to_integral_value(
+            ROUND_HALF_UP))
+        key = (ok * 16 + ln) * 100_000_000 + cents_px
+        cur = close.get((sk, day))
+        if cur is None or key > cur[0]:
+            close[(sk, day)] = (key, px)
+    per_supp = defaultdict(list)
+    for (sk, day), (_, px) in close.items():
+        per_supp[sk].append((day, int(Decimal(repr(px * 100))
+                                      .to_integral_value(ROUND_HALF_UP))))
+    expect = {}
+    for sk, rows in per_supp.items():
+        recent = sorted(rows, key=lambda r: r[0], reverse=True)[:TREND_WINDOW]
+        recent.sort(key=lambda r: r[0])
+        slopes, s = [], 0
+        for i in range(len(recent)):
+            for j in range(i + 1, len(recent)):
+                (da, ca), (db, cb) = recent[i], recent[j]
+                dy = cb - ca
+                s += (dy > 0) - (dy < 0)
+                slopes.append(float(dy) / (db - da).days)
+        if not slopes:
+            continue
+        slopes.sort()
+        sen = slopes[(len(slopes) + 1) // 2 - 1]
+        expect[sk] = (len(recent), len(slopes), s, sen)
+    got = {r.l_suppkey: (r.n_days, r.n_pairs, r.mk_s, r.sen_slope)
+           for r in trend_mann_kendall(spark, sf_dir).collect()}
+    assert got == expect
