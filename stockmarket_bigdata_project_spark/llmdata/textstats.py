@@ -707,6 +707,50 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WIN_DF_CAP = 20  # fingerprints in more docs than this are stop-prints
+WIN_MIN_SHARED = 2  # candidate pairs must share at least this many prints
+
+
+def winnowing_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MOSS match step over the winnowed index: documents sharing
+    ≥ WIN_MIN_SHARED selected fingerprints become near-dup candidate
+    pairs (doc_a < doc_b, with the shared-print count as match weight).
+    Complements minhash_lsh_pairs (bag similarity) with the substring-
+    overlap candidate generator winnowing guarantees for.
+
+    Scale shape: the (doc, print) posting list is the winnowed ~2/(w+1)
+    subsample, NOT all grams; prints hot in > WIN_DF_CAP docs are dropped
+    before the self-join (the boilerplate/stop-gram rule), so the pair
+    blowup is capped at df²/2 per print — postings equi-join + one pair
+    aggregate, nothing corpus×corpus. [extension]"""
+    fps = (
+        winnowing_fingerprints(spark, sf_dir)
+        .select("doc_id", "fp_hash")
+        .distinct()
+    )
+    rare = (
+        fps.groupBy("fp_hash")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= WIN_DF_CAP)
+        .select("fp_hash")
+    )
+    posts = fps.join(rare, "fp_hash")
+    a, b = posts.alias("a"), posts.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp_hash") == F.col("b.fp_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= WIN_MIN_SHARED)
+    )
+
+
 QUERIES = {
     "lang_id_scores": lang_id_scores,
     "quality_scores": quality_scores,
@@ -724,6 +768,7 @@ QUERIES = {
     "lm_ccnet_buckets_sampled": lm_ccnet_buckets_sampled,
     "dsir_importance_bits": dsir_importance_bits,
     "winnowing_fingerprints": winnowing_fingerprints,
+    "winnowing_dup_candidates": winnowing_dup_candidates,
 }
 
 # 16-bit value of the first 4 hex digits of md5(tok), by pure string/integer
@@ -1359,4 +1404,44 @@ SELECT DISTINCT doc_id,
        CAST({_WIN_PACK} - (m % {_WIN_PACK}) AS INTEGER) AS sel_pos,
        m // {_WIN_PACK} AS fp_hash
 FROM wsel WHERE c = {WIN_W}
+"""
+
+ORACLE["winnowing_dup_candidates"] = f"""
+WITH wbase AS (
+  SELECT doc_id, string_split(text, ' ') AS l,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), wgrams AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(l[i:i + {WIN_K} - 1],
+                            t -> CAST(ascii(t) + length(t) * 7 AS BIGINT))),
+           (acc, v) -> (acc * {FP_BASE} + v) % {FP_MOD}
+         ) AS h
+  FROM wbase, unnest(generate_series(1, n - {WIN_K} + 1)) AS t(i)
+  WHERE n >= {WIN_K}
+), wsel AS (
+  SELECT doc_id,
+         min(h * {_WIN_PACK} + ({_WIN_PACK} - pos))
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {WIN_W} - 1 FOLLOWING) AS m,
+         count(*)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {WIN_W} - 1 FOLLOWING) AS c
+  FROM wgrams
+), wfps AS (
+  SELECT DISTINCT doc_id, m // {_WIN_PACK} AS fp_hash
+  FROM wsel WHERE c = {WIN_W}
+), wrare AS (
+  SELECT fp_hash FROM wfps GROUP BY fp_hash
+  HAVING count(*) <= {WIN_DF_CAP}
+), wposts AS (
+  SELECT doc_id, fp_hash FROM wfps JOIN wrare USING (fp_hash)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+FROM wposts a JOIN wposts b
+  ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= {WIN_MIN_SHARED}
 """

@@ -80,6 +80,7 @@ _SENSITIVE = [
     "ivf_pq_topk",  # coarse-bucket argmin + probe cut + ADC tie order
     "trend_mann_kendall",  # pairwise slope order statistic (float median)
     "winnowing_fingerprints",  # packed (hash, rightmost-pos) window min
+    "winnowing_dup_candidates",  # postings self-join over the winnowed index
 ]
 
 
