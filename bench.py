@@ -71,6 +71,9 @@ CURATION = [
     "bpe_train_merges",
     "lm_ccnet_buckets_sampled",
     "training_manifest",
+    # round-5 late additions, baselined from their first recorded round
+    "winnowing_dup_candidates",
+    "ivf_pq_topk",
 ]
 
 
