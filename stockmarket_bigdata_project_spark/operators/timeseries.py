@@ -788,3 +788,79 @@ WITH RECURSIVE seq AS (
 )
 SELECT o_custkey, o_orderkey, day FROM keep WHERE kept
 """
+
+
+SEASON_LAG = 7  # seasonal-naive horizon, in trading observations
+MAD_K = 3  # outlier threshold: |resid| > MAD_K · MAD
+
+
+def seasonal_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive anomaly detection on the close series: residual =
+    cents − cents SEASON_LAG trading observations ago, robust scale = the
+    per-supplier MAD (lower-median of |residual|, an exact integer order
+    statistic), flag = |residual| > MAD_K·MAD. The standard
+    forecast-residual outlier pass a monitoring pipeline runs — entirely
+    in integers: the median is rank selection (never interpolation), the
+    threshold an integer cross-multiplication (never a division), so
+    every value is bit-portable by construction.
+
+    Scale shape: one hashpartitioning(l_suppkey) exchange feeds the lag
+    window, the MAD rank window, and the count window; no join, no
+    global sort, constant state per row. [extension]"""
+    s = supplier_daily_ohlcv(spark, sf_dir)
+    cents = F.expr("CAST(round(close_px * 100) AS BIGINT)")
+    base = s.select("l_suppkey", "trade_date", cents.alias("c"))
+    resid = (F.col("c") - F.lag("c", SEASON_LAG).over(_w())).alias("resid")
+    r = base.select("l_suppkey", "trade_date", resid).filter(
+        F.col("resid").isNotNull()
+    )
+    wmad = Window.partitionBy("l_suppkey").orderBy(
+        F.abs("resid"), "trade_date"
+    )
+    wall = Window.partitionBy("l_suppkey")
+    ranked = (
+        r.withColumn("rn", F.row_number().over(wmad))
+        .withColumn("np", F.count("*").over(wall))
+    )
+    mad = ranked.filter(F.col("rn") == F.expr("(np + 1) DIV 2")).select(
+        "l_suppkey", F.abs("resid").alias("mad")
+    )
+    return (
+        r.join(mad, "l_suppkey")
+        .select(
+            "l_suppkey",
+            "trade_date",
+            "resid",
+            "mad",
+            (F.abs("resid") > F.lit(MAD_K) * F.col("mad")).alias(
+                "is_outlier"
+            ),
+        )
+    )
+
+
+QUERIES["seasonal_residual_outliers"] = seasonal_residual_outliers
+
+ORACLE["seasonal_residual_outliers"] = f"""
+WITH stock AS ({SUPPLIER_DAILY_SQL}),
+resids AS (
+  SELECT l_suppkey, trade_date,
+         CAST(round(close_px * 100) AS BIGINT)
+           - lag(CAST(round(close_px * 100) AS BIGINT), {SEASON_LAG})
+             OVER (PARTITION BY l_suppkey ORDER BY trade_date) AS resid
+  FROM stock
+), rr AS (
+  SELECT l_suppkey, trade_date, resid FROM resids WHERE resid IS NOT NULL
+), mads AS (
+  SELECT l_suppkey, abs(resid) AS mad FROM (
+    SELECT l_suppkey, resid,
+           row_number() OVER (PARTITION BY l_suppkey
+                              ORDER BY abs(resid), trade_date) AS rn,
+           count(*) OVER (PARTITION BY l_suppkey) AS np
+    FROM rr
+  ) WHERE rn = (np + 1) // 2
+)
+SELECT r.l_suppkey, r.trade_date, r.resid, m.mad,
+       abs(r.resid) > {MAD_K} * m.mad AS is_outlier
+FROM rr r JOIN mads m USING (l_suppkey)
+"""

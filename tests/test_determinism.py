@@ -81,6 +81,7 @@ _SENSITIVE = [
     "trend_mann_kendall",  # pairwise slope order statistic (float median)
     "winnowing_fingerprints",  # packed (hash, rightmost-pos) window min
     "winnowing_dup_candidates",  # postings self-join over the winnowed index
+    "seasonal_residual_outliers",  # MAD rank selection + integer threshold
 ]
 
 
