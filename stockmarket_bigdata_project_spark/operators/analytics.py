@@ -795,3 +795,153 @@ FROM o JOIN sk ON o.c_mktsegment = sk.c_mktsegment AND o.day = sk.day
 WHERE (sk.prev_max IS NULL OR sk.day_max > sk.prev_max)
   AND o.o_totalprice = sk.day_max
 """
+
+
+def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional association rules from the frequent-pair table: every
+    surviving pair {A,B} emits A→B and B→A with exact integer confidence
+    conf(A→B) = pair_support·10⁶ div support_A (and the symmetric lift
+    already carried by the pair). The rule step costs nothing beyond
+    frequent_item_pairs — a projection and a union of two column
+    permutations of the SAME aggregated pair table (candidate generation,
+    A-priori pruning and the basket self-join are inherited; see
+    frequent_item_pairs for the 100 TB argument). [extension]"""
+    p = frequent_item_pairs(spark, sf_dir)
+    ab = p.select(
+        F.col("part_a").alias("antecedent"),
+        F.col("part_b").alias("consequent"),
+        "pair_support",
+        F.expr("(pair_support * 1000000L) div support_a").alias(
+            "conf_micros"
+        ),
+        "lift_micros",
+    )
+    ba = p.select(
+        F.col("part_b").alias("antecedent"),
+        F.col("part_a").alias("consequent"),
+        "pair_support",
+        F.expr("(pair_support * 1000000L) div support_b").alias(
+            "conf_micros"
+        ),
+        "lift_micros",
+    )
+    return ab.unionByName(ba)
+
+
+QUERIES["association_rules"] = association_rules
+
+ORACLE["association_rules"] = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+sup AS (SELECT l_partkey, count(*) AS item_support FROM li GROUP BY 1),
+basket AS (
+  SELECT li.l_orderkey, li.l_partkey, s.item_support
+  FROM li JOIN sup s USING (l_partkey)
+  WHERE s.item_support >= {MIN_ITEM_SUPPORT}
+),
+pc AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         a.item_support AS support_a, b.item_support AS support_b,
+         count(*) AS pair_support
+  FROM basket a JOIN basket b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2, 3, 4
+  HAVING count(*) >= {MIN_PAIR_SUPPORT}
+),
+tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+lifted AS (
+  SELECT part_a, part_b, pair_support, support_a, support_b,
+         (pair_support * n_orders * 1000000) // (support_a * support_b)
+           AS lift_micros
+  FROM pc, tot
+)
+SELECT part_a AS antecedent, part_b AS consequent, pair_support,
+       (pair_support * 1000000) // support_a AS conf_micros, lift_micros
+FROM lifted
+UNION ALL
+SELECT part_b AS antecedent, part_a AS consequent, pair_support,
+       (pair_support * 1000000) // support_b AS conf_micros, lift_micros
+FROM lifted
+"""
+
+
+def rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per customer the recency (days from
+    last order to the corpus anchor = global max order date), frequency
+    (order count) and monetary (exact total cents), each cut into exact
+    ascending quintiles by the rank formula ((rn−1)·5) div n + 1 with
+    o_custkey as the total-order tiebreak. The classic CRM scoring table.
+
+    Scale note: the quintile windows run over the CUSTOMER-level
+    aggregate (|customers|, three orders of magnitude below |orders|) —
+    the same exact-global-ntile stance as lm_perplexity_buckets, whose
+    docstring records the sampled-cutoff replacement (two map passes,
+    broadcast cutoffs, zero global sort) that slots in at cluster scale;
+    lm_ccnet_buckets_sampled is the shipped template. [extension]"""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    anchor = o.agg(F.max("day").alias("anchor"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("day").alias("last_day"),
+            F.count("*").alias("frequency"),
+            F.sum("cents").alias("monetary_cents"),
+        )
+        .join(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff("anchor", "last_day").alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+
+    def bucket(col: str) -> F.Column:
+        w = Window.orderBy(F.col(col), F.col("o_custkey"))
+        rn = F.row_number().over(w).cast("long")
+        n = F.count("*").over(Window.partitionBy()).cast("long")
+        # exact integer division: a is a positive long < 2^53, so the
+        # (a - a%n)/n binary64 quotient is exact (the _idiv idiom)
+        a = (rn - 1) * 5
+        return ((a - F.pmod(a, n)) / n).cast("long") + 1
+
+    return per_cust.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        bucket("recency_days").alias("r_bucket"),
+        bucket("frequency").alias("f_bucket"),
+        bucket("monetary_cents").alias("m_bucket"),
+    )
+
+
+QUERIES["rfm_scores"] = rfm_scores
+
+ORACLE["rfm_scores"] = """
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+anchor AS (SELECT max(day) AS anchor FROM o),
+per_cust AS (
+  SELECT o_custkey,
+         date_diff('day', max(day), (SELECT anchor FROM anchor))
+           AS recency_days,
+         count(*) AS frequency,
+         CAST(sum(cents) AS BIGINT) AS monetary_cents
+  FROM o GROUP BY o_custkey
+)
+SELECT o_custkey, recency_days, frequency, monetary_cents,
+       ((row_number() OVER (ORDER BY recency_days, o_custkey) - 1) * 5)
+         // count(*) OVER () + 1 AS r_bucket,
+       ((row_number() OVER (ORDER BY frequency, o_custkey) - 1) * 5)
+         // count(*) OVER () + 1 AS f_bucket,
+       ((row_number() OVER (ORDER BY monetary_cents, o_custkey) - 1) * 5)
+         // count(*) OVER () + 1 AS m_bucket
+FROM per_cust
+"""

@@ -82,6 +82,8 @@ _SENSITIVE = [
     "winnowing_fingerprints",  # packed (hash, rightmost-pos) window min
     "winnowing_dup_candidates",  # postings self-join over the winnowed index
     "seasonal_residual_outliers",  # MAD rank selection + integer threshold
+    "rfm_scores",  # global rank quintiles via the exact _idiv bucket formula
+    "association_rules",  # integer confidence/lift over the pair table
 ]
 
 
