@@ -1463,3 +1463,116 @@ FROM (
   FROM ivfadc
 ) WHERE rank <= {TOP_K}
 """
+
+
+MRL_DIM = 16  # truncated prefix dimensionality (Matryoshka-style)
+
+
+def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation evaluation (Kusupati et al. 2022): recall@K
+    of exact-L2 top-k computed on the first MRL_DIM dims against the
+    full-dimension exact top-k — the measurement that decides whether a
+    truncate-then-rerank retrieval stack (search on the cheap prefix,
+    re-rank on the full vector) is safe for a given corpus. Per query:
+    overlap count and recall in integer micro units (round-half-up).
+
+    Determinism: both sides are exact integer-L2 rankings with
+    (dist ASC, id ASC) tie order; the recall quotient is the repo's
+    integer-rational rounding — no double anywhere.
+
+    Scale shape: two broadcast-query scans of the corpus (the same
+    bounded cost knn_bruteforce pays — |queries| is the small side); at
+    production scale the truncated side is where an IVF/PQ index would
+    slot in, cutting the full-dim reads to |queries|·K. [extension]"""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("mvec").alias("qvec")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("dist_sq"), F.asc("cand_id")
+    )
+
+    def _topk(dist: F.Column) -> DataFrame:
+        return (
+            e.crossJoin(F.broadcast(q))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("cand_id"),
+                dist.cast("long").alias("dist_sq"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= TOP_K)
+            .select("query_id", "cand_id")
+        )
+
+    full = _topk(_pq_l2("mvec", "qvec"))
+    trunc = _topk(
+        _pq_l2(
+            F.slice("mvec", 1, MRL_DIM), F.slice("qvec", 1, MRL_DIM)
+        )
+    )
+    hits = (
+        full.join(trunc, ["query_id", "cand_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    base = full.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+        )
+        .withColumn(
+            "recall_micro",
+            F.expr("(2 * n_hit * 1000000 + n_exact) DIV (2 * n_exact)"),
+        )
+    )
+
+
+QUERIES["matryoshka_recall"] = matryoshka_recall
+
+_MRL_L2 = (
+    "CAST(list_sum(list_transform(list_zip({a}, {b}),"
+    " p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)"
+)
+
+ORACLE["matryoshka_recall"] = f"""
+WITH me AS MATERIALIZED (
+  SELECT vec_id, {_MVEC_SQL} AS mvec FROM embeddings
+), mq AS MATERIALIZED (
+  SELECT vec_id AS query_id, mvec AS qvec FROM me
+  WHERE vec_id < {N_QUERIES}
+), mfull AS (
+  SELECT query_id, cand_id FROM (
+    SELECT q.query_id, e.vec_id AS cand_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_MRL_L2.format(a="e.mvec", b="q.qvec")} ASC,
+                      e.vec_id ASC) AS rn
+    FROM me e JOIN mq q ON e.vec_id <> q.query_id
+  ) WHERE rn <= {TOP_K}
+), mtrunc AS (
+  SELECT query_id, cand_id FROM (
+    SELECT q.query_id, e.vec_id AS cand_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_MRL_L2.format(
+                 a=f"list_slice(e.mvec, 1, {MRL_DIM})",
+                 b=f"list_slice(q.qvec, 1, {MRL_DIM})")} ASC,
+                      e.vec_id ASC) AS rn
+    FROM me e JOIN mq q ON e.vec_id <> q.query_id
+  ) WHERE rn <= {TOP_K}
+), mbase AS (
+  SELECT query_id, count(*) AS n_exact FROM mfull GROUP BY query_id
+), mhits AS (
+  SELECT f.query_id, count(*) AS n_hit
+  FROM mfull f JOIN mtrunc t USING (query_id, cand_id)
+  GROUP BY f.query_id
+)
+SELECT b.query_id, b.n_exact,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       (2 * CAST(coalesce(h.n_hit, 0) AS BIGINT) * 1000000 + b.n_exact)
+         // (2 * b.n_exact) AS recall_micro
+FROM mbase b LEFT JOIN mhits h USING (query_id)
+"""

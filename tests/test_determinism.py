@@ -84,6 +84,7 @@ _SENSITIVE = [
     "seasonal_residual_outliers",  # MAD rank selection + integer threshold
     "rfm_scores",  # global rank quintiles via the exact _idiv bucket formula
     "association_rules",  # integer confidence/lift over the pair table
+    "matryoshka_recall",  # two exact-L2 rankings + integer recall quotient
 ]
 
 
