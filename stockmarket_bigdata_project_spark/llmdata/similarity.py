@@ -1576,3 +1576,71 @@ SELECT b.query_id, b.n_exact,
          // (2 * b.n_exact) AS recall_micro
 FROM mbase b LEFT JOIN mhits h USING (query_id)
 """
+
+
+def ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted ANN index artifact, one row per vector: IVF coarse
+    bucket + the PQ code word as an ordered array — exactly the table an
+    IVF-PQ stack writes once and serves forever (ivf_pq_topk's search
+    reads only this plus the tiny codebook). 64 float dims collapse to
+    one bucket id + PQ_SUB small ints per vector: the 100 TB corpus'
+    index fits in ~1/60 of the raw embedding bytes.
+
+    The codes array is assembled with sort_array(collect_list(struct))
+    — the struct sorts on sub_id first, so the aggregation order never
+    matters (engine-neutral ordered list). [extension]"""
+    e = _emb(spark, sf_dir)
+    cent = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("mvec").alias("cvec")
+    )
+    packed = (
+        _pq_l2("mvec", "cvec").cast("long") * N_CENTROIDS
+        + F.col("centroid_id")
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", packed.alias("dc"))
+        .groupBy("vec_id")
+        .agg(F.min("dc").alias("m"))
+        .select("vec_id", F.expr(f"m % {N_CENTROIDS}").alias("bucket"))
+    )
+    codes = (
+        pq_codes(spark, sf_dir)
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("sub_id", "code"))
+                ),
+                lambda s: s["code"],
+            ).alias("codes")
+        )
+    )
+    return assigned.join(codes, "vec_id").select("vec_id", "bucket", "codes")
+
+
+QUERIES["ann_index_build"] = ann_index_build
+
+ORACLE["ann_index_build"] = f"""
+WITH {_PQ_BASE_SQL},
+ivfcent2 AS MATERIALIZED (
+  SELECT vec_id AS centroid_id, mvec AS cvec FROM pqe
+  WHERE vec_id < {N_CENTROIDS}
+),
+ivfassign2 AS (
+  SELECT vec_id, centroid_id AS bucket FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY CAST(list_sum(list_transform(list_zip(e.mvec, c.cvec),
+                      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) ASC,
+                      c.centroid_id ASC) AS rn
+    FROM pqe e CROSS JOIN ivfcent2 c
+  ) WHERE rn = 1
+),
+cw AS (
+  SELECT vec_id, list(code ORDER BY sub_id) AS codes
+  FROM pqbest GROUP BY vec_id
+)
+SELECT a.vec_id, a.bucket, c.codes
+FROM ivfassign2 a JOIN cw c USING (vec_id)
+"""

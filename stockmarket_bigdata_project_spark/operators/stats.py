@@ -989,3 +989,73 @@ SELECT l_returnflag, CAST(tot_w AS BIGINT) AS total_weight, n_rows,
 FROM c WHERE cum_w * 2 >= tot_w
 GROUP BY l_returnflag, tot_w, n_rows
 """
+
+
+def partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics for the fact table — the report you run
+    BEFORE deciding salting/AQE-skew-join settings for a 100 TB shuffle:
+    for each candidate shuffle key of lineitem (suppkey, orderkey,
+    partkey), the per-key row-count distribution that predicts reducer
+    balance — key cardinality, max/total rows, the heaviest key, and
+    max-over-mean skew in integer micro units (round-half-up of
+    max·n_keys/total; a perfectly uniform key scores 10⁶).
+
+    Shape: three hash aggregates over the same scan (one per key), each
+    reduced to a 1-row summary before the union — the report itself is
+    3 rows regardless of corpus size. Ties on max rows → lowest key id
+    (min_by semantics pinned via packed min). [extension]"""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def profile(key: str) -> DataFrame:
+        per_key = li.groupBy(key).agg(F.count("*").alias("cnt"))
+        # heaviest key, ties → lowest id: min_by twin (cnt DESC, id ASC)
+        # as a plain integer min over (MAXC − cnt)·R + id. Packing
+        # bounds: per-key cnt < 10^7 and key id < 10^10 (both hold for
+        # every TPC-H SF this runs at; widen MAXC/R together past that —
+        # the product stays < 2^63 up to R = 9·10^11)
+        packed = (F.lit(10_000_000) - F.col("cnt")) * F.lit(
+            10_000_000_000
+        ) + F.col(key).cast("long")
+        return per_key.agg(
+            F.lit(key).alias("join_key"),
+            F.count("*").alias("n_keys"),
+            F.sum("cnt").alias("total_rows"),
+            F.max("cnt").alias("max_rows"),
+            F.min(packed).alias("p"),
+        ).select(
+            "join_key",
+            "n_keys",
+            "total_rows",
+            "max_rows",
+            F.expr("p % 10000000000").alias("heaviest_key"),
+            F.expr(
+                "(2 * max_rows * n_keys * 1000000 + total_rows)"
+                " DIV (2 * total_rows)"
+            ).alias("skew_micro"),
+        )
+
+    return (
+        profile("l_suppkey")
+        .unionByName(profile("l_orderkey"))
+        .unionByName(profile("l_partkey"))
+    )
+
+
+QUERIES["partition_skew_report"] = partition_skew_report
+
+_SKEW_ONE_SQL = """
+SELECT '{key}' AS join_key,
+       count(*) AS n_keys,
+       CAST(sum(cnt) AS BIGINT) AS total_rows,
+       max(cnt) AS max_rows,
+       CAST(min((10000000 - cnt) * 10000000000 + {key}) % 10000000000
+            AS BIGINT) AS heaviest_key,
+       (2 * max(cnt) * count(*) * 1000000 + CAST(sum(cnt) AS BIGINT))
+         // (2 * CAST(sum(cnt) AS BIGINT)) AS skew_micro
+FROM (SELECT {key}, count(*) AS cnt FROM lineitem GROUP BY {key})
+"""
+
+ORACLE["partition_skew_report"] = " UNION ALL ".join(
+    _SKEW_ONE_SQL.format(key=k)
+    for k in ("l_suppkey", "l_orderkey", "l_partkey")
+)

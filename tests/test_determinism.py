@@ -85,6 +85,8 @@ _SENSITIVE = [
     "rfm_scores",  # global rank quintiles via the exact _idiv bucket formula
     "association_rules",  # integer confidence/lift over the pair table
     "matryoshka_recall",  # two exact-L2 rankings + integer recall quotient
+    "ann_index_build",  # ordered code-word assembly + coarse argmin
+    "partition_skew_report",  # packed min_by twin + integer skew ratio
 ]
 
 
