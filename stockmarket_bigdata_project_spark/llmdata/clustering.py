@@ -259,3 +259,30 @@ SELECT vec_id, cid AS cluster_id, CAST(dist AS BIGINT) AS dist_sq FROM (
   FROM e, c{EXACT_ITERS} c
 ) WHERE rn = 1
 """
+
+
+def kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster inertia over the exact integer Lloyd assignments —
+    the within-cluster sum of squared distances an elbow/quality curve
+    tracks per k (plus cluster sizes, the companion balance check). Pure
+    BIGINT: each dist_sq is the exact integer L2 the assignment already
+    computed, so the inertia is one hash aggregate over the assignment
+    table — no extra scan of the vectors. [extension]"""
+    return (
+        kmeans_exact_assignments(spark, sf_dir)
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("dist_sq").alias("inertia"),
+        )
+    )
+
+
+QUERIES["kmeans_inertia"] = kmeans_inertia
+
+ORACLE["kmeans_inertia"] = f"""
+SELECT cluster_id, count(*) AS n_vecs,
+       CAST(sum(dist_sq) AS BIGINT) AS inertia
+FROM ({ORACLE["kmeans_exact_assignments"]})
+GROUP BY cluster_id
+"""

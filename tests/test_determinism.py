@@ -87,6 +87,7 @@ _SENSITIVE = [
     "matryoshka_recall",  # two exact-L2 rankings + integer recall quotient
     "ann_index_build",  # ordered code-word assembly + coarse argmin
     "partition_skew_report",  # packed min_by twin + integer skew ratio
+    "kmeans_inertia",  # BIGINT inertia over the exact Lloyd assignments
 ]
 
 
