@@ -580,3 +580,54 @@ SELECT doc_id, shard,
             AS INTEGER) AS pos
 FROM keyed
 """
+
+
+MIX_BUDGET = 10_000  # docs to draw across sources in one mixture epoch
+
+
+def sqrt_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced source mixing at T = 1/2 (the multilingual-LM
+    recipe: sample source i proportional to n_i^T, which upweights small
+    sources relative to natural frequency): per-source quota =
+    round_half_up(BUDGET · √n_i / Σ√n_j). The √n weights are quantized
+    to exact integer micros FIRST — IEEE sqrt of an integer-valued
+    double is correctly rounded (bit-identical) on both engines, and
+    floor(·×10⁶ + 0.5) is the repo's portable quantizer — so the weight
+    sum is a BIGINT and the quota one integer-rational rounding; a naive
+    Σ of float sqrts would merge in shuffle order and drift.
+
+    Shape: one hash aggregate to |sources| rows, then a 1-row broadcast
+    of the weight total — output is |sources| rows at any corpus size.
+    [extension]"""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w = F.floor(
+        F.sqrt(F.col("n_docs").cast("double")) * 1e6 + F.lit(0.5)
+    ).cast("long")
+    weighted = per.select("source", "n_docs", w.alias("w_micro"))
+    tot = weighted.agg(F.sum("w_micro").alias("tw"))
+    return weighted.join(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "w_micro",
+        F.expr(f"(2 * {MIX_BUDGET} * w_micro + tw) DIV (2 * tw)").alias(
+            "quota"
+        ),
+    )
+
+
+QUERIES["sqrt_temperature_mixture"] = sqrt_temperature_mixture
+
+ORACLE["sqrt_temperature_mixture"] = f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+), weighted AS (
+  SELECT source, n_docs,
+         CAST(floor(sqrt(n_docs::DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+           AS w_micro
+  FROM per
+), tot AS (SELECT CAST(sum(w_micro) AS BIGINT) AS tw FROM weighted)
+SELECT source, n_docs, w_micro,
+       (2 * {MIX_BUDGET} * w_micro + tw) // (2 * tw) AS quota
+FROM weighted, tot
+"""

@@ -1445,3 +1445,75 @@ FROM wposts a JOIN wposts b
 GROUP BY a.doc_id, b.doc_id
 HAVING count(*) >= {WIN_MIN_SHARED}
 """
+
+COVERAGE_KS = (8, 32, 128, 512)  # vocab sizes on the coverage curve
+
+
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-sizing curve: for each candidate vocab size K, the share
+    of all corpus tokens covered by the top-K vocabulary (freq DESC, tok
+    ASC ties) — the plot that decides how large a vocab is worth
+    training (vocab_oov_rate is the per-doc view at one fixed V; this is
+    the corpus-level curve across V). Coverage in integer micro units.
+
+    Shape: one word-count aggregate (the vocab relation), ONE rank
+    window over that |vocab|-sized table (not the corpus), and a single
+    conditional aggregation emits every K in one pass. [extension]"""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_tok()).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("freq"))
+    w = Window.orderBy(F.desc("freq"), F.asc("tok"))
+    ranked = vocab.withColumn("rn", F.row_number().over(w))
+    per_k = ranked.agg(
+        F.sum("freq").alias("total_tokens"),
+        *[
+            F.sum(F.when(F.col("rn") <= k, F.col("freq")).otherwise(0))
+            .alias(f"cov_{k}")
+            for k in COVERAGE_KS
+        ],
+    )
+    rows = [
+        per_k.select(
+            F.lit(k).alias("vocab_k"),
+            F.col(f"cov_{k}").alias("covered_tokens"),
+            "total_tokens",
+            F.expr(
+                f"(2 * cov_{k} * 1000000 + total_tokens)"
+                " DIV (2 * total_tokens)"
+            ).alias("coverage_micro"),
+        )
+        for k in COVERAGE_KS
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+QUERIES["vocab_coverage_curve"] = vocab_coverage_curve
+
+_COV_ARM_SQL = """
+SELECT {k} AS vocab_k, cov_{k} AS covered_tokens, total_tokens,
+       (2 * cov_{k} * 1000000 + total_tokens) // (2 * total_tokens)
+         AS coverage_micro
+FROM perk
+"""
+
+ORACLE["vocab_coverage_curve"] = f"""
+WITH vtoks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), vvocab AS (
+  SELECT tok, count(*) AS freq FROM vtoks GROUP BY tok
+), vranked AS (
+  SELECT freq,
+         row_number() OVER (ORDER BY freq DESC, tok ASC) AS rn
+  FROM vvocab
+), perk AS (
+  SELECT CAST(sum(freq) AS BIGINT) AS total_tokens,
+         {", ".join(
+             f"CAST(sum(CASE WHEN rn <= {k} THEN freq ELSE 0 END) AS BIGINT)"
+             f" AS cov_{k}" for k in COVERAGE_KS)}
+  FROM vranked
+)
+{" UNION ALL ".join(_COV_ARM_SQL.format(k=k) for k in COVERAGE_KS)}
+"""

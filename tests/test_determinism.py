@@ -88,6 +88,8 @@ _SENSITIVE = [
     "ann_index_build",  # ordered code-word assembly + coarse argmin
     "partition_skew_report",  # packed min_by twin + integer skew ratio
     "kmeans_inertia",  # BIGINT inertia over the exact Lloyd assignments
+    "sqrt_temperature_mixture",  # integer-quantized sqrt weights
+    "vocab_coverage_curve",  # rank cut + conditional-agg coverage micros
 ]
 
 
