@@ -864,3 +864,73 @@ SELECT r.l_suppkey, r.trade_date, r.resid, m.mad,
        abs(r.resid) > {MAD_K} * m.mad AS is_outlier
 FROM rr r JOIN mads m USING (l_suppkey)
 """
+
+
+EWMA_SPAN = 10  # terms in the truncated EWM window
+
+
+def ewma_dyadic_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of the close, α = 1/2,
+    truncated to the trailing EWMA_SPAN observations:
+    ewma_t = Σ_{j=0..n−1} c_{t−j}·2^{−(j+1)}, renormalized by the
+    truncated weight mass (1 − 2^{−n}).
+
+    A float EWMA is normally the canonical NON-oracle-checkable surface
+    (recursive float state merges differently everywhere). α = 1/2 makes
+    it exact: every weight is a power of two, scaling a binary64 by 2^−k
+    never rounds, and the sum of n ≤ 10 terms spans ≤ 27+10 significand
+    bits < 53 — so every intermediate is an exact dyadic rational and
+    the result is bit-identical under ANY evaluation order, on both
+    engines. The final renormalization is one shared binary64 division
+    of two exact values. (The same idiom as exact_price_quantiles'
+    dyadic interpolation.)
+
+    Shape: one suppkey exchange; the frame is EWMA_SPAN rows, constant
+    state per row; the weighted fold is a per-row array expression over
+    the collected frame — no UDF, no recursion. [extension]"""
+    s = supplier_daily_ohlcv(spark, sf_dir)
+    w = _w().rowsBetween(-(EWMA_SPAN - 1), 0)
+    cents = F.expr("CAST(round(close_px * 100) AS BIGINT)")
+    # frame collected oldest→newest (orderBy trade_date), so element i of
+    # n gets weight 2^{-(n-i)} — newest (i = n) weighs 2^{-1}
+    arr = F.collect_list(cents).over(w)
+    base = s.select("l_suppkey", "trade_date", arr.alias("cs"))
+    n = F.size("cs")
+    weighted = F.aggregate(
+        F.zip_with(
+            F.col("cs"),
+            F.sequence(F.lit(1), n),
+            lambda c, i: c.cast("double")
+            * F.pow(F.lit(2.0), (i - n.cast("int") - 1).cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    mass = F.lit(1.0) - F.pow(F.lit(2.0), -n.cast("double"))
+    return base.select(
+        "l_suppkey",
+        "trade_date",
+        n.alias("n_obs"),
+        (weighted / mass / F.lit(100.0)).alias("ewma_close"),
+    )
+
+
+QUERIES["ewma_dyadic_close"] = ewma_dyadic_close
+
+ORACLE["ewma_dyadic_close"] = f"""
+WITH stock AS ({SUPPLIER_DAILY_SQL}),
+frames AS (
+  SELECT l_suppkey, trade_date,
+         list(CAST(round(close_px * 100) AS BIGINT))
+           OVER (PARTITION BY l_suppkey ORDER BY trade_date
+                 ROWS BETWEEN {EWMA_SPAN} - 1 PRECEDING AND CURRENT ROW)
+           AS cs
+  FROM stock
+)
+SELECT l_suppkey, trade_date,
+       CAST(len(cs) AS INTEGER) AS n_obs,
+       list_sum(list_transform(list_zip(cs, range(1, len(cs) + 1)),
+                p -> p[1]::DOUBLE * pow(2.0, p[2] - len(cs) - 1)))
+         / (1.0 - pow(2.0, -len(cs))) / 100.0 AS ewma_close
+FROM frames
+"""

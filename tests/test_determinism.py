@@ -90,6 +90,7 @@ _SENSITIVE = [
     "kmeans_inertia",  # BIGINT inertia over the exact Lloyd assignments
     "sqrt_temperature_mixture",  # integer-quantized sqrt weights
     "vocab_coverage_curve",  # rank cut + conditional-agg coverage micros
+    "ewma_dyadic_close",  # exact dyadic float EWMA (order-independent sums)
 ]
 
 
