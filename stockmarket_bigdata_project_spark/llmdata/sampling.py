@@ -631,3 +631,73 @@ SELECT source, n_docs, w_micro,
        (2 * {MIX_BUDGET} * w_micro + tw) // (2 * tw) AS quota
 FROM weighted, tot
 """
+
+
+def split_leakage_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACT step over split_leakage_audit (the audit→act pairing of
+    duplicate_spans→substring_dedup_rewrite): for every leaked near-dup
+    pair, EVICT the weaker-split side — precedence train > val > test,
+    so an eval doc paraphrasing a training doc leaves the eval set, and
+    a test doc duplicating a val doc leaves test (eval purity is
+    protected in that order; ties are impossible since equal splits are
+    not leaks). Output: every document with its split and an `evicted`
+    flag — the downstream manifest filters on NOT evicted.
+
+    Shape: the leaked-pair relation is tiny (∝ verified near-dups); the
+    loser set distincts it and LEFT-joins back to the map-side split
+    assignment as a broadcast — the corpus never shuffles. [extension]"""
+    audit = split_leakage_audit(spark, sf_dir).filter(F.col("leaked"))
+
+    def rank(c: str) -> F.Column:
+        return (
+            F.when(F.col(c) == "train", 0)
+            .when(F.col(c) == "val", 1)
+            .otherwise(2)
+        )
+
+    losers = (
+        audit.select(
+            F.when(rank("split_a") > rank("split_b"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("doc_id"),
+            F.lit(1).alias("lose"),
+        )
+        .distinct()
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    b = _bucket_hex()
+    split = (
+        F.when(b < VAL_CUT, "val").when(b < TEST_CUT, "test").otherwise("train")
+    )
+    assign = docs.select("doc_id", split.alias("split"))
+    return assign.join(F.broadcast(losers), "doc_id", "left").select(
+        "doc_id",
+        "split",
+        F.col("lose").isNotNull().alias("evicted"),
+    )
+
+
+QUERIES["split_leakage_repair"] = split_leakage_repair
+
+ORACLE["split_leakage_repair"] = f"""
+WITH rassign AS (
+  SELECT doc_id,
+         CASE WHEN {_B} < '{VAL_CUT}' THEN 'val'
+              WHEN {_B} < '{TEST_CUT}' THEN 'test'
+              ELSE 'train' END AS split
+  FROM documents
+), rleaked AS (
+  SELECT p.doc_a, p.doc_b,
+         CASE a.split WHEN 'train' THEN 0 WHEN 'val' THEN 1 ELSE 2 END AS ra,
+         CASE b.split WHEN 'train' THEN 0 WHEN 'val' THEN 1 ELSE 2 END AS rb
+  FROM ({_DEDUP_ORACLE["minhash_lsh_pairs"]}) p
+  JOIN rassign a ON p.doc_a = a.doc_id
+  JOIN rassign b ON p.doc_b = b.doc_id
+  WHERE a.split <> b.split
+), rlosers AS (
+  SELECT DISTINCT CASE WHEN ra > rb THEN doc_a ELSE doc_b END AS doc_id
+  FROM rleaked
+)
+SELECT a.doc_id, a.split, l.doc_id IS NOT NULL AS evicted
+FROM rassign a LEFT JOIN rlosers l USING (doc_id)
+"""

@@ -91,6 +91,7 @@ _SENSITIVE = [
     "sqrt_temperature_mixture",  # integer-quantized sqrt weights
     "vocab_coverage_curve",  # rank cut + conditional-agg coverage micros
     "ewma_dyadic_close",  # exact dyadic float EWMA (order-independent sums)
+    "split_leakage_repair",  # precedence eviction over the leaked-pair set
 ]
 
 
