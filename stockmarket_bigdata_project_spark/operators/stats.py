@@ -1059,3 +1059,70 @@ ORACLE["partition_skew_report"] = " UNION ALL ".join(
     _SKEW_ONE_SQL.format(key=k)
     for k in ("l_suppkey", "l_orderkey", "l_partkey")
 )
+
+
+def gini_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini coefficient of customer order values — the
+    inequality metric a marketplace tracks per region. Exact integer
+    form of the rank formula G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) over
+    cents sorted ascending (ties broken by o_orderkey — with equal
+    values the Σ i·x₍ᵢ₎ total is tie-order-invariant). Both the
+    numerator 2·S1 − (n+1)·S0 and the denominator n·S0 are exact
+    BIGINTs < 2^53 (per nation at sf0.1: n·S0 ≈ 5·10¹⁴; micro-scaling
+    them would overflow 2^63, so the coefficient ships as ONE shared
+    binary64 division of the two exactly-representable integers — the
+    vwap idiom, bit-identical on both engines).
+
+    Shape: one hashpartitioning(nation) exchange feeds the rank window
+    and the closing aggregate. [extension]"""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    j = o.join(c, "o_custkey").select("c_nationkey", "o_orderkey", "cents")
+    w = Window.partitionBy("c_nationkey").orderBy("cents", "o_orderkey")
+    ranked = j.withColumn("rn", F.row_number().over(w).cast("long"))
+    return (
+        ranked.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("total_cents"),
+            F.sum(F.col("rn") * F.col("cents")).alias("s1"),
+        )
+        .select(
+            "c_nationkey",
+            "n_orders",
+            "total_cents",
+            F.expr(
+                "CAST(2 * s1 - (n_orders + 1) * total_cents AS DOUBLE)"
+                " / CAST(n_orders * total_cents AS DOUBLE)"
+            ).alias("gini"),
+        )
+    )
+
+
+QUERIES["gini_order_values"] = gini_order_values
+
+ORACLE["gini_order_values"] = """
+WITH j AS (
+  SELECT c.c_nationkey, o.o_orderkey,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), ranked AS (
+  SELECT c_nationkey, cents,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY cents, o_orderkey) AS rn
+  FROM j
+)
+SELECT c_nationkey,
+       count(*) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(2 * CAST(sum(rn * cents) AS BIGINT)
+            - (count(*) + 1) * CAST(sum(cents) AS BIGINT) AS DOUBLE)
+         / CAST(count(*) * CAST(sum(cents) AS BIGINT) AS DOUBLE) AS gini
+FROM ranked GROUP BY c_nationkey
+"""

@@ -92,6 +92,7 @@ _SENSITIVE = [
     "vocab_coverage_curve",  # rank cut + conditional-agg coverage micros
     "ewma_dyadic_close",  # exact dyadic float EWMA (order-independent sums)
     "split_leakage_repair",  # precedence eviction over the leaked-pair set
+    "gini_order_values",  # rank-sum Gini as one shared binary64 division
 ]
 
 
