@@ -1644,3 +1644,138 @@ cw AS (
 SELECT a.vec_id, a.bucket, c.codes
 FROM ivfassign2 a JOIN cw c USING (vec_id)
 """
+
+
+RM3_TERMS = 5  # expansion terms mined from the feedback docs per query
+
+
+def rm3_expanded_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance feedback (RM3, Lavrenko & Croft lineage): run the
+    sparse retrieval once, treat its top-SR_TOP_K hits as feedback docs,
+    mine the RM3_TERMS heaviest terms from their postings (Σw over the
+    feedback set, ties → term asc), and re-score the corpus with the
+    MIXED query model w' = 2·w_original + w_expansion — the classic
+    recall-booster a lexical RAG channel runs when first-pass recall is
+    thin. Integer end to end: weights are the tf·idf_bits integers the
+    index already carries, the mix is a fixed 2:1 integer combination,
+    so the final scores stay value-level oracle-checkable.
+
+    Scale shape: round 1 is sparse_retrieval_topk's bounded posting join;
+    the feedback-term mining touches only |queries|·SR_TOP_K docs'
+    postings; round 2 is the same posting equi-join with ≤ RM3_TERMS
+    extra terms per query — still ∝ postings, never |q|·|corpus|.
+    [extension]"""
+    wpost = _weighted_postings(spark, sf_dir)
+    fb = sparse_retrieval_topk(spark, sf_dir).select(
+        "q_id", F.col("hit_id").alias("doc_id")
+    )
+    exp_w = (
+        fb.join(wpost, "doc_id")
+        .groupBy("q_id", "term")
+        .agg(F.sum("w").alias("we"))
+    )
+    wexp = Window.partitionBy("q_id").orderBy(F.desc("we"), F.asc("term"))
+    exp_top = (
+        exp_w.withColumn("rn", F.row_number().over(wexp))
+        .filter(F.col("rn") <= RM3_TERMS)
+        .select("q_id", "term", "we")
+    )
+    q = wpost.filter(
+        F.col("doc_id") % SR_QUERY_MOD == SR_QUERY_REM
+    ).select(F.col("doc_id").alias("q_id"), "term", F.col("w").alias("wq"))
+    combined = (
+        q.join(exp_top, ["q_id", "term"], "full")
+        .select(
+            "q_id",
+            "term",
+            (
+                2 * F.coalesce("wq", F.lit(0))
+                + F.coalesce("we", F.lit(0))
+            ).alias("qw"),
+        )
+    )
+    scores = (
+        combined.join(wpost, "term")
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum(F.col("qw") * F.col("w")).alias("score"))
+    )
+    win = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= SR_TOP_K)
+        .select("q_id", "rank", F.col("doc_id").alias("hit_id"), "score")
+    )
+
+
+QUERIES["rm3_expanded_retrieval"] = rm3_expanded_retrieval
+
+ORACLE["rm3_expanded_retrieval"] = f"""
+WITH occ AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                i -> string_split(text, ' ')[i] || ' ' ||
+                     string_split(text, ' ')[i+1] || ' ' ||
+                     string_split(text, ' ')[i+2])) AS term
+  FROM documents
+), postings AS (
+  SELECT doc_id, term, count(*) AS tf FROM occ GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(*) AS df FROM postings GROUP BY term
+), ntbl AS (SELECT count(*) AS n_docs FROM documents),
+idf AS (
+  SELECT term, length(bin(n_docs // df)) - 1 AS idf_bits
+  FROM dft, ntbl
+  WHERE length(bin(n_docs // df)) - 1 >= 1
+), wpost AS MATERIALIZED (
+  SELECT p.term, p.doc_id, p.tf * i.idf_bits AS w
+  FROM postings p JOIN idf i USING (term)
+), r1scores AS (
+  SELECT q.doc_id AS q_id, d.doc_id, CAST(sum(q.w * d.w) AS BIGINT) AS score
+  FROM wpost q JOIN wpost d USING (term)
+  WHERE q.doc_id % {SR_QUERY_MOD} = {SR_QUERY_REM}
+    AND d.doc_id <> q.doc_id
+  GROUP BY q.doc_id, d.doc_id
+), fb AS (
+  SELECT q_id, doc_id FROM (
+    SELECT q_id, doc_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY score DESC, doc_id ASC) AS rank
+    FROM r1scores
+  ) WHERE rank <= {SR_TOP_K}
+), expw AS (
+  SELECT f.q_id, p.term, CAST(sum(p.w) AS BIGINT) AS we
+  FROM fb f JOIN wpost p USING (doc_id)
+  GROUP BY f.q_id, p.term
+), exptop AS (
+  SELECT q_id, term, we FROM (
+    SELECT q_id, term, we,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY we DESC, term ASC) AS rn
+    FROM expw
+  ) WHERE rn <= {RM3_TERMS}
+), orig AS (
+  SELECT doc_id AS q_id, term, w AS wq FROM wpost
+  WHERE doc_id % {SR_QUERY_MOD} = {SR_QUERY_REM}
+), combined AS (
+  SELECT coalesce(o.q_id, e.q_id) AS q_id,
+         coalesce(o.term, e.term) AS term,
+         2 * coalesce(o.wq, 0) + coalesce(e.we, 0) AS qw
+  FROM orig o FULL OUTER JOIN exptop e
+    ON o.q_id = e.q_id AND o.term = e.term
+), r2scores AS (
+  SELECT c.q_id, d.doc_id, CAST(sum(c.qw * d.w) AS BIGINT) AS score
+  FROM combined c JOIN wpost d USING (term)
+  WHERE d.doc_id <> c.q_id
+  GROUP BY c.q_id, d.doc_id
+)
+SELECT q_id, CAST(rank AS INTEGER) AS rank, doc_id AS hit_id, score
+FROM (
+  SELECT q_id, doc_id, score,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM r2scores
+) WHERE rank <= {SR_TOP_K}
+"""

@@ -93,6 +93,7 @@ _SENSITIVE = [
     "ewma_dyadic_close",  # exact dyadic float EWMA (order-independent sums)
     "split_leakage_repair",  # precedence eviction over the leaked-pair set
     "gini_order_values",  # rank-sum Gini as one shared binary64 division
+    "rm3_expanded_retrieval",  # two-round posting joins + integer 2:1 mix
 ]
 
 
