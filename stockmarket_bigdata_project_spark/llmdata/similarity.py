@@ -1586,9 +1586,12 @@ def ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     one bucket id + PQ_SUB small ints per vector: the 100 TB corpus'
     index fits in ~1/60 of the raw embedding bytes.
 
-    The codes array is assembled with sort_array(collect_list(struct))
-    — the struct sorts on sub_id first, so the aggregation order never
-    matters (engine-neutral ordered list). [extension]"""
+    The code word is assembled with sort_array(collect_list(struct)) —
+    the struct sorts on sub_id first, so the aggregation order never
+    matters — and ships as a '|'-joined STRING, not array<long>: the
+    driver's value canonicalizer can't sort list cells (the round-1
+    sequence_assembly lesson, enforced by test_oracle_portability).
+    [extension]"""
     e = _emb(spark, sf_dir)
     cent = e.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("centroid_id"), F.col("mvec").alias("cvec")
@@ -1608,11 +1611,14 @@ def ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_codes(spark, sf_dir)
         .groupBy("vec_id")
         .agg(
-            F.transform(
-                F.sort_array(
-                    F.collect_list(F.struct("sub_id", "code"))
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("sub_id", "code"))
+                    ),
+                    lambda s: s["code"].cast("string"),
                 ),
-                lambda s: s["code"],
             ).alias("codes")
         )
     )
@@ -1638,7 +1644,8 @@ ivfassign2 AS (
   ) WHERE rn = 1
 ),
 cw AS (
-  SELECT vec_id, list(code ORDER BY sub_id) AS codes
+  SELECT vec_id,
+         array_to_string(list(code ORDER BY sub_id), '|') AS codes
   FROM pqbest GROUP BY vec_id
 )
 SELECT a.vec_id, a.bucket, c.codes
