@@ -973,3 +973,52 @@ SELECT doc_id,
          AS n_tokens_kept
 FROM ranked GROUP BY doc_id
 """
+
+
+def softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication (the downweight-don't-drop recipe, cf. SoftDeDup
+    /
+    "perplexed by perplexity" lines of work): instead of evicting
+    near-duplicates, every document gets a sampling weight
+    round_half_up(10⁶ / cluster_size) so a k-way duplicate cluster
+    contributes ~one document's worth of expected training mass while
+    preserving every variant's text. Docs outside any near-dup component
+    keep weight 10⁶. Output: (doc_id, cluster_size, weight_micro) —
+    pure BIGINTs.
+
+    Scale shape: cluster sizes are one aggregate over the component
+    relation (∝ near-dup docs, tiny next to the corpus) joined back to
+    the doc ids as a broadcast; the corpus text never shuffles — the
+    same anti-join stance as minhash_dedup_survivors, with the eviction
+    replaced by arithmetic. [extension]"""
+    comp = minhash_dup_components(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cl"))
+    member = comp.join(sizes, "component").select(
+        "doc_id", F.col("cl").alias("cluster_size")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(F.broadcast(member), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_size", F.lit(1)).cast("long").alias(
+            "cluster_size"
+        ),
+        F.expr(
+            "(2 * 1000000 + coalesce(cluster_size, 1))"
+            " DIV (2 * coalesce(cluster_size, 1))"
+        ).alias("weight_micro"),
+    )
+
+
+QUERIES["softdedup_weights"] = softdedup_weights
+
+ORACLE["softdedup_weights"] = f"""{_CC_CHAIN},
+sdsz AS (SELECT component, count(*) AS cl FROM comps GROUP BY component),
+sdmem AS (
+  SELECT c.doc_id, s.cl FROM comps c JOIN sdsz s USING (component)
+)
+SELECT d.doc_id,
+       CAST(coalesce(m.cl, 1) AS BIGINT) AS cluster_size,
+       (2 * 1000000 + coalesce(m.cl, 1)) // (2 * coalesce(m.cl, 1))
+         AS weight_micro
+FROM documents d LEFT JOIN sdmem m USING (doc_id)
+"""

@@ -405,3 +405,51 @@ SELECT doc_id, count(*) AS n_words,
 FROM toks JOIN enc USING (word)
 GROUP BY doc_id
 """
+
+
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: subword tokens emitted per
+    whitespace word (the BPE-ish regex segmenter over the corpus, the
+    same segmentation token_counts uses) — THE multilingual-tokenizer
+    health metric: a language whose fertility is 2× another's pays 2×
+    the sequence length for the same content, and vocab allocation is
+    rebalanced on exactly this table. Fertility ships as round-half-up
+    micros of Σsubwords/Σwords — pure BIGINTs.
+
+    Shape: one map-side per-doc projection (two counters per row), one
+    |langs|-row hash aggregate. [extension]"""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.split("text", " ")).cast("long")
+    sub = F.size(
+        F.regexp_extract_all(
+            F.col("text"), F.lit(r"[a-z]{1,4}|[0-9]+|[^a-z0-9 ]"), 0
+        )
+    ).cast("long")
+    per = docs.select("lang", ws.alias("ws"), sub.alias("sub"))
+    return per.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws").alias("total_words"),
+        F.sum("sub").alias("total_subwords"),
+        F.expr(
+            "(2 * 1000000 * sum(sub) + sum(ws)) DIV (2 * sum(ws))"
+        ).alias("fertility_micro"),
+    )
+
+
+QUERIES["tokenizer_fertility_by_lang"] = tokenizer_fertility_by_lang
+
+ORACLE["tokenizer_fertility_by_lang"] = """
+WITH per AS (
+  SELECT lang,
+         len(string_split(text, ' ')) AS ws,
+         len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]+|[^a-z0-9 ]'))
+           AS sub
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(ws) AS BIGINT) AS total_words,
+       CAST(sum(sub) AS BIGINT) AS total_subwords,
+       CAST((2 * 1000000 * sum(sub) + sum(ws)) // (2 * sum(ws)) AS BIGINT)
+         AS fertility_micro
+FROM per GROUP BY lang
+"""

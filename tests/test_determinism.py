@@ -94,6 +94,8 @@ _SENSITIVE = [
     "split_leakage_repair",  # precedence eviction over the leaked-pair set
     "gini_order_values",  # rank-sum Gini as one shared binary64 division
     "rm3_expanded_retrieval",  # two-round posting joins + integer 2:1 mix
+    "softdedup_weights",  # cluster-size downweight over the CC relation
+    "tokenizer_fertility_by_lang",  # regex segmenter ratio in micros
 ]
 
 
