@@ -207,3 +207,82 @@ FROM sharded GROUP BY shard, source
 
 
 ORACLE["training_manifest"] = _manifest_oracle()
+
+
+def curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-stop corpus-health scoreboard — the five counts a curation
+    dashboard leads with, each computed by the engine's own audit
+    surface and unioned into (metric, value) rows: corpus size, exact-
+    duplicate docs (Σ copies beyond the canonical), docs inside a
+    near-dup component, split-leaking near-dup pairs, and the docs the
+    leakage repair evicts. Every value is a BIGINT count; every
+    underlying relation is the same one the standalone query ships, so
+    the report can never drift from the audits it summarizes.
+
+    Shape: five independent aggregates, each collapsing to ONE row
+    before the union — the report is 5 rows at any corpus size.
+    [extension]"""
+    from .dedup import dedup_exact
+    from .sampling import split_leakage_audit, split_leakage_repair
+
+    def one(name: str, df: DataFrame, value: F.Column) -> DataFrame:
+        return df.agg(value.cast("long").alias("value")).select(
+            F.lit(name).alias("metric"), "value"
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    parts = [
+        one("n_docs", docs, F.count("*")),
+        one(
+            "exact_dup_docs",
+            dedup_exact(spark, sf_dir),
+            F.sum(F.col("n_copies") - 1),
+        ),
+        one(
+            "near_dup_member_docs",
+            minhash_dup_components(spark, sf_dir),
+            F.count("*"),
+        ),
+        one(
+            "leaked_pairs",
+            split_leakage_audit(spark, sf_dir).filter(F.col("leaked")),
+            F.count("*"),
+        ),
+        one(
+            "evicted_docs",
+            split_leakage_repair(spark, sf_dir).filter(F.col("evicted")),
+            F.count("*"),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+QUERIES["curation_report"] = curation_report
+
+
+def _curation_report_oracle() -> str:
+    from .dedup import ORACLE as _D
+    from .sampling import ORACLE as _S
+
+    comps_count = f"""{_CC_CHAIN}
+SELECT count(*) AS v FROM comps"""
+    return f"""
+SELECT 'n_docs' AS metric, CAST(count(*) AS BIGINT) AS value FROM documents
+UNION ALL
+SELECT 'exact_dup_docs', CAST(sum(n_copies - 1) AS BIGINT)
+FROM ({_D["dedup_exact"]})
+UNION ALL
+SELECT 'near_dup_member_docs', CAST(v AS BIGINT) FROM ({comps_count})
+UNION ALL
+SELECT 'leaked_pairs', CAST(count(*) AS BIGINT)
+FROM ({_S["split_leakage_audit"]}) WHERE leaked
+UNION ALL
+SELECT 'evicted_docs', CAST(count(*) AS BIGINT)
+FROM ({_S["split_leakage_repair"]}) WHERE evicted
+"""
+
+
+ORACLE["curation_report"] = _curation_report_oracle()

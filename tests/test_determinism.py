@@ -96,6 +96,7 @@ _SENSITIVE = [
     "rm3_expanded_retrieval",  # two-round posting joins + integer 2:1 mix
     "softdedup_weights",  # cluster-size downweight over the CC relation
     "tokenizer_fertility_by_lang",  # regex segmenter ratio in micros
+    "curation_report",  # five 1-row audits unioned (counts only)
 ]
 
 
