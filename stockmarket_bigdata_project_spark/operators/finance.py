@@ -13,6 +13,7 @@ stock-market engine is actually asked for — every one a single
                       built from window avgs (identical formula both engines)
   max_drawdown        running-peak drawdown + per-supplier max
   cumulative_return   compounded return via exp(sum(log1p(r))) - 1
+  drawdown_durations  below-peak episodes (gaps-and-islands, integer depth)
   trend_mann_kendall  Mann-Kendall S + Theil-Sen slope over the trailing
                       TREND_WINDOW dates (per-key-bounded pair join)
 
@@ -500,3 +501,81 @@ SELECT n.l_suppkey, n.n_days, s.n_pairs, s.mk_s, m.sen_slope
 FROM nd n JOIN st s USING (l_suppkey) JOIN sen m USING (l_suppkey)
 """,
 }
+
+
+def drawdown_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drawdown EPISODES per supplier: each maximal run of consecutive
+    trading days strictly below the running peak, with its start/end
+    date, length, and trough depth in integer micro units — the
+    time-under-water table a risk report pairs with max_drawdown's
+    pointwise series. Gaps-and-islands: below-peak rows grouped by
+    rn − row_number-within-flag (the duplicate_spans idiom on the date
+    axis); depth is max of the SAME integer q max_drawdown computes, so
+    the two queries can't disagree.
+
+    Shape: one suppkey exchange feeds the peak window, both ranks, and
+    the episode aggregate. [extension]"""
+    s = supplier_daily_ohlcv(spark, sf_dir)
+    w = Window.partitionBy("l_suppkey").orderBy("trade_date").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = F.expr("CAST(round(close_px * 100) AS BIGINT)")
+    peak_c = F.max(c).over(w)
+    num = (peak_c - c) * F.lit(2_000_000).cast("long") + peak_c
+    den = 2 * peak_c
+    base = s.select(
+        "l_suppkey",
+        "trade_date",
+        ((num - F.pmod(num, den)) / den).cast("long").alias("q"),
+    )
+    wall = Window.partitionBy("l_suppkey").orderBy("trade_date")
+    wflag = Window.partitionBy("l_suppkey", "under").orderBy("trade_date")
+    grouped = (
+        base.withColumn("under", (F.col("q") > 0).cast("int"))
+        .withColumn(
+            "grp",
+            F.row_number().over(wall) - F.row_number().over(wflag),
+        )
+        .filter(F.col("under") == 1)
+    )
+    return grouped.groupBy("l_suppkey", "grp").agg(
+        F.min("trade_date").alias("start_date"),
+        F.max("trade_date").alias("end_date"),
+        F.count("*").alias("n_days"),
+        F.max("q").alias("trough_micro"),
+    ).select(
+        "l_suppkey", "start_date", "end_date", "n_days", "trough_micro"
+    )
+
+
+QUERIES["drawdown_durations"] = drawdown_durations
+
+ORACLE["drawdown_durations"] = f"""
+WITH stock AS ({SUPPLIER_DAILY_SQL}),
+qd AS (
+  SELECT l_suppkey, trade_date,
+         ((peak_c - c) * 2000000 + peak_c) // (2 * peak_c) AS q
+  FROM (
+    SELECT l_suppkey, trade_date,
+           CAST(round(close_px * 100) AS BIGINT) AS c,
+           max(CAST(round(close_px * 100) AS BIGINT))
+             OVER (PARTITION BY l_suppkey ORDER BY trade_date
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS peak_c
+    FROM stock
+  )
+), flagged AS (
+  SELECT l_suppkey, trade_date, q,
+         CASE WHEN q > 0 THEN 1 ELSE 0 END AS under,
+         row_number() OVER (PARTITION BY l_suppkey ORDER BY trade_date)
+           - row_number() OVER (PARTITION BY l_suppkey,
+                                CASE WHEN q > 0 THEN 1 ELSE 0 END
+                                ORDER BY trade_date) AS grp
+  FROM qd
+)
+SELECT l_suppkey, min(trade_date) AS start_date,
+       max(trade_date) AS end_date, count(*) AS n_days,
+       CAST(max(q) AS BIGINT) AS trough_micro
+FROM flagged WHERE under = 1
+GROUP BY l_suppkey, grp
+"""

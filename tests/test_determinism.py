@@ -97,6 +97,7 @@ _SENSITIVE = [
     "softdedup_weights",  # cluster-size downweight over the CC relation
     "tokenizer_fertility_by_lang",  # regex segmenter ratio in micros
     "curation_report",  # five 1-row audits unioned (counts only)
+    "drawdown_durations",  # islands of the integer drawdown quantizer
 ]
 
 

@@ -573,3 +573,57 @@ def test_trend_mann_kendall_pure_python(spark, sf_dir):
     got = {r.l_suppkey: (r.n_days, r.n_pairs, r.mk_s, r.sen_slope)
            for r in trend_mann_kendall(spark, sf_dir).collect()}
     assert got == expect
+
+
+def test_drawdown_durations_pure_python(spark, sf_dir):
+    """Pure-Python recompute of the drawdown-episode table (the second
+    finance query to enter the r5 window post-pre-screen): rebuild the
+    per-supplier close series, the running peak, the round-half-up
+    micro depth q, and the below-peak islands."""
+    import datetime as dt
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from stockmarket_bigdata_project_spark.operators.finance import (
+        drawdown_durations,
+    )
+
+    t = pq.read_table(
+        table_path(sf_dir, "lineitem"),
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                 "l_orderkey", "l_linenumber"],
+    )
+    cols = {c: t.column(c).to_pylist() for c in t.column_names}
+    close = {}
+    for sk, sd, px, ok, ln in zip(cols["l_suppkey"], cols["l_shipdate"],
+                                  cols["l_extendedprice"],
+                                  cols["l_orderkey"], cols["l_linenumber"]):
+        day = sd.date() if isinstance(sd, dt.datetime) else sd
+        cents_px = int(Decimal(repr(px * 100)).to_integral_value(
+            ROUND_HALF_UP))
+        key = (ok * 16 + ln) * 100_000_000 + cents_px
+        cur = close.get((sk, day))
+        if cur is None or key > cur[0]:
+            close[(sk, day)] = (key, cents_px)
+    per_supp = defaultdict(list)
+    for (sk, day), (_, c) in close.items():
+        per_supp[sk].append((day, c))
+    expect = set()
+    for sk, rows in per_supp.items():
+        rows.sort()
+        peak, run = 0, []
+        for day, c in rows:
+            peak = max(peak, c)
+            q = ((peak - c) * 2_000_000 + peak) // (2 * peak)
+            if q > 0:
+                run.append((day, q))
+            else:
+                if run:
+                    expect.add((sk, run[0][0], run[-1][0], len(run),
+                                max(x for _, x in run)))
+                run = []
+        if run:
+            expect.add((sk, run[0][0], run[-1][0], len(run),
+                        max(x for _, x in run)))
+    got = {(r.l_suppkey, r.start_date, r.end_date, r.n_days, r.trough_micro)
+           for r in drawdown_durations(spark, sf_dir).collect()}
+    assert got == expect
