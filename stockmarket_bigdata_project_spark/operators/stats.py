@@ -1126,3 +1126,92 @@ SELECT c_nationkey,
          / CAST(count(*) * CAST(sum(cents) AS BIGINT) AS DOUBLE) AS gini
 FROM ranked GROUP BY c_nationkey
 """
+
+
+def lorenz_decile_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lorenz curve behind gini_order_values: per nation, the share
+    of total order value held by the bottom d/10 of orders (value asc,
+    o_orderkey tiebreak), d = 1..10, in round-half-up micros — the
+    concentration curve a marketplace plots next to the Gini scalar.
+    All-BIGINT: decile cut = rank ≤ (d·n) div 10 (exact), cumulative
+    cents ≤ total ≈ 10¹¹ per nation so the 2·cum·10⁶ scaling stays well
+    under 2^63.
+
+    Shape: the same single hashpartitioning(nation) exchange as the
+    Gini — rank window + ONE conditional aggregation emitting all ten
+    arms, then a 10-way union of the per-nation row. [extension]"""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    j = o.join(c, "o_custkey").select("c_nationkey", "o_orderkey", "cents")
+    w = Window.partitionBy("c_nationkey").orderBy("cents", "o_orderkey")
+    wn = Window.partitionBy("c_nationkey")
+    ranked = j.withColumn("rn", F.row_number().over(w).cast("long")).withColumn(
+        "n", F.count("*").over(wn).cast("long")
+    )
+    per_nation = ranked.groupBy("c_nationkey").agg(
+        F.max("n").alias("n_orders"),
+        F.sum("cents").alias("total_cents"),
+        *[
+            F.sum(
+                F.when(
+                    F.col("rn") <= F.expr(f"({d} * n) DIV 10"),
+                    F.col("cents"),
+                ).otherwise(F.lit(0))
+            ).alias(f"cum_{d}")
+            for d in range(1, 11)
+        ],
+    )
+    arms = [
+        per_nation.select(
+            "c_nationkey",
+            F.lit(d).alias("decile"),
+            F.col(f"cum_{d}").alias("cum_cents"),
+            F.expr(
+                f"(2 * cum_{d} * 1000000 + total_cents)"
+                " DIV (2 * total_cents)"
+            ).alias("share_micro"),
+        )
+        for d in range(1, 11)
+    ]
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out
+
+
+QUERIES["lorenz_decile_shares"] = lorenz_decile_shares
+
+_LORENZ_ARM_SQL = """
+SELECT c_nationkey, {d} AS decile, cum_{d} AS cum_cents,
+       (2 * cum_{d} * 1000000 + total_cents) // (2 * total_cents)
+         AS share_micro
+FROM lorenz_pn
+"""
+
+ORACLE["lorenz_decile_shares"] = f"""
+WITH lorenz_j AS (
+  SELECT c.c_nationkey, o.o_orderkey,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), lorenz_r AS (
+  SELECT c_nationkey, cents,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY cents, o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY c_nationkey) AS n
+  FROM lorenz_j
+), lorenz_pn AS (
+  SELECT c_nationkey,
+         CAST(sum(cents) AS BIGINT) AS total_cents,
+         {", ".join(
+             f"CAST(sum(CASE WHEN rn <= ({d} * n) // 10 THEN cents"
+             f" ELSE 0 END) AS BIGINT) AS cum_{d}" for d in range(1, 11))}
+  FROM lorenz_r GROUP BY c_nationkey
+)
+{" UNION ALL ".join(_LORENZ_ARM_SQL.format(d=d) for d in range(1, 11))}
+"""

@@ -98,6 +98,7 @@ _SENSITIVE = [
     "tokenizer_fertility_by_lang",  # regex segmenter ratio in micros
     "curation_report",  # five 1-row audits unioned (counts only)
     "drawdown_durations",  # islands of the integer drawdown quantizer
+    "lorenz_decile_shares",  # rank-cut cumulative shares in micros
 ]
 
 
