@@ -1786,3 +1786,107 @@ FROM (
   FROM r2scores
 ) WHERE rank <= {SR_TOP_K}
 """
+
+
+def ivf_pq_eval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K of the full IVF-PQ search path against exact L2 — the
+    end-to-end eval closing the ANN matrix (retrieval_eval_recall covers
+    IVF/cosine, pq_eval_recall covers PQ+re-rank; this one measures the
+    COMPOSED pruning+quantization loss a production IVFADC deployment
+    actually pays). Per query: |exact-L2 top-K ∩ ivf_pq_topk| and the
+    recall in integer micro units. On this corpus the number is low by
+    construction (random embeddings + ADC-only ranking) — the eval's job
+    is to report exactly that before anyone trusts the index.
+    [extension]"""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("mvec").alias("qvec")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("dist_sq"), F.asc("cand_id")
+    )
+    exact = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            _pq_l2("mvec", "qvec").cast("long").alias("dist_sq"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "cand_id")
+    )
+    approx = ivf_pq_topk(spark, sf_dir).select("query_id", "cand_id")
+    hits = (
+        exact.join(approx, ["query_id", "cand_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    base = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+        )
+        .withColumn(
+            "recall_micro",
+            F.expr("(2 * n_hit * 1000000 + n_exact) DIV (2 * n_exact)"),
+        )
+    )
+
+
+QUERIES["ivf_pq_eval_recall"] = ivf_pq_eval_recall
+
+ORACLE["ivf_pq_eval_recall"] = f"""
+WITH {_PQ_ADC_SQL},
+{_PQ_EXACT_L2_SQL.lstrip().lstrip(",")},
+ivfcent3 AS MATERIALIZED (
+  SELECT vec_id AS centroid_id, mvec AS cvec FROM pqe
+  WHERE vec_id < {N_CENTROIDS}
+),
+ivfassign3 AS MATERIALIZED (
+  SELECT vec_id, centroid_id AS bucket FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY CAST(list_sum(list_transform(list_zip(e.mvec, c.cvec),
+                      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) ASC,
+                      c.centroid_id ASC) AS rn
+    FROM pqe e CROSS JOIN ivfcent3 c
+  ) WHERE rn = 1
+),
+ivfprobe3 AS MATERIALIZED (
+  SELECT query_id, centroid_id AS bucket FROM (
+    SELECT q.vec_id AS query_id, c.centroid_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY CAST(list_sum(list_transform(list_zip(q.mvec, c.cvec),
+                      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) ASC,
+                      c.centroid_id ASC) AS rn
+    FROM pqe q CROSS JOIN ivfcent3 c WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rn <= {NPROBE}
+),
+ivfapprox AS (
+  SELECT query_id, cand_id FROM (
+    SELECT d.query_id, d.cand_id, d.adc_dist_sq,
+           row_number() OVER (PARTITION BY d.query_id
+                              ORDER BY d.adc_dist_sq ASC, d.cand_id ASC)
+             AS rank
+    FROM pqdists d
+    JOIN ivfassign3 a ON a.vec_id = d.cand_id
+    JOIN ivfprobe3 p ON p.query_id = d.query_id AND p.bucket = a.bucket
+  ) WHERE rank <= {TOP_K}
+), ivfrb AS (
+  SELECT query_id, count(*) AS n_exact FROM pqexact GROUP BY query_id
+), ivfrh AS (
+  SELECT e.query_id, count(*) AS n_hit
+  FROM pqexact e JOIN ivfapprox a USING (query_id, cand_id)
+  GROUP BY e.query_id
+)
+SELECT b.query_id, b.n_exact,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       (2 * CAST(coalesce(h.n_hit, 0) AS BIGINT) * 1000000 + b.n_exact)
+         // (2 * b.n_exact) AS recall_micro
+FROM ivfrb b LEFT JOIN ivfrh h USING (query_id)
+"""

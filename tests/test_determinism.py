@@ -99,6 +99,7 @@ _SENSITIVE = [
     "curation_report",  # five 1-row audits unioned (counts only)
     "drawdown_durations",  # islands of the integer drawdown quantizer
     "lorenz_decile_shares",  # rank-cut cumulative shares in micros
+    "ivf_pq_eval_recall",  # composed-path recall in integer micros
 ]
 
 
