@@ -1517,3 +1517,74 @@ WITH vtoks AS (
 )
 {" UNION ALL ".join(_COV_ARM_SQL.format(k=k) for k in COVERAGE_KS)}
 """
+
+
+def char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class composition per source: total chars and the
+    alpha / digit / space / other fractions in round-half-up micros —
+    the first-glance corpus profile that catches a source gone binary,
+    a scraped table dump (digit-heavy), or whitespace-mangled text
+    before any tokenizer runs. Class counts come from
+    length(regexp_replace(text, class, '')) differences — pure map-side
+    expressions in the RE2∩Java-portable regex subset; one |sources|-row
+    hash aggregate. [extension]"""
+    docs = load_table(spark, sf_dir, "documents")
+    total = F.length("text").cast("long")
+    alpha = (
+        total - F.length(F.regexp_replace(F.col("text"), "[a-z]", ""))
+    ).cast("long")
+    digit = (
+        total - F.length(F.regexp_replace(F.col("text"), "[0-9]", ""))
+    ).cast("long")
+    space = (
+        total - F.length(F.regexp_replace(F.col("text"), " ", ""))
+    ).cast("long")
+    per = docs.select(
+        "source",
+        total.alias("t"),
+        alpha.alias("a"),
+        digit.alias("d"),
+        space.alias("s"),
+    )
+
+    def frac(col: str) -> F.Column:
+        return F.expr(
+            f"(2 * 1000000 * sum({col}) + sum(t)) DIV (2 * sum(t))"
+        )
+
+    return per.groupBy("source").agg(
+        F.sum("t").alias("total_chars"),
+        frac("a").alias("alpha_micro"),
+        frac("d").alias("digit_micro"),
+        frac("s").alias("space_micro"),
+        F.expr(
+            "(2 * 1000000 * (sum(t) - sum(a) - sum(d) - sum(s)) + sum(t))"
+            " DIV (2 * sum(t))"
+        ).alias("other_micro"),
+    )
+
+
+QUERIES["char_class_profile"] = char_class_profile
+
+ORACLE["char_class_profile"] = """
+WITH per AS (
+  SELECT source,
+         length(text) AS t,
+         length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS a,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS d,
+         length(text) - length(regexp_replace(text, ' ', '', 'g')) AS s
+  FROM documents
+)
+SELECT source,
+       CAST(sum(t) AS BIGINT) AS total_chars,
+       (2 * 1000000 * CAST(sum(a) AS BIGINT) + CAST(sum(t) AS BIGINT))
+         // (2 * CAST(sum(t) AS BIGINT)) AS alpha_micro,
+       (2 * 1000000 * CAST(sum(d) AS BIGINT) + CAST(sum(t) AS BIGINT))
+         // (2 * CAST(sum(t) AS BIGINT)) AS digit_micro,
+       (2 * 1000000 * CAST(sum(s) AS BIGINT) + CAST(sum(t) AS BIGINT))
+         // (2 * CAST(sum(t) AS BIGINT)) AS space_micro,
+       (2 * 1000000 * CAST(sum(t) - sum(a) - sum(d) - sum(s) AS BIGINT)
+        + CAST(sum(t) AS BIGINT))
+         // (2 * CAST(sum(t) AS BIGINT)) AS other_micro
+FROM per GROUP BY source
+"""

@@ -100,6 +100,7 @@ _SENSITIVE = [
     "drawdown_durations",  # islands of the integer drawdown quantizer
     "lorenz_decile_shares",  # rank-cut cumulative shares in micros
     "ivf_pq_eval_recall",  # composed-path recall in integer micros
+    "char_class_profile",  # class-count ratios in micros
 ]
 
 
