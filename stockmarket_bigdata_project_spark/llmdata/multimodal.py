@@ -576,3 +576,50 @@ SELECT p.media_a, h.media_id AS media_b, p.ahash_a, h.ahash AS ahash_b,
        CAST(bit_count(xor(p.ahash_a, h.ahash)) AS INTEGER) AS hamming
 FROM probes p JOIN hashed h ON h.ahash = p.probe AND p.media_a < h.media_id
 """
+
+
+def media_storage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-media-kind storage footprint: asset count, total/max payload
+    bytes, and each kind's share of the corpus payload in round-half-up
+    micros — the capacity-planning table a 100 TB multimodal lake reads
+    before choosing compaction targets. Payload bytes come from
+    length() on the binary column; the scan prunes the payload content
+    for every other column (the media_catalog plan argument), and the
+    output is |kinds| rows.
+
+    The share denominator is the corpus total (a 1-row broadcast),
+    numerators are per-kind BIGINT sums — all integer. [extension]"""
+    m = media_table(spark, sf_dir)
+    per = m.groupBy("kind").agg(
+        F.count("*").alias("n_assets"),
+        F.sum(F.length("payload")).alias("total_bytes"),
+        F.max(F.length("payload")).alias("max_bytes"),
+    )
+    tot = per.agg(F.sum("total_bytes").alias("corpus_bytes"))
+    return per.join(F.broadcast(tot)).select(
+        "kind",
+        "n_assets",
+        "total_bytes",
+        "max_bytes",
+        F.expr(
+            "(2 * 1000000 * total_bytes + corpus_bytes)"
+            " DIV (2 * corpus_bytes)"
+        ).alias("share_micro"),
+    )
+
+
+QUERIES["media_storage_report"] = media_storage_report
+
+ORACLE["media_storage_report"] = f"""
+WITH {_MEDIA_SQL},
+per AS (
+  SELECT kind, count(*) AS n_assets,
+         CAST(sum(length(payload_hex)) AS BIGINT) AS total_bytes,
+         CAST(max(length(payload_hex)) AS BIGINT) AS max_bytes
+  FROM media GROUP BY kind
+), tot AS (SELECT CAST(sum(total_bytes) AS BIGINT) AS corpus_bytes FROM per)
+SELECT kind, n_assets, total_bytes, max_bytes,
+       (2 * 1000000 * total_bytes + corpus_bytes) // (2 * corpus_bytes)
+         AS share_micro
+FROM per, tot
+"""

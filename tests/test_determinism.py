@@ -101,6 +101,7 @@ _SENSITIVE = [
     "lorenz_decile_shares",  # rank-cut cumulative shares in micros
     "ivf_pq_eval_recall",  # composed-path recall in integer micros
     "char_class_profile",  # class-count ratios in micros
+    "media_storage_report",  # BIGINT byte sums + share micros
 ]
 
 
