@@ -97,6 +97,21 @@ _INTRODUCED_R5: frozenset[str] = frozenset(
      "pq_eval_recall", "induced_stopword_density"}
 )
 
+# Queries introduced during round 6: rank after _INTRODUCED_R5 so the round-7
+# closure window (the 16 remaining oracle + 7 rows-only queries pinned in
+# COVERAGE.md) cannot be queue-jumped. 16 + 7 + |_INTRODUCED_R6| must stay
+# ≤ 50 for round 7 to close the whole registry (tests/test_registry.py pins
+# this bound).
+_INTRODUCED_R6: frozenset[str] = frozenset()
+
+
+def _introduced_rank(name: str) -> int:
+    if name in _INTRODUCED_R6:
+        return 2
+    if name in _INTRODUCED_R5:
+        return 1
+    return 0
+
 
 # The dynamic loader reads every recorded round (r01, r02, ...) so the
 # rotation self-updates when the driver writes new results — no manual
@@ -175,7 +190,7 @@ def _rotate(items: dict, oracle_names: frozenset[str], origin: dict) -> dict:
         return (
             tier,
             name not in red_fixes,
-            name in _INTRODUCED_R5,
+            _introduced_rank(name),
             mod_rank,
         )
 
