@@ -75,15 +75,63 @@ class ParquetDocumentStore:
     def __init__(self, path: str | None = None):
         self.path = path or tempfile.mkdtemp(prefix="spark_graft_docstore_")
 
+    @property
+    def _staging(self) -> str:
+        return self.path.rstrip("/") + "__staging"
+
+    @property
+    def _old(self) -> str:
+        return self.path.rstrip("/") + "__old"
+
+    def _recover(self) -> None:
+        """Finish an interrupted swap. The swap order (write staging →
+        move live aside → move staging in → drop aside) means a crash at
+        any point leaves a complete copy of the collection on disk:
+
+        * live path present → nothing to do (stray staging/old are from a
+          crash BEFORE the aside-move: the live dir is still authoritative);
+        * live path missing, staging present → the staging write completed
+          (it precedes the aside-move), so staging IS the merged result;
+        * live path missing, only old present → crashed between the two
+          renames with no staging (impossible in this ordering, but the
+          aside copy is the last known-good state — restore it)."""
+        if os.path.isdir(self.path):
+            return
+        if os.path.isdir(self._staging):
+            os.rename(self._staging, self.path)
+            shutil.rmtree(self._old, ignore_errors=True)
+        elif os.path.isdir(self._old):
+            os.rename(self._old, self.path)
+
     def _base(self, spark: SparkSession) -> DataFrame | None:
-        """Existing collection, or None when path holds no parquet yet."""
+        """Existing collection, or None when path holds no parquet yet.
+
+        Only the genuinely-empty cases (no directory, or a directory with
+        no data files — schema not inferable) classify as "empty store";
+        any other read failure (corruption, permissions, transient FS
+        error) re-raises so the following upsert cannot take the
+        overwrite branch and destroy the existing collection."""
+        from pyspark.errors import AnalysisException
+
+        if not os.path.isdir(self.path):
+            return None
         try:
             return spark.read.parquet(self.path)
-        except Exception:  # missing dir / empty dir: schema not inferable
-            return None
+        except AnalysisException as exc:
+            if "UNABLE_TO_INFER_SCHEMA" in str(exc) or not any(
+                not n.startswith(("_", ".")) for n in os.listdir(self.path)
+            ):
+                return None  # directory exists but holds no data files
+            raise
 
     def upsert(self, df: DataFrame, keys: list[str]) -> None:
+        """Single-writer keyed merge. Concurrent upsert/append/read from
+        other PROCESSES is out of contract (``_lock`` serializes writers
+        within this one); a reader racing the swap can observe a missing
+        path for the instant between the two renames — the recovery rules
+        in ``_recover`` bound the damage of a crash in that window."""
         with _lock:
+            self._recover()
             base = self._base(df.sparkSession)
             if base is None:
                 df.write.mode("overwrite").parquet(self.path)
@@ -91,16 +139,20 @@ class ParquetDocumentStore:
             merged = df.unionByName(
                 base.join(df.select(*keys).distinct(), keys, "left_anti")
             )
-            staging = self.path.rstrip("/") + "__staging"
-            merged.write.mode("overwrite").parquet(staging)
-            shutil.rmtree(self.path, ignore_errors=True)
-            os.rename(staging, self.path)
+            merged.write.mode("overwrite").parquet(self._staging)
+            shutil.rmtree(self._old, ignore_errors=True)
+            os.rename(self.path, self._old)
+            os.rename(self._staging, self.path)
+            shutil.rmtree(self._old, ignore_errors=True)
 
     def append(self, df: DataFrame) -> None:
         with _lock:
+            self._recover()
             df.write.mode("append").parquet(self.path)
 
     def read(self, spark: SparkSession) -> DataFrame:
+        with _lock:
+            self._recover()
         return spark.read.parquet(self.path)
 
 

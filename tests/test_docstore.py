@@ -80,6 +80,48 @@ def test_foreach_batch_upsert_is_idempotent_per_batch(spark):
     assert got == {(1, "a"), (2, "B")}
 
 
+def test_parquet_store_read_failure_does_not_truncate(spark, tmp_path):
+    """A non-empty-store read failure (here: a corrupt file posing as
+    parquet) must RAISE out of upsert, not classify as 'empty store' and
+    take the overwrite branch that would destroy the collection."""
+    import pytest as _pytest
+
+    store = ParquetDocumentStore(path=str(tmp_path / "col"))
+    store.upsert(_df(spark, [(1, "a")]), keys=["k"])
+    (tmp_path / "col" / "part-corrupt.parquet").write_bytes(b"not parquet")
+    with _pytest.raises(Exception):
+        store.upsert(_df(spark, [(2, "b")]), keys=["k"])
+    # the original data file is still on disk — nothing was overwritten
+    import glob as _glob
+
+    survivors = [
+        p
+        for p in _glob.glob(str(tmp_path / "col" / "*.parquet"))
+        if "corrupt" not in p
+    ]
+    assert survivors, "read failure truncated the existing collection"
+
+
+def test_parquet_store_recovers_interrupted_swap(spark):
+    """Crash window between the two swap renames: live path missing, the
+    completed merge stranded in __staging. The next operation through any
+    handle must finish the swap and serve the merged state."""
+    import os
+    import shutil
+
+    store = ParquetDocumentStore()
+    store.upsert(_df(spark, [(1, "a"), (2, "b")]), keys=["k"])
+    # simulate the crash: merged result staged, live dir moved aside
+    shutil.copytree(store.path, store._staging)
+    os.rename(store.path, store._old)
+    reattached = ParquetDocumentStore(path=store.path)
+    got = {(r.k, r.v) for r in reattached.read(spark).collect()}
+    assert got == {(1, "a"), (2, "b")}
+    assert os.path.isdir(store.path) and not os.path.isdir(store._staging)
+    # aside copy from the recovered swap must not shadow future recovery
+    assert not os.path.isdir(store._old)
+
+
 def test_mongo_builder_option_mapping(spark):
     opts = mongo_write_options(
         "mongodb://h:27017", "mkt", "predictions", ["ticker", "timestamp"]
