@@ -68,21 +68,97 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- real decoder (the gated slow path) --------------------------------------
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png_gray8(payload: bytes):
+    """Minimal pure-Python PNG reader (PNG spec, RFC 2083): 8-bit
+    GRAYSCALE, non-interlaced only — the subset the engine's media tests
+    stage. Chunk walk → IHDR geometry → zlib-inflated IDAT → per-scanline
+    unfilter (types 0-4). Exists so the REAL-decode seam executes even in
+    containers that ship no imaging stack (stdlib zlib only); PIL remains
+    the preferred, full-format path in decode_image_real."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, width = 8, None
+    idat = b""
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack(">I", payload[pos : pos + 4]), payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # len + type + data + crc
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, color, interlace) != (8, 0, 0):
+                raise ValueError(
+                    f"pure-Python PNG fallback supports 8-bit grayscale "
+                    f"non-interlaced only (got depth={depth} color={color} "
+                    f"interlace={interlace}); install PIL for full decode"
+                )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(idat)
+    stride = width  # bpp=1 for gray8
+    out = np.empty((height, width), dtype=np.uint8)
+    prev = np.zeros(width, dtype=np.uint8)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1
+        ).astype(np.int32)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) % 256
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need left neighbor
+            cur = np.zeros(width, dtype=np.int32)
+            a = 0
+            for x in range(width):
+                b, c = int(prev[x]), int(prev[x - 1]) if x else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                a = (int(line[x]) + pred) % 256
+                cur[x] = a
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = out[y]
+    return out
+
+
 def decode_image_real(payload: bytes, width: int, height: int):
-    """Decode a real image payload via PIL: bytes → grayscale →
-    (width, height) resize → uint8 ndarray of shape (height, width).
-    Gated: where the container ships no imaging stack this raises
-    NotImplementedError and the deterministic fake path (image_features)
-    exercises the identical Spark plumbing; where PIL IS present the
-    PIL-gated test (tests/test_multimodal.py) drives this through the same
-    mapInPandas batch loop (real_image_features below)."""
+    """Decode a real image payload: bytes → grayscale → (width, height)
+    resize → uint8 ndarray of shape (height, width). PIL where present
+    (full format coverage); otherwise the vendored pure-Python gray8-PNG
+    reader (_decode_png_gray8) so the real-decode slot still EXECUTES in
+    imaging-stack-free containers, with nearest-neighbor resize. Formats
+    outside the fallback's subset fail loud (ValueError) — never a silent
+    wrong answer. The deterministic fake path (image_features) remains the
+    oracle-checked plumbing twin."""
     try:
         import PIL.Image
-    except ImportError as exc:
-        raise NotImplementedError(
-            "real image decode requires PIL; the Spark plumbing is exercised "
-            "by the deterministic fake path (image_features)"
-        ) from exc
+    except ImportError:
+        arr = _decode_png_gray8(bytes(payload))
+        if arr.shape != (height, width):  # nearest-neighbor resize
+            ih, iw = arr.shape
+            rows = (np.arange(height) * ih) // height
+            cols = (np.arange(width) * iw) // width
+            arr = arr[rows][:, cols]
+        return arr
     import io
 
     img = PIL.Image.open(io.BytesIO(payload)).convert("L")

@@ -102,6 +102,18 @@ _SENSITIVE = [
     "ivf_pq_eval_recall",  # composed-path recall in integer micros
     "char_class_profile",  # class-count ratios in micros
     "media_storage_report",  # BIGINT byte sums + share micros
+    # round-6 sweep: the rest of the r5-added oracle set (r5 verdict task
+    # 6) — ranking/tie-sensitive or iterative, pinned under 2 vs 32
+    # shuffle partitions before the round-6/7 gate windows land them
+    "pq_codes",  # packed-BIGINT per-subspace argmin code assembly
+    "pq_rerank_topk",  # ADC candidate cut → exact-L2 rerank tie order
+    "pq_eval_recall",  # ADC-vs-exact recall in integer micros
+    "induced_stopword_density",  # induced top-K cut + broadcast membership
+    "bigram_lm_bits",  # ilog2 conditional bit cost from pair/context counts
+    "pagerank_near_dup",  # fixed-point integer PR iterate order-independence
+    "near_dup_triangles",  # canonicalized triangle closure over pair graph
+    "bpe_train_merges",  # iterative winner picks: UTF-8-byte tie order
+    "scd2_event_history",  # validity-interval windows over event order
 ]
 
 
