@@ -145,10 +145,12 @@ def decode_image_real(payload: bytes, width: int, height: int):
     resize → uint8 ndarray of shape (height, width). PIL where present
     (full format coverage); otherwise the vendored pure-Python gray8-PNG
     reader (_decode_png_gray8) so the real-decode slot still EXECUTES in
-    imaging-stack-free containers, with nearest-neighbor resize. Formats
-    outside the fallback's subset fail loud (ValueError) — never a silent
-    wrong answer. The deterministic fake path (image_features) remains the
-    oracle-checked plumbing twin."""
+    imaging-stack-free containers. BOTH paths resize with nearest-neighbor
+    (PIL gets Resampling.NEAREST explicitly) so mean_px is environment-
+    independent even when source dims differ from the requested dims.
+    Formats outside the fallback's subset fail loud (ValueError) — never a
+    silent wrong answer. The deterministic fake path (image_features)
+    remains the oracle-checked plumbing twin."""
     try:
         import PIL.Image
     except ImportError:
@@ -163,7 +165,7 @@ def decode_image_real(payload: bytes, width: int, height: int):
 
     img = PIL.Image.open(io.BytesIO(payload)).convert("L")
     if img.size != (width, height):
-        img = img.resize((width, height))
+        img = img.resize((width, height), PIL.Image.Resampling.NEAREST)
     return np.asarray(img, dtype=np.uint8)
 
 

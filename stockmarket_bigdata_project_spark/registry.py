@@ -104,8 +104,18 @@ _INTRODUCED_R5: frozenset[str] = frozenset(
 # this bound).
 _INTRODUCED_R6: frozenset[str] = frozenset()
 
+# Queries introduced during round 7: rank after everything pre-existing so
+# the pinned closure set keeps positions 1-23; with 23 pending closure +
+# |_INTRODUCED_R7| ≤ 50 the whole registry still closes in the round-7
+# window (tests/test_registry.py bounds this).
+_INTRODUCED_R7: frozenset[str] = frozenset({
+    "tws_type_counts_batch_twin",
+})
+
 
 def _introduced_rank(name: str) -> int:
+    if name in _INTRODUCED_R7:
+        return 3
     if name in _INTRODUCED_R6:
         return 2
     if name in _INTRODUCED_R5:

@@ -90,17 +90,25 @@ class ParquetDocumentStore:
 
         * live path present → nothing to do (stray staging/old are from a
           crash BEFORE the aside-move: the live dir is still authoritative);
-        * live path missing, staging present → the staging write completed
-          (it precedes the aside-move), so staging IS the merged result;
-        * live path missing, only old present → crashed between the two
-          renames with no staging (impossible in this ordering, but the
-          aside copy is the last known-good state — restore it)."""
+        * live path missing, COMMITTED staging present → the staging write
+          completed (it precedes the aside-move), so staging IS the merged
+          result. Committed = Spark's ``_SUCCESS`` job-commit marker: a
+          Spark writer KILLED mid-staging (executor OOM, driver kill) leaves
+          part-files without the marker, and promoting such a partial merge
+          would silently drop documents — an uncommitted staging dir is
+          garbage, never state;
+        * live path missing otherwise → the aside copy (``__old``) is the
+          last known-good state — restore it and discard any partial
+          staging."""
         if os.path.isdir(self.path):
             return
-        if os.path.isdir(self._staging):
+        if os.path.isdir(self._staging) and os.path.exists(
+            os.path.join(self._staging, "_SUCCESS")
+        ):
             os.rename(self._staging, self.path)
             shutil.rmtree(self._old, ignore_errors=True)
         elif os.path.isdir(self._old):
+            shutil.rmtree(self._staging, ignore_errors=True)
             os.rename(self._old, self.path)
 
     def _base(self, spark: SparkSession) -> DataFrame | None:
@@ -151,9 +159,13 @@ class ParquetDocumentStore:
             df.write.mode("append").parquet(self.path)
 
     def read(self, spark: SparkSession) -> DataFrame:
+        # spark.read.parquet infers schema EAGERLY, so it must stay inside
+        # the lock: released earlier, a concurrent in-process upsert could
+        # rename the live dir away during its two-rename swap window and
+        # fail the read the lock exists to serialize.
         with _lock:
             self._recover()
-        return spark.read.parquet(self.path)
+            return spark.read.parquet(self.path)
 
 
 def mongo_write_options(

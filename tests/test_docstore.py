@@ -122,6 +122,49 @@ def test_parquet_store_recovers_interrupted_swap(spark):
     assert not os.path.isdir(store._old)
 
 
+def test_parquet_store_survives_spark_write_killed_mid_staging(spark):
+    """A Spark writer killed DURING the staging write (executor OOM / driver
+    kill) leaves part-files in __staging with no _SUCCESS commit marker —
+    unlike the os-level crash points between renames, the staging content is
+    a PARTIAL merge. The store must never promote it: with the live dir
+    present it is overwritten by the next upsert; with the live dir lost to
+    a later crash, recovery must restore the __old aside copy, not the
+    partial staging (r6 verdict task 6)."""
+    import os
+    import shutil
+
+    store = ParquetDocumentStore()
+    store.upsert(_df(spark, [(1, "a"), (2, "b")]), keys=["k"])
+
+    # simulate a killed mid-staging write: a lone part-file, no _SUCCESS
+    def stage_partial():
+        shutil.rmtree(store._staging, ignore_errors=True)
+        os.makedirs(store._staging)
+        src = next(
+            n for n in os.listdir(store.path) if n.endswith(".parquet")
+        )
+        shutil.copy(os.path.join(store.path, src),
+                    os.path.join(store._staging, src))
+
+    # case 1: live dir intact — partial staging is garbage; the next upsert
+    # must merge against LIVE and succeed
+    stage_partial()
+    store.upsert(_df(spark, [(2, "B"), (3, "c")]), keys=["k"])
+    got = {(r.k, r.v) for r in store.read(spark).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+    assert not os.path.isdir(store._staging)
+
+    # case 2: live dir lost with a known-good aside copy present — recovery
+    # must restore __old and DISCARD the uncommitted partial staging
+    stage_partial()
+    os.rename(store.path, store._old)
+    reattached = ParquetDocumentStore(path=store.path)
+    got = {(r.k, r.v) for r in reattached.read(spark).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+    assert not os.path.isdir(store._staging)
+    assert not os.path.isdir(store._old)
+
+
 def test_mongo_builder_option_mapping(spark):
     opts = mongo_write_options(
         "mongodb://h:27017", "mkt", "predictions", ["ticker", "timestamp"]

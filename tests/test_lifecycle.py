@@ -50,3 +50,16 @@ def test_transform_with_state_gated(spark, sf_dir, duck):
         L._TWS_ORACLE["transform_with_state_type_counts"],
         name="transform_with_state_type_counts",
     )
+
+
+def test_tws_batch_twin_shares_the_gated_oracle():
+    """The batch twin's oracle IS the gated stateful query's oracle — same
+    string object, so the twin's value-level proof (which runs in every
+    environment, protobuf or not) certifies the exact SQL the gated API
+    path will be checked against on a real cluster (r6 verdict task 4)."""
+    from stockmarket_bigdata_project_spark.streaming import lifecycle as L
+
+    assert (
+        L.ORACLE["tws_type_counts_batch_twin"]
+        is L._TWS_ORACLE["transform_with_state_type_counts"]
+    )

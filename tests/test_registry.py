@@ -3,6 +3,8 @@ spent on maximum-proof-value queries, whatever the current proof state."""
 
 from __future__ import annotations
 
+import pytest
+
 from stockmarket_bigdata_project_spark import registry
 
 
@@ -83,7 +85,8 @@ def test_round5_window_recorded_green():
     the back (r5 verdict task 2)."""
     recorded = _recorded_round(5)
     if not recorded:
-        return  # worktree predates the round-5 record
+        # a lost/missing record must surface as a visible skip, not pass
+        pytest.skip("no round-5 record (CORRECTNESS_r05.json missing)")
     must_have = {
         "extract_tickers_v1", "extract_tickers_v2", "sentiment_score",
         "predict_returns", "eval_metrics", "csv_scan_events",
@@ -143,7 +146,7 @@ def test_r7_closure_cannot_be_queue_jumped():
     pending_closure = [n for n in closure if n not in proven or n in red]
     late = [
         n
-        for n in registry._INTRODUCED_R6
+        for n in registry._INTRODUCED_R6 | registry._INTRODUCED_R7
         if n not in proven or n in red
     ]
     # late oracle queries may not sort before any pending closure ORACLE
@@ -161,8 +164,8 @@ def test_r7_closure_cannot_be_queue_jumped():
 
 def test_introduced_r6_members_are_registered():
     names = set(registry.all_queries())
-    ghost = registry._INTRODUCED_R6 - names
-    assert not ghost, f"_INTRODUCED_R6 names unknown queries: {ghost}"
+    ghost = (registry._INTRODUCED_R6 | registry._INTRODUCED_R7) - names
+    assert not ghost, f"late-introduction sets name unknown queries: {ghost}"
 
 
 def test_every_query_name_is_unique_and_resolvable():
