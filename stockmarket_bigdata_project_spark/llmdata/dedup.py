@@ -170,11 +170,9 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mh.select("doc_id", "h0", "h1", "h2", "h3")
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate generation + exact verification:
-       band signature = concat of BAND_SIZE minhashes → bucket-join within a
-       band → distinct candidate pairs → verify true Jaccard ≥ τ.
-    Every step is an equi-shuffle; nothing is quadratic in corpus size."""
+def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH candidate pairs (doc_a < doc_b), pre-verification — the
+    shared front half of minhash_lsh_pairs and lsh_eval_precision_recall."""
     mh = _minhash_df(spark, sf_dir)
     # All bands in ONE pass over the signature matrix: explode an array of
     # (band, sig) structs instead of a 4-way union — the union form recomputes
@@ -221,6 +219,15 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    return candidates
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate generation + exact verification:
+       band signature = concat of BAND_SIZE minhashes → bucket-join within a
+       band → distinct candidate pairs → verify true Jaccard ≥ τ.
+    Every step is an equi-shuffle; nothing is quadratic in corpus size."""
+    candidates = _lsh_candidates(spark, sf_dir)
     # exact verification of candidates only: the shingle relation is
     # semi-filtered to candidate docs (explode+distinct ∝ |candidates|, see
     # _shingles_df), and the Jaccard denominators are counted from that SAME
@@ -251,6 +258,42 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("jaccard", jac)
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def lsh_eval_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-quality eval for the banded-LSH near-dedup path: one row of
+    (n_truth, n_candidates, n_hits, lsh_recall, candidate_precision) where
+    truth = exact 3-gram Jaccard ≥ τ pairs (the O(n²)-style baseline that
+    exists precisely to score this) and hits = truth ∩ LSH candidates. This
+    is the dial a corpus owner reads before trusting LSH at a scale where
+    the exact baseline is unrunnable — same harness shape as
+    retrieval_eval_recall / pq_eval_recall on the ANN side.
+
+    Scale: reuses the banded candidate join (shuffle-linear) and the
+    inverted-index truth join; the three counts are 1-row aggregates
+    broadcast-crossed, nothing returns to the driver until the single
+    result row."""
+    truth = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    cand = _lsh_candidates(spark, sf_dir)
+    hits = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    nh = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        nt.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_truth")).alias(
+                "lsh_recall"
+            ),
+            (F.col("n_hits").cast("double") / F.col("n_candidates")).alias(
+                "candidate_precision"
+            ),
+        )
     )
 
 
@@ -585,6 +628,7 @@ QUERIES = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
+    "lsh_eval_precision_recall": lsh_eval_precision_recall,
     "near_dup_source_matrix": near_dup_source_matrix,
     "minhash_dup_components": minhash_dup_components,
     "minhash_dup_groups": minhash_dup_groups,
@@ -738,6 +782,40 @@ pairs AS (
     ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
 ),
 {_JACCARD_TAIL.strip()}
+""",
+    "lsh_eval_precision_recall": f"""
+WITH {_SHINGLES_SQL.strip()},
+{_MINHASH_SQL},
+{_BANDS_SQL},
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+),
+counts AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN counts ca ON ca.doc_id = i.doc_a
+  JOIN counts cb ON cb.doc_id = i.doc_b
+  WHERE i.n_inter * 1.0 / (ca.n_sh + cb.n_sh - i.n_inter) >= {JACCARD_THRESHOLD}
+),
+hits AS (
+  SELECT t.doc_a FROM truth t
+  JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+)
+SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+       CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+       CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_hits,
+       CAST((SELECT count(*) FROM hits) AS DOUBLE)
+         / (SELECT count(*) FROM truth) AS lsh_recall,
+       CAST((SELECT count(*) FROM hits) AS DOUBLE)
+         / (SELECT count(*) FROM cand) AS candidate_precision
 """,
     "minhash_dup_components": f"""
 {_CC_CHAIN}

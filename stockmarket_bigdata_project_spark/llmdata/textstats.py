@@ -751,7 +751,80 @@ def winnowing_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation rollup — the table a corpus owner reads before
+    deciding mixture weights: doc count, exact-duplicate count (corpus-wide
+    md5 dedup, charged to the source of the NON-survivor), token mass, and
+    mean quality (integer micro-units, exact mean via rational round-half-up
+    → one shared /10^6 divide).
+
+    Scale: quality/tokens/hash are all computed in the scan projection, so
+    the only exchange carries (hash, ids, ints) — text never shuffles, the
+    same no-text-exchange contract as corpus_clean."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_exprs()
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        q["quality_micro"].alias("micro"),
+        q["n_tokens"].cast("long").alias("toks"),
+    )
+    keeper = F.min("doc_id").over(Window.partitionBy("h"))
+    marked = base.select(
+        "source", "micro", "toks",
+        (F.col("doc_id") != keeper).cast("long").alias("is_dup"),
+    )
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("is_dup").alias("n_dup_docs"),
+        F.sum("toks").alias("total_tokens"),
+        (
+            _round_div_micro(F.sum("micro"), F.count(F.lit(1)))
+            / 1000000.0
+        ).alias("mean_quality"),
+    )
+
+
+# greatest k with 2^k <= n, as pure integer CASE text valid in BOTH engines
+# (floor(log2(n)) is a cross-engine float trap the playbook bans)
+_LOG2_BUCKET_SQL = (
+    "CASE "
+    + " ".join(f"WHEN n >= {1 << k} THEN {k}" for k in range(20, -1, -1))
+    + " ELSE 0 END"
+)
+
+
+def corpus_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length distribution: docs bucketed by power-of-two
+    whitespace-token count — the histogram that sizes context-length /
+    packing decisions (how much of the corpus fits 2^k-token windows).
+    Buckets are exact integer compares, not floor(log2): map-side bucket
+    assignment, one tiny aggregate, 21 output rows max at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(_tok()).cast("long")
+    b = docs.select(n.alias("n")).selectExpr(
+        "n", f"{_LOG2_BUCKET_SQL} AS bucket"
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("total_tokens"),
+            F.min("n").alias("min_tokens"),
+            F.max("n").alias("max_tokens"),
+        )
+        .select(
+            "bucket",
+            F.expr("shiftleft(CAST(1 AS BIGINT), bucket)").alias("bucket_lo"),
+            "n_docs", "total_tokens", "min_tokens", "max_tokens",
+        )
+    )
+
+
 QUERIES = {
+    "source_quality_report": source_quality_report,
+    "corpus_token_histogram": corpus_token_histogram,
     "lang_id_scores": lang_id_scores,
     "quality_scores": quality_scores,
     "token_counts": token_counts,
@@ -795,6 +868,42 @@ QUALITY_MICRO_SQL = (
 )
 
 ORACLE = {
+    "source_quality_report": f"""
+WITH t AS (
+  SELECT doc_id, source, md5(text) AS h,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+         CAST(length(text) - (len(string_split(text, ' ')) - 1) AS BIGINT) AS c,
+         CAST(len(list_filter(string_split(text, ' '), t -> t IN ('{_STOP_SQL}'))) AS BIGINT) AS stop
+  FROM documents
+),
+m AS (
+  SELECT source, n AS toks,
+         CASE WHEN n < 10 THEN 0 ELSE {QUALITY_MICRO_SQL} END AS micro,
+         CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY h)
+              THEN 1 ELSE 0 END AS is_dup
+  FROM t
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(is_dup) AS BIGINT) AS n_dup_docs,
+       CAST(sum(toks) AS BIGINT) AS total_tokens,
+       ((2 * CAST(sum(micro) AS BIGINT) + count(*)) // (2 * count(*)))
+         / 1000000.0 AS mean_quality
+FROM m GROUP BY source
+""",
+    "corpus_token_histogram": f"""
+WITH d AS (
+  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents
+),
+b AS (SELECT n, {_LOG2_BUCKET_SQL} AS bucket FROM d)
+SELECT bucket,
+       (CAST(1 AS BIGINT) << bucket) AS bucket_lo,
+       count(*) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS total_tokens,
+       min(n) AS min_tokens,
+       max(n) AS max_tokens
+FROM b GROUP BY 1
+""",
     "lang_id_scores": f"""
 WITH scored AS (
   SELECT doc_id, lang,

@@ -279,6 +279,31 @@ def recursive_calendar_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- lateral join ------------------------------------------------------------
+def lateral_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer top-3 orders by value via a correlated LATERAL derived
+    table — the SQL-surface twin of the window-rank top-n idiom (ANSI
+    LATERAL, same text runs on DuckDB/Postgres/Trino). Catalyst decorrelates
+    the limit-per-group into a partitioned rank under the hood, so the plan
+    is one co-partitioned join + window, never a per-customer re-scan of
+    orders. Ties on o_totalprice break on o_orderkey inside the LATERAL
+    ORDER BY, keeping the result deterministic. [extension]"""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer_v c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders_v o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 3
+        ) t
+        """
+    )
+
+
 # --- ordered funnel ----------------------------------------------------------
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered 3-step funnel (view → click → purchase): users counted at
@@ -415,9 +440,20 @@ QUERIES = {
     "cohort_retention": cohort_retention,
     "referential_integrity_audit": referential_integrity_audit,
     "event_transition_matrix": event_transition_matrix,
+    "lateral_topn_orders": lateral_topn_orders,
 }
 
 ORACLE = {
+    "lateral_topn_orders": """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 3
+) t
+""",
     "shipping_priority": f"""
 SELECT l_orderkey, o_orderdate, o_orderpriority, {_REV_SQL} AS revenue
 FROM lineitem

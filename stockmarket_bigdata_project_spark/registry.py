@@ -110,6 +110,11 @@ _INTRODUCED_R6: frozenset[str] = frozenset()
 # window (tests/test_registry.py bounds this).
 _INTRODUCED_R7: frozenset[str] = frozenset({
     "tws_type_counts_batch_twin",
+    "jsonl_scan_roundtrip",
+    "source_quality_report",
+    "corpus_token_histogram",
+    "lateral_topn_orders",
+    "lsh_eval_precision_recall",
 })
 
 

@@ -124,6 +124,14 @@ def _stage(spark: SparkSession, sf_dir: str, kind: str) -> str:
             ).write.mode("overwrite").format("xml").option(
                 "rootTag", "events"
             ).option("rowTag", "event").save(out)
+        elif kind == "jsonl":
+            # the training-data interchange format: one JSON document per
+            # line over the documents table — strings with embedded
+            # newlines/quotes travel as JSON escapes, so the roundtrip is
+            # exact without a text-sanitization pass
+            load_table(spark, sf_dir, "documents").select(
+                "doc_id", "text", "lang", "source", "n_chars"
+            ).write.mode("overwrite").json(out)
         else:
             raise ValueError(kind)
         _staged[key] = out
@@ -252,6 +260,24 @@ def xml_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- [extension] JSONL corpus scan -------------------------------------------
+def jsonl_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL (one JSON doc per line) write → scan roundtrip over the
+    documents corpus with a DECLARED schema — no sampling inference pass,
+    which at 100 TB would cost a full extra read before the first real one.
+    JSONL is the de-facto training-data interchange format; this pins that
+    an exported corpus re-ingests byte-identically (text with newlines,
+    quotes, unicode travels as JSON escapes)."""
+    path = _stage(spark, sf_dir, "jsonl")
+    return (
+        spark.read.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .json(path)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+
+
 # --- [extension] schema evolution on read ------------------------------------
 def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mergeSchema scan across parquet batches written under DIFFERENT
@@ -281,6 +307,7 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "jsonl_scan_roundtrip": jsonl_scan_roundtrip,
     "orc_scan_roundtrip": orc_scan_roundtrip,
     "xml_scan_roundtrip": xml_scan_roundtrip,
     "schema_evolution_read": schema_evolution_read,
@@ -291,6 +318,9 @@ QUERIES = {
 }
 
 ORACLE = {
+    "jsonl_scan_roundtrip": """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+""",
     "orc_scan_roundtrip": """
 SELECT event_id, ts, user_id, event_type, value FROM events
 """,

@@ -114,6 +114,12 @@ _SENSITIVE = [
     "near_dup_triangles",  # canonicalized triangle closure over pair graph
     "bpe_train_merges",  # iterative winner picks: UTF-8-byte tie order
     "scd2_event_history",  # validity-interval windows over event order
+    # round-7 introductions (_INTRODUCED_R7), pinned before their gate window
+    "tws_type_counts_batch_twin",  # slice bucketing + running-sum window
+    "source_quality_report",  # corpus-wide dedup window + micro-quality mean
+    "corpus_token_histogram",  # integer log2 bucket rollup
+    "lateral_topn_orders",  # correlated LATERAL limit: price-then-key ties
+    "lsh_eval_precision_recall",  # candidate∩truth counts + two ratios
 ]
 
 
