@@ -1039,3 +1039,71 @@ def test_winnowing_single_exchange(spark, sf_dir):
     assert "hashpartitioning(doc_id" in plan, plan
     assert "rangepartitioning" not in plan.lower(), plan
     assert "Join" not in plan, plan
+
+
+def test_source_quality_report_never_shuffles_text(spark, sf_dir):
+    """source_quality_report: hash/quality/token projections happen in the
+    scan stage, so the dedup-window and per-source exchanges carry only
+    (hash, ids, ints) — at 100 TB the corpus text streams through map-side
+    once and never crosses an exchange."""
+    import re
+
+    from stockmarket_bigdata_project_spark.llmdata.textstats import (
+        source_quality_report,
+    )
+
+    plan = _plan(source_quality_report(spark, sf_dir))
+    for m in re.finditer(r"Exchange [^\n]*", plan):
+        assert "text" not in m.group(0), m.group(0)
+    assert "CartesianProduct" not in plan, plan
+    assert "Join" not in plan, plan  # dedup via window, not self-join
+
+
+def test_corpus_token_histogram_is_one_tiny_aggregate(spark, sf_dir):
+    """corpus_token_histogram: bucket assignment is map-side integer CASE;
+    the only exchange carries (bucket, partial agg) rows — ≤ 21 groups at
+    any corpus size — and partial aggregation must survive so the shuffle
+    stays KB-sized at 100 TB."""
+    import re
+
+    from stockmarket_bigdata_project_spark.llmdata.textstats import (
+        corpus_token_histogram,
+    )
+
+    plan = _plan(corpus_token_histogram(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+    for m in re.finditer(r"Exchange [^\n]*", plan):
+        assert "text" not in m.group(0), m.group(0)
+
+
+def test_lateral_topn_decorrelates_to_window_group_limit(spark, sf_dir):
+    """lateral_topn_orders: the correlated LATERAL LIMIT must decorrelate
+    to a rank window with WindowGroupLimit (the per-group top-k cut applied
+    BEFORE the exchange), joined back by broadcast — never a per-customer
+    re-scan (BroadcastNestedLoopJoin/CartesianProduct)."""
+    from stockmarket_bigdata_project_spark.operators.analytics import (
+        lateral_topn_orders,
+    )
+
+    plan = _plan(lateral_topn_orders(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_lsh_eval_counts_never_shuffle_text(spark, sf_dir):
+    """lsh_eval_precision_recall: truth/candidate/hit counting reuses the
+    shingle inverted index and the banded candidate join — every exchange
+    carries (hash, doc_id, count) rows; the three 1-row count relations
+    cross via broadcast, never a data-sized cartesian."""
+    import re
+
+    from stockmarket_bigdata_project_spark.llmdata.dedup import (
+        lsh_eval_precision_recall,
+    )
+
+    plan = _plan(lsh_eval_precision_recall(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    for m in re.finditer(r"Exchange [^\n]*", plan):
+        assert "text" not in m.group(0), m.group(0)
