@@ -199,7 +199,61 @@ def variant_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_udf_order_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL UDF surface (CREATE FUNCTION ... RETURN expr): the
+    order-value tiering rule defined ONCE as a catalog function and reused
+    by name — the governed-metric-definition pattern (one place to change a
+    business rule, every query picks it up). SQL UDFs inline into the
+    Catalyst plan at analysis time, so unlike Python UDFs they cost nothing:
+    whole-stage codegen sees the CASE expression itself. Oracle inlines the
+    identical CASE — which is exactly what Spark executes."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION order_tier(p DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN p >= 300000 THEN 'jumbo'
+                    WHEN p >= 150000 THEN 'large'
+                    WHEN p >= 50000 THEN 'mid'
+                    ELSE 'small' END
+        """
+    )
+    return spark.sql(
+        """
+        SELECT order_tier(o_totalprice) AS tier,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
+                 AS tier_value
+        FROM orders_v GROUP BY 1
+        """
+    )
+
+
+def collated_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 string-collation surface: distinct counts under binary vs
+    UTF8_LCASE collation over a deterministically case-perturbed event_type
+    (odd event_ids uppercased, so the corpus genuinely mixes case). Under
+    the case-insensitive collation the perturbation collapses back to the
+    original cardinality; under binary it doubles. Collation is a
+    compare-time property — no extra pass, the same hash aggregate runs
+    with a different equality. Oracle models UTF8_LCASE as lower()."""
+    ev = load_table(spark, sf_dir, "events")
+    mixed = ev.select(
+        F.when(
+            F.col("event_id") % 2 == 1, F.upper("event_type")
+        ).otherwise(F.col("event_type")).alias("et")
+    )
+    return mixed.select(
+        F.count_distinct(F.col("et")).alias("n_binary"),
+        F.count_distinct(F.expr("collate(et, 'UTF8_LCASE')")).alias(
+            "n_case_insensitive"
+        ),
+    )
+
+
 QUERIES = {
+    "sql_udf_order_tiers": sql_udf_order_tiers,
+    "collated_distinct_counts": collated_distinct_counts,
     "string_functions": string_functions,
     "map_functions": map_functions,
     "datetime_functions": datetime_functions,
@@ -239,6 +293,25 @@ FROM stock s LEFT JOIN activity a USING (trade_date)
 """
 
 ORACLE = {
+    "sql_udf_order_tiers": """
+SELECT CASE WHEN o_totalprice >= 300000 THEN 'jumbo'
+            WHEN o_totalprice >= 150000 THEN 'large'
+            WHEN o_totalprice >= 50000 THEN 'mid'
+            ELSE 'small' END AS tier,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS tier_value
+FROM orders GROUP BY 1
+""",
+    "collated_distinct_counts": """
+WITH mixed AS (
+  SELECT CASE WHEN event_id % 2 = 1 THEN upper(event_type)
+              ELSE event_type END AS et
+  FROM events
+)
+SELECT count(DISTINCT et) AS n_binary,
+       count(DISTINCT lower(et)) AS n_case_insensitive
+FROM mixed
+""",
     "string_functions": """
 SELECT c_custkey,
        upper(c_name) AS name_upper,

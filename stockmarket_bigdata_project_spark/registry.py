@@ -115,6 +115,8 @@ _INTRODUCED_R7: frozenset[str] = frozenset({
     "corpus_token_histogram",
     "lateral_topn_orders",
     "lsh_eval_precision_recall",
+    "sql_udf_order_tiers",
+    "collated_distinct_counts",
 })
 
 

@@ -120,6 +120,8 @@ _SENSITIVE = [
     "corpus_token_histogram",  # integer log2 bucket rollup
     "lateral_topn_orders",  # correlated LATERAL limit: price-then-key ties
     "lsh_eval_precision_recall",  # candidate∩truth counts + two ratios
+    "sql_udf_order_tiers",  # catalog-function tiering + decimal sums
+    "collated_distinct_counts",  # binary vs UTF8_LCASE distinct counts
 ]
 
 
