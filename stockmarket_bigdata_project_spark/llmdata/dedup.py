@@ -1100,3 +1100,144 @@ SELECT d.doc_id,
          AS weight_micro
 FROM documents d LEFT JOIN sdmem m USING (doc_id)
 """
+
+
+# --- LSH band-load / skew audit ----------------------------------------------
+def minhash_band_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band LSH bucket-load audit: for each of the 4 bands, how many
+    occupied buckets there are, the largest bucket, and the candidate-pair
+    mass Σ s·(s−1)/2 the band contributes to the self-join. This is the
+    dial a corpus owner reads BEFORE running the candidate join at scale:
+    a hot bucket (a boilerplate-heavy signature shared by 10⁶ docs) makes
+    the bucket self-join quadratic in that bucket, and this report finds
+    it with one aggregate — the same pre-flight skew check
+    skewed_key_histogram does for equi-joins, specialized to the banded
+    signature table. Output is 4 rows of pure BIGINTs.
+
+    Scale shape: one pass over the signature matrix (the explode puts all
+    bands in the scan stage), ONE hash exchange on (band, sig), then a
+    4-row rollup — strictly cheaper than the candidate join it audits.
+    [extension]"""
+    mh = _minhash_df(spark, sf_dir)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.concat_ws(
+                    "",
+                    *[f"h{band * BAND_SIZE + j}" for j in range(BAND_SIZE)],
+                ).alias("sig"),
+            )
+            for band in range(N_HASHES // BAND_SIZE)
+        ]
+    )
+    bands = mh.select("doc_id", F.explode(band_structs).alias("bs")).select(
+        F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    bucket = bands.groupBy("band", "sig").agg(F.count("*").alias("s"))
+    return bucket.groupBy("band").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum("s").alias("n_docs"),
+        F.max("s").alias("max_bucket"),
+        F.sum(F.expr("(s * (s - 1)) DIV 2")).alias("candidate_pairs"),
+    )
+
+
+QUERIES["minhash_band_skew_report"] = minhash_band_skew_report
+
+ORACLE["minhash_band_skew_report"] = f"""
+WITH {_SHINGLES_SQL.strip()},
+{_MINHASH_SQL},
+{_BANDS_SQL},
+bsz AS (SELECT band, sig, count(*) AS s FROM bands GROUP BY band, sig)
+SELECT band,
+       count(*) AS n_buckets,
+       CAST(sum(s) AS BIGINT) AS n_docs,
+       CAST(max(s) AS BIGINT) AS max_bucket,
+       CAST(sum((s * (s - 1)) // 2) AS BIGINT) AS candidate_pairs
+FROM bsz GROUP BY band
+"""
+
+
+# --- dup-cluster size distribution -------------------------------------------
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram of the resolved near-dup components — the
+    power-law health check every dedup run reports (a corpus dominated by
+    a few giant clusters points at boilerplate/templating, not genuine
+    duplication; cf. the cluster-size plots in the C4/RefinedWeb dedup
+    writeups). Output: (cluster_size, n_clusters), pure BIGINTs.
+
+    Scale shape: two K-row aggregates past the component resolution
+    (∝ near-dup docs, tiny next to the corpus); nothing new shuffles.
+    [extension]"""
+    groups = minhash_dup_groups(spark, sf_dir)
+    return groups.groupBy(F.col("n_docs").alias("cluster_size")).agg(
+        F.count("*").alias("n_clusters")
+    )
+
+
+QUERIES["dup_cluster_size_histogram"] = dup_cluster_size_histogram
+
+ORACLE["dup_cluster_size_histogram"] = f"""{_CC_CHAIN},
+gsz AS (SELECT component, count(*) AS n_docs FROM comps GROUP BY component)
+SELECT n_docs AS cluster_size, count(*) AS n_clusters
+FROM gsz GROUP BY n_docs
+"""
+
+
+# --- SimHash separability eval ----------------------------------------------
+def simhash_distance_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-distance profile of TRUE near-dup pairs under the 16-bit
+    SimHash: for every exact-Jaccard ≥ τ pair (the same ground truth
+    lsh_eval_precision_recall scores the banded-LSH path against), the
+    Hamming distance between the two docs' signatures, histogrammed.
+    This is how a corpus owner picks the SimHash radius r before trusting
+    bit-flip candidate generation at scale: the histogram mass at
+    distance ≤ r IS the recall that radius would achieve. Output:
+    (hamming, n_pairs), pure BIGINTs, ≤ 17 rows.
+
+    Scale shape: signatures are one aggregate over the shingle relation
+    (already linear); the truth relation here is the documented O(n²)
+    exactness baseline (ngram_jaccard_pairs) — at production scale you
+    feed verified LSH pairs instead, same join shape: two equi-joins of a
+    pair list onto a 1-row-per-doc signature table, then a ≤17-row
+    rollup. [extension]"""
+    truth = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sig = simhash_signatures(spark, sf_dir)
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    return (
+        truth.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(F.bit_count(F.expr("sig_a ^ sig_b")).cast("long").alias("hamming"))
+        .groupBy("hamming")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+QUERIES["simhash_distance_eval"] = simhash_distance_eval
+
+ORACLE["simhash_distance_eval"] = f"""
+WITH {_SHINGLES_SQL.strip()},
+{_SIMHASH_SQL},
+counts AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN counts ca ON ca.doc_id = i.doc_a
+  JOIN counts cb ON cb.doc_id = i.doc_b
+  WHERE i.n_inter * 1.0 / (ca.n_sh + cb.n_sh - i.n_inter) >= {JACCARD_THRESHOLD}
+)
+SELECT CAST(bit_count(xor(CAST(sa.simhash AS BIGINT),
+                          CAST(sb.simhash AS BIGINT))) AS BIGINT) AS hamming,
+       count(*) AS n_pairs
+FROM truth t
+JOIN sigs sa ON sa.doc_id = t.doc_a
+JOIN sigs sb ON sb.doc_id = t.doc_b
+GROUP BY 1
+"""

@@ -701,3 +701,85 @@ WITH rassign AS (
 SELECT a.doc_id, a.split, l.doc_id IS NOT NULL AS evicted
 FROM rassign a LEFT JOIN rlosers l USING (doc_id)
 """
+
+
+# --- quality-ranked token-budget curve ---------------------------------------
+def source_token_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-mixing ablation curve: per source, rank docs by quality
+    (exact integer micro-score, doc_id tie-break), cut into quality
+    deciles, and report each decile's doc count, token mass, quality
+    cutoff, and the CUMULATIVE token budget available at that cutoff —
+    i.e. "if I keep only the top-k/10 of this source, how many tokens do
+    I get and at what minimum quality?". This is the table a pretraining
+    team reads to trade corpus size against quality per source (the
+    DCLM/FineWeb-style threshold ablation), produced in one pass instead
+    of re-filtering per candidate threshold. Output: 10 rows per source,
+    pure BIGINTs (+ the INT decile).
+
+    Scale shape: ONE hash exchange on source feeds the ntile window (the
+    per-source sort is in-partition); the decile rollup reuses the same
+    partitioning map-side; the cumulative sum runs over 10 rows per
+    source. The corpus text never shuffles — only (source, micro,
+    n_toks). Skew note: a single giant source makes the in-partition
+    sort that source's size — at 100 TB you pre-aggregate to
+    (source, micro) histogram rows first if a source exceeds executor
+    memory; the testdata sources are balanced. [extension]"""
+    from pyspark.sql import Window
+    from .textstats import quality_exprs
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_exprs()
+    scored = docs.select(
+        "doc_id",
+        "source",
+        q["quality_micro"].alias("micro"),
+        q["n_tokens"].cast("long").alias("n_toks"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("micro").desc(), F.col("doc_id")
+    )
+    dec = scored.withColumn("decile", F.ntile(10).over(w))
+    agg = dec.groupBy("source", "decile").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("decile_tokens"),
+        F.min("micro").alias("min_quality_micro"),
+    )
+    wc = (
+        Window.partitionBy("source")
+        .orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return agg.withColumn("cum_tokens", F.sum("decile_tokens").over(wc))
+
+
+QUERIES["source_token_budget_curve"] = source_token_budget_curve
+
+ORACLE["source_token_budget_curve"] = f"""
+WITH tb AS (
+  SELECT doc_id, source, n AS n_toks,
+         CASE WHEN n < 10 THEN 0 ELSE {QUALITY_MICRO_SQL} END AS micro
+  FROM (
+    SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+           CAST(length(text) - (len(string_split(text, ' ')) - 1)
+                AS BIGINT) AS c,
+           CAST(len(list_filter(string_split(text, ' '),
+                    t -> t IN ('{"', '".join(STOPWORDS)}'))) AS BIGINT) AS stop
+    FROM documents)
+), ranked AS (
+  SELECT source, micro, n_toks,
+         CAST(ntile(10) OVER (PARTITION BY source
+                              ORDER BY micro DESC, doc_id) AS INTEGER)
+           AS decile
+  FROM tb
+), agg AS (
+  SELECT source, decile, count(*) AS n_docs,
+         CAST(sum(n_toks) AS BIGINT) AS decile_tokens,
+         CAST(min(micro) AS BIGINT) AS min_quality_micro
+  FROM ranked GROUP BY 1, 2
+)
+SELECT source, decile, n_docs, decile_tokens, min_quality_micro,
+       CAST(sum(decile_tokens) OVER (PARTITION BY source ORDER BY decile
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+FROM agg
+"""

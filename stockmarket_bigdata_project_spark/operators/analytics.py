@@ -981,3 +981,91 @@ SELECT o_custkey, recency_days, frequency, monetary_cents,
          // count(*) OVER () + 1 AS m_bucket
 FROM per_cust
 """
+
+
+# --- Global two-phase skyline -------------------------------------------
+PF_PART = 32  # phase-1 pre-prune partitions (deterministic id-hash buckets)
+
+
+def skyline_two_phase_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skyline operator (Börzsönyi et al. 2001): orders not Pareto-
+    dominated under (maximize o_totalprice, maximize o_orderdate) — "no
+    other order is both at-least-as-expensive and at-least-as-recent,
+    with one strictly better". Ties on both axes are all non-dominated
+    (domination requires a strict edge), so the result set is
+    deterministic with no arbitrary winner-picking.
+
+    Neither engine ships a skyline operator; the 2-D case reduces to
+    sorting one axis and running-max'ing the other: group to (price
+    cents → max date) levels, then a level survives iff its date
+    strictly exceeds the running max date over all strictly-higher price
+    levels. The quadratic NOT-EXISTS form exists only as the independent
+    semantic oracle in tests.
+
+    Scale (the standard two-phase distributed skyline): phase 1 prunes
+    each deterministic id-hash bucket to its LOCAL frontier with the same
+    level trick partitioned by bucket — local domination implies global
+    domination, so the prune is sound and shuffle-parallel; phase 2 runs
+    the global pass over the surviving sliver (frontiers of random
+    partitions are tiny: expected O(log n) points each for independent
+    dims). The one global sort therefore touches |survivors| ≈
+    PF_PART·log n rows, never the fact table. Output: the frontier
+    orders (key, cents, date) — pure BIGINT/DATE.  [extension]"""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.to_date("o_orderdate").alias("odate"),
+        (F.col("o_orderkey") % PF_PART).alias("pb"),
+    )
+
+    def frontier(df: DataFrame, part_cols: list[str]) -> DataFrame:
+        lvl = df.groupBy(*part_cols, "cents").agg(F.max("odate").alias("dmax"))
+        w = (
+            Window.partitionBy(*part_cols)
+            .orderBy(F.col("cents").desc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return (
+            lvl.withColumn("runmax", F.max("dmax").over(w))
+            .filter(F.col("runmax").isNull() | (F.col("dmax") > F.col("runmax")))
+            .select(*part_cols, "cents", "dmax")
+        )
+
+    local = frontier(o, ["pb"])
+    survivors = o.join(
+        F.broadcast(local),
+        on=[
+            o.pb == local.pb,
+            o.cents == local.cents,
+            o.odate == local.dmax,
+        ],
+        how="left_semi",
+    )
+    glob = frontier(survivors, [])
+    return survivors.join(
+        glob,
+        on=[survivors.cents == glob.cents, survivors.odate == glob.dmax],
+        how="left_semi",
+    ).select("o_orderkey", "cents", F.col("odate").alias("order_date"))
+
+
+QUERIES["skyline_two_phase_orders"] = skyline_two_phase_orders
+
+ORACLE["skyline_two_phase_orders"] = """
+WITH o AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(o_orderdate AS DATE) AS odate
+  FROM orders
+), lvl AS (
+  SELECT cents, max(odate) AS dmax FROM o GROUP BY cents
+), fr AS (
+  SELECT cents, dmax,
+         max(dmax) OVER (ORDER BY cents DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS runmax
+  FROM lvl
+)
+SELECT o.o_orderkey, o.cents, o.odate AS order_date
+FROM o JOIN fr ON o.cents = fr.cents AND o.odate = fr.dmax
+WHERE fr.runmax IS NULL OR fr.dmax > fr.runmax
+"""

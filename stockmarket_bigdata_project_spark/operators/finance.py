@@ -579,3 +579,87 @@ SELECT l_suppkey, min(trade_date) AS start_date,
 FROM flagged WHERE under = 1
 GROUP BY l_suppkey, grp
 """
+
+
+# --- ATR channels (Keltner-style bands, exact arithmetic) --------------------
+ATR_W = 5  # trailing window, rows (days with trades), matching vol_5d
+
+
+def atr_bands_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volatility channels from the Average True Range (Wilder's TR, SMA
+    variant): per (supplier, day), mid = SMA(close) over the trailing
+    ATR_W rows, ATR = SMA(true range) with
+    TR = greatest(high, prev_close) − least(low, prev_close), and bands
+    mid ± 2·ATR — the Keltner-channel shape every charting stack ships
+    and the reference's dashboard hints at but never computes.
+
+    Exactness (playbook §2): prices are 2-decimal by construction, so TR
+    and the window sums are exact BIGINT cents; each output is ONE
+    binary64 division of an exact integer by (100·n) followed by pure
+    IEEE add/multiply — bit-identical on both engines. First row of a
+    key has no prev_close: TR degrades to high−low (coalesce), the
+    standard seeding.
+
+    Scale: shares the (l_suppkey, trade_date) exchange of every query in
+    this pack — one hash partition + in-partition sort feeds the lag and
+    both rolling sums; frames are row-bounded (constant state per row).
+    [extension]"""
+    s = supplier_daily_ohlcv(spark, sf_dir)
+    cents = s.select(
+        "l_suppkey",
+        "trade_date",
+        F.expr("CAST(round(high_px * 100) AS BIGINT)").alias("h"),
+        F.expr("CAST(round(low_px * 100) AS BIGINT)").alias("l"),
+        F.expr("CAST(round(close_px * 100) AS BIGINT)").alias("c"),
+    )
+    w0 = Window.partitionBy("l_suppkey").orderBy("trade_date")
+    w = w0.rowsBetween(-(ATR_W - 1), 0)
+    tr = cents.withColumn("p", F.lag("c", 1).over(w0)).withColumn(
+        "tr",
+        F.greatest("h", F.coalesce("p", "h"))
+        - F.least("l", F.coalesce("p", "l")),
+    )
+    n = F.count("c").over(w)
+    mid = F.sum("c").over(w).cast("double") / (F.lit(100.0) * n)
+    atr = F.sum("tr").over(w).cast("double") / (F.lit(100.0) * n)
+    return tr.select(
+        "l_suppkey",
+        "trade_date",
+        mid.alias("mid_px"),
+        atr.alias("atr"),
+        (mid + 2 * atr).alias("upper_band"),
+        (mid - 2 * atr).alias("lower_band"),
+    )
+
+
+QUERIES["atr_bands_exact"] = atr_bands_exact
+
+ORACLE["atr_bands_exact"] = f"""
+WITH stock AS ({SUPPLIER_DAILY_SQL}),
+cents AS (
+  SELECT l_suppkey, trade_date,
+         CAST(round(high_px * 100) AS BIGINT) AS h,
+         CAST(round(low_px * 100) AS BIGINT) AS l,
+         CAST(round(close_px * 100) AS BIGINT) AS c
+  FROM stock
+),
+tr AS (
+  SELECT l_suppkey, trade_date, c,
+         greatest(h, coalesce(p, h)) - least(l, coalesce(p, l)) AS tr
+  FROM (SELECT *, lag(c, 1) OVER (PARTITION BY l_suppkey
+                                  ORDER BY trade_date) AS p
+        FROM cents)
+)
+SELECT l_suppkey, trade_date,
+       CAST(sum(c) OVER w AS DOUBLE) / (100.0 * count(c) OVER w) AS mid_px,
+       CAST(sum(tr) OVER w AS DOUBLE) / (100.0 * count(c) OVER w) AS atr,
+       CAST(sum(c) OVER w AS DOUBLE) / (100.0 * count(c) OVER w)
+         + 2 * (CAST(sum(tr) OVER w AS DOUBLE)
+                / (100.0 * count(c) OVER w)) AS upper_band,
+       CAST(sum(c) OVER w AS DOUBLE) / (100.0 * count(c) OVER w)
+         - 2 * (CAST(sum(tr) OVER w AS DOUBLE)
+                / (100.0 * count(c) OVER w)) AS lower_band
+FROM tr
+WINDOW w AS (PARTITION BY l_suppkey ORDER BY trade_date
+             ROWS BETWEEN {ATR_W - 1} PRECEDING AND CURRENT ROW)
+"""

@@ -117,6 +117,13 @@ _INTRODUCED_R7: frozenset[str] = frozenset({
     "lsh_eval_precision_recall",
     "sql_udf_order_tiers",
     "collated_distinct_counts",
+    "minhash_band_skew_report",
+    "dup_cluster_size_histogram",
+    "simhash_distance_eval",
+    "atr_bands_exact",
+    "source_token_budget_curve",
+    "zorder_skipping_report",
+    "skyline_two_phase_orders",
 })
 
 

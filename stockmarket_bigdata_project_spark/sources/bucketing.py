@@ -106,3 +106,121 @@ FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1, 2, 3
 """,
 }
+
+
+# --- Z-order clustering / data-skipping audit (100 TB lever #2) --------------
+Z_BITS = 8  # bits per dimension (z-values use 2*Z_BITS bits -> 256 files)
+Z_CUST_DIV = 64  # cust bucket width: covers custkey < 16384 in 8 bits
+Z_DAY_DIV = 16  # day bucket width: covers ~11 years of days in 8 bits
+Z_EPOCH = "1995-01-01"  # day-index origin (earliest o_orderdate in testdata)
+# the two probe predicates the report scores skipping against (RAW values)
+Z_CUST_LO, Z_CUST_HI = 20, 40
+Z_DAY_LO, Z_DAY_HI = 365, 395
+
+
+def _morton_terms(x: str, y: str, intdiv: str) -> str:
+    """Bit-interleave SQL shared by both engines: Morton code of (x, y)
+    over Z_BITS bits each, built from pure integer arithmetic
+    ((v div 2^b) % 2 — no engine-specific shift operators)."""
+    terms = []
+    for b in range(Z_BITS):
+        terms.append(f"(({x} {intdiv} {1 << b}) % 2) * {1 << (2 * b)}")
+        terms.append(f"(({y} {intdiv} {1 << b}) % 2) * {1 << (2 * b + 1)}")
+    return " + ".join(terms)
+
+
+def zorder_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-skipping DECISION audit over a Z-ordered layout of orders:
+    interleave the bits of (custkey bucket, order-day bucket), assign each
+    row to its contiguous curve segment (file_id = z div 2^Z_BITS — the
+    same sort-free assignment zorder_file_stats uses for layout PLANNING
+    on events), keep each file's min/max envelope on the RAW dimensions,
+    and evaluate — with exactly the min/max arithmetic Delta/Iceberg run
+    at planning time — whether each of two single-dimension probe
+    predicates (a customer range, a date range) skips the file. A
+    date-sorted layout prunes date probes and nothing else; the measured
+    point of the curve is that BOTH probes prune here. Complements
+    zorder_file_stats (which reports envelope spans): this one emits the
+    actual per-file skip verdicts a scan planner would act on. Output:
+    ≤ 2^(2*Z_BITS−Z_BITS) rows of BIGINTs/INTs.
+
+    Scale: the z-value and file id are pure map-side integer arithmetic
+    in the scan stage — NO sort anywhere (contiguous z-division replaces
+    ntile; at 100 TB the same z-value feeds repartitionByRange in the
+    clustering write, a one-off cost the skipping amortizes); the stats
+    rollup is one ≤256-group hash aggregate. Keys beyond the bucket
+    budget saturate via least() — locality degrades gracefully,
+    correctness of the min/max envelopes never depends on it.
+    [extension]"""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("cust"),
+        F.expr(
+            f"CAST(datediff(to_date(o_orderdate), DATE '{Z_EPOCH}') AS BIGINT)"
+        ).alias("day"),
+    ).select(
+        "cust",
+        "day",
+        F.expr(f"least(cust div {Z_CUST_DIV}, {(1 << Z_BITS) - 1})").alias("xb"),
+        F.expr(f"least(day div {Z_DAY_DIV}, {(1 << Z_BITS) - 1})").alias("yb"),
+    )
+    z = o.withColumn("zval", F.expr(_morton_terms("xb", "yb", "div")))
+    stats = (
+        z.groupBy(
+            F.expr(f"zval div {1 << Z_BITS}").cast("int").alias("file_id")
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("cust").alias("min_cust"),
+            F.max("cust").alias("max_cust"),
+            F.min("day").alias("min_day"),
+            F.max("day").alias("max_day"),
+        )
+    )
+    skip_cust = (
+        (F.col("max_cust") < Z_CUST_LO) | (F.col("min_cust") > Z_CUST_HI)
+    ).cast("int")
+    skip_date = (
+        (F.col("max_day") < Z_DAY_LO) | (F.col("min_day") > Z_DAY_HI)
+    ).cast("int")
+    return stats.select(
+        "file_id",
+        "n_rows",
+        "min_cust",
+        "max_cust",
+        "min_day",
+        "max_day",
+        skip_cust.alias("skip_cust_pred"),
+        skip_date.alias("skip_date_pred"),
+    )
+
+
+QUERIES["zorder_skipping_report"] = zorder_skipping_report
+
+ORACLE["zorder_skipping_report"] = f"""
+WITH zo AS (
+  SELECT CAST(o_custkey AS BIGINT) AS cust,
+         CAST(CAST(o_orderdate AS DATE) - DATE '{Z_EPOCH}' AS BIGINT) AS day
+  FROM orders
+), zb AS (
+  SELECT cust, day,
+         least(cust // {Z_CUST_DIV}, {(1 << Z_BITS) - 1}) AS xb,
+         least(day // {Z_DAY_DIV}, {(1 << Z_BITS) - 1}) AS yb
+  FROM zo
+), zv AS (
+  SELECT cust, day,
+         {_morton_terms("xb", "yb", "//")} AS zval
+  FROM zb
+), stats AS (
+  SELECT CAST(zval // {1 << Z_BITS} AS INTEGER) AS file_id,
+         count(*) AS n_rows,
+         min(cust) AS min_cust, max(cust) AS max_cust,
+         min(day) AS min_day, max(day) AS max_day
+  FROM zv GROUP BY 1
+)
+SELECT file_id, n_rows, min_cust, max_cust, min_day, max_day,
+       CAST(max_cust < {Z_CUST_LO} OR min_cust > {Z_CUST_HI} AS INTEGER)
+         AS skip_cust_pred,
+       CAST(max_day < {Z_DAY_LO} OR min_day > {Z_DAY_HI} AS INTEGER)
+         AS skip_date_pred
+FROM stats
+"""

@@ -122,6 +122,14 @@ _SENSITIVE = [
     "lsh_eval_precision_recall",  # candidate∩truth counts + two ratios
     "sql_udf_order_tiers",  # catalog-function tiering + decimal sums
     "collated_distinct_counts",  # binary vs UTF8_LCASE distinct counts
+    # round-7 second batch (_INTRODUCED_R7), pinned before their gate window
+    "minhash_band_skew_report",  # per-(band,sig) bucket-size rollup
+    "dup_cluster_size_histogram",  # component sizes from iterative CC
+    "simhash_distance_eval",  # bit-majority ties + pair-join rollup
+    "atr_bands_exact",  # lag + two rolling sums over the total order
+    "source_token_budget_curve",  # ntile cut on (micro, doc_id) order
+    "zorder_skipping_report",  # sort-free z-division file envelopes
+    "skyline_two_phase_orders",  # two-phase skyline: local prune + global pass
 ]
 
 

@@ -627,3 +627,42 @@ def test_drawdown_durations_pure_python(spark, sf_dir):
     got = {(r.l_suppkey, r.start_date, r.end_date, r.n_days, r.trough_micro)
            for r in drawdown_durations(spark, sf_dir).collect()}
     assert got == expect
+
+
+def test_skyline_two_phase_pure_python(spark, sf_dir):
+    """Skyline semantics, third opinion: brute-force O(n²) domination scan
+    over the parquet bytes vs the two-phase level-trick plan. Validates the
+    ALGORITHM (running-max over price levels + local-prune soundness), not
+    just engine agreement on it."""
+    from stockmarket_bigdata_project_spark.operators.analytics import (
+        skyline_two_phase_orders,
+    )
+
+    t = pq.read_table(
+        table_path(sf_dir, "orders"),
+        columns=["o_orderkey", "o_totalprice", "o_orderdate"],
+    )
+    rows = list(
+        zip(
+            t.column("o_orderkey").to_pylist(),
+            t.column("o_totalprice").to_pylist(),
+            t.column("o_orderdate").to_pylist(),
+        )
+    )
+    pts = [
+        (k, round(p * 100), d.date() if hasattr(d, "date") else d)
+        for k, p, d in rows
+    ]
+    expected = set()
+    for k, c, d in pts:
+        dominated = any(
+            (c2 >= c and d2 >= d and (c2 > c or d2 > d))
+            for _, c2, d2 in pts
+        )
+        if not dominated:
+            expected.add((k, c, d))
+    got = {
+        (r["o_orderkey"], r["cents"], r["order_date"])
+        for r in skyline_two_phase_orders(spark, sf_dir).collect()
+    }
+    assert got == expected

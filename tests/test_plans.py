@@ -1107,3 +1107,74 @@ def test_lsh_eval_counts_never_shuffle_text(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     for m in re.finditer(r"Exchange [^\n]*", plan):
         assert "text" not in m.group(0), m.group(0)
+
+
+# --- round-7 second batch ----------------------------------------------------
+def test_zorder_skipping_is_sort_free_single_aggregate(spark, sf_dir):
+    """The z-value/file assignment must stay pure map-side arithmetic —
+    contiguous z-division, never an ntile/global sort — with one ≤256-group
+    hash aggregate on top."""
+    from stockmarket_bigdata_project_spark.sources.bucketing import (
+        zorder_skipping_report,
+    )
+
+    plan = _plan(zorder_skipping_report(spark, sf_dir))
+    assert "Sort" not in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange") == 2, plan  # tree line + detail block
+
+
+def test_atr_bands_single_key_exchange(spark, sf_dir):
+    """lag + both rolling sums must ride ONE hashpartitioning(l_suppkey)
+    exchange above the OHLCV aggregate — no extra shuffle per window."""
+    from stockmarket_bigdata_project_spark.operators.finance import (
+        atr_bands_exact,
+    )
+
+    plan = _plan(atr_bands_exact(spark, sf_dir))
+    assert plan.lower().count("hashpartitioning(l_suppkey") <= 4, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_band_skew_report_no_text_shuffle(spark, sf_dir):
+    """The band-load audit shuffles (band, sig) rows and hashes — document
+    text must be consumed in the scan stage, never cross an exchange."""
+    import re
+
+    from stockmarket_bigdata_project_spark.llmdata.dedup import (
+        minhash_band_skew_report,
+    )
+
+    plan = _plan(minhash_band_skew_report(spark, sf_dir))
+    for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), m.group(0)
+
+
+def test_token_budget_curve_single_source_exchange(spark, sf_dir):
+    """ntile + decile rollup + cumulative sum must all ride the ONE
+    hashpartitioning(source) exchange; no global sort of the corpus."""
+    from stockmarket_bigdata_project_spark.llmdata.sampling import (
+        source_token_budget_curve,
+    )
+
+    plan = _plan(source_token_budget_curve(spark, sf_dir))
+    assert "SinglePartition" not in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert plan.lower().count("hashpartitioning(source") >= 1, plan
+
+
+def test_skyline_two_phase_global_pass_after_local_prune(spark, sf_dir):
+    """The global single-partition window may exist (it runs over the
+    pruned sliver), but the FACT table itself must never be globally
+    sorted or range-partitioned, and no nested-loop/cartesian join may
+    appear."""
+    from stockmarket_bigdata_project_spark.operators.analytics import (
+        skyline_two_phase_orders,
+    )
+
+    plan = _plan(skyline_two_phase_orders(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
