@@ -406,3 +406,53 @@ SELECT event_id,
        json_extract_string(props, '$.missing') IS NULL AS missing_is_null
 FROM events
 """
+
+
+def try_arithmetic_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic surface (the ANSI-mode companion API):
+    try_divide / try_add / try_multiply / try_element_at return NULL
+    where strict evaluation would raise (division by zero, BIGINT
+    overflow, invalid array index) — the functions a pipeline uses to
+    keep one poisoned row from killing a 100 TB job. Each NULL case is
+    made deterministic per row so the surface is value-checkable: the
+    DuckDB oracle (no TRY() in 1.0) encodes the identical semantics as
+    CASE guards, which doubles as documentation of exactly when each
+    function nulls. The non-null division is int→double exact + one
+    shared IEEE division. Pure map-side projection. [extension]"""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.expr(
+            "try_divide(CAST(round(o_totalprice * 100) AS BIGINT),"
+            " pmod(o_custkey, 5))"
+        ).alias("div_or_null"),
+        F.expr("try_add(9223372036854775807, o_orderkey)").alias("add_ovf"),
+        F.expr("try_multiply(o_orderkey, CAST(4611686018427387904 AS BIGINT))").alias(
+            "mul_ovf"
+        ),
+        # index runs 1..5: 4/5 are the caught out-of-bounds NULL case
+        # (index 0 is rejected even by try_element_at — INVALID_INDEX_OF_ZERO
+        # is an always-invalid argument, not a runtime error it suppresses)
+        F.expr(
+            "try_element_at(array('a','b','c'),"
+            " CAST(1 + pmod(o_orderkey, 5) AS INT))"
+        ).alias("elem_or_null"),
+    )
+
+
+QUERIES["try_arithmetic_functions"] = try_arithmetic_functions
+
+ORACLE["try_arithmetic_functions"] = """
+SELECT o_orderkey,
+       CASE WHEN o_custkey % 5 = 0 THEN NULL
+            ELSE CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE)
+                 / (o_custkey % 5) END AS div_or_null,
+       CASE WHEN o_orderkey > 0 THEN NULL
+            ELSE 9223372036854775807 END AS add_ovf,
+       CASE WHEN o_orderkey > 1 THEN NULL
+            ELSE o_orderkey * 4611686018427387904 END AS mul_ovf,
+       CASE WHEN o_orderkey % 5 <= 2
+            THEN (['a','b','c'])[CAST(1 + o_orderkey % 5 AS INTEGER)]
+            ELSE NULL END AS elem_or_null
+FROM orders
+"""

@@ -783,3 +783,87 @@ SELECT source, decile, n_docs, decile_tokens, min_quality_micro,
             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
 FROM agg
 """
+
+
+# --- UniMax epoch-capped language budgets ------------------------------------
+UNIMAX_E_NUM, UNIMAX_E_DEN = 3, 5  # per-language epoch cap = 3/5 epochs
+# fixed policy: total training budget = half the corpus token mass
+# (arbitrary but deterministic; the ALLOCATION algorithm is the operator)
+
+
+def unimax_language_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language sampling (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling"): allocate a total training-token
+    budget B across languages by visiting them SMALLEST FIRST and giving
+    each min(cap, fair share of what remains) — cap = E·n_i tokens (at
+    most E epochs over a language's data), fair share = remaining //
+    languages-left. Small languages hit their epoch cap, the surplus
+    rolls forward, and the largest languages absorb the rest — the
+    published fix for temperature sampling's over-/under-epoching.
+    Here B = total//2 and E = 3/5, chosen so BOTH branches bind on the
+    testdata. Output: (lang, n_tokens, budget_tokens, epochs_micro),
+    pure BIGINTs (epochs_micro = round_half_up(10⁶·budget/n)).
+
+    Exactness & the iterative-oracle pattern: the allocation is a
+    sequential integer recurrence over the ~|languages| rows, computed
+    driver-side from a collected K-row aggregate (the k-means-centroid
+    precedent: K is the dimension cardinality, never the corpus) and
+    CHECKED against a DuckDB RECURSIVE CTE running the same recurrence —
+    two independent implementations of the algorithm. Scale: one
+    corpus-wide token-count aggregate (map-side partial sums) is the
+    only distributed work; the loop is O(K). [extension]"""
+    docs = load_table(spark, sf_dir, "documents")
+    sizes = (
+        docs.groupBy("lang")
+        .agg(F.sum(F.size(F.split("text", " "))).cast("long").alias("n"))
+        .collect()
+    )
+    rows = sorted(((r["n"], r["lang"]) for r in sizes))
+    total = sum(n for n, _ in rows)
+    remaining = total // 2
+    out = []
+    for i, (n, lang) in enumerate(rows):
+        cap = (UNIMAX_E_NUM * n) // UNIMAX_E_DEN
+        fair = remaining // (len(rows) - i)
+        budget = min(cap, fair)
+        remaining -= budget
+        out.append((lang, n, budget, (2 * budget * 1_000_000 + n) // (2 * n)))
+    return spark.createDataFrame(
+        out, "lang string, n_tokens long, budget_tokens long, epochs_micro long"
+    )
+
+
+QUERIES["unimax_language_budgets"] = unimax_language_budgets
+
+ORACLE["unimax_language_budgets"] = f"""
+WITH RECURSIVE sz AS (
+  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n
+  FROM documents GROUP BY lang
+),
+ord AS (
+  SELECT lang, n,
+         CAST(row_number() OVER (ORDER BY n, lang) AS BIGINT) AS rn,
+         (SELECT CAST(count(*) AS BIGINT) FROM sz) AS k,
+         (SELECT CAST(sum(n) // 2 AS BIGINT) FROM sz) AS b
+  FROM sz
+),
+alloc AS (
+  SELECT rn, lang, n, k,
+         CAST(least(({UNIMAX_E_NUM} * n) // {UNIMAX_E_DEN}, b // k)
+              AS BIGINT) AS budget,
+         CAST(b - least(({UNIMAX_E_NUM} * n) // {UNIMAX_E_DEN}, b // k)
+              AS BIGINT) AS remaining
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.rn, o.lang, o.n, o.k,
+         CAST(least(({UNIMAX_E_NUM} * o.n) // {UNIMAX_E_DEN},
+                    a.remaining // (o.k - o.rn + 1)) AS BIGINT),
+         CAST(a.remaining
+              - least(({UNIMAX_E_NUM} * o.n) // {UNIMAX_E_DEN},
+                      a.remaining // (o.k - o.rn + 1)) AS BIGINT)
+  FROM ord o JOIN alloc a ON o.rn = a.rn + 1
+)
+SELECT lang, n AS n_tokens, budget AS budget_tokens,
+       CAST((2 * budget * 1000000 + n) // (2 * n) AS BIGINT) AS epochs_micro
+FROM alloc
+"""

@@ -663,3 +663,305 @@ FROM tr
 WINDOW w AS (PARTITION BY l_suppkey ORDER BY trade_date
              ROWS BETWEEN {ATR_W - 1} PRECEDING AND CURRENT ROW)
 """
+
+
+# --- candlestick pattern screen ----------------------------------------------
+def candlestick_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier candlestick pattern counts over the daily OHLC bars —
+    doji, hammer, bullish/bearish engulfing — the classic charting
+    screens, each an INTEGER comparison on price cents (body/shadow/range
+    cross-multiplications, lag for the engulfing prior bar), so the whole
+    screen is exact and map-side past one (l_suppkey, trade_date) window
+    exchange + the per-supplier rollup. Definitions (cents):
+    body=|c−o|, range=h−l, shadows vs greatest/least(o,c);
+    doji: 20·body ≤ range, range>0; hammer: lower shadow ≥ 2·body,
+    upper shadow ≤ body, range>0; engulfing: current body strictly
+    opposite-signed and enclosing the prior body. [extension]"""
+    s = supplier_daily_ohlcv(spark, sf_dir)
+    cents = s.select(
+        "l_suppkey",
+        "trade_date",
+        F.expr("CAST(round(open_px * 100) AS BIGINT)").alias("o"),
+        F.expr("CAST(round(high_px * 100) AS BIGINT)").alias("h"),
+        F.expr("CAST(round(low_px * 100) AS BIGINT)").alias("l"),
+        F.expr("CAST(round(close_px * 100) AS BIGINT)").alias("c"),
+    )
+    w = Window.partitionBy("l_suppkey").orderBy("trade_date")
+    b = (
+        cents.withColumn("po", F.lag("o", 1).over(w))
+        .withColumn("pc", F.lag("c", 1).over(w))
+        .withColumn("body", F.abs(F.col("c") - F.col("o")))
+        .withColumn("rng", F.col("h") - F.col("l"))
+        .withColumn("ush", F.col("h") - F.greatest("o", "c"))
+        .withColumn("lsh", F.least("o", "c") - F.col("l"))
+    )
+    doji = (20 * F.col("body") <= F.col("rng")) & (F.col("rng") > 0)
+    hammer = (
+        (F.col("lsh") >= 2 * F.col("body"))
+        & (F.col("ush") <= F.col("body"))
+        & (F.col("rng") > 0)
+    )
+    bull = (
+        (F.col("pc") < F.col("po"))
+        & (F.col("c") > F.col("o"))
+        & (F.col("o") <= F.col("pc"))
+        & (F.col("c") >= F.col("po"))
+    )
+    bear = (
+        (F.col("pc") > F.col("po"))
+        & (F.col("c") < F.col("o"))
+        & (F.col("o") >= F.col("pc"))
+        & (F.col("c") <= F.col("po"))
+    )
+    return b.groupBy("l_suppkey").agg(
+        F.count("*").alias("n_days"),
+        F.sum(doji.cast("long")).alias("n_doji"),
+        F.sum(hammer.cast("long")).alias("n_hammer"),
+        F.sum(F.coalesce(bull, F.lit(False)).cast("long")).alias("n_bull_engulf"),
+        F.sum(F.coalesce(bear, F.lit(False)).cast("long")).alias("n_bear_engulf"),
+    )
+
+
+QUERIES["candlestick_patterns"] = candlestick_patterns
+
+ORACLE["candlestick_patterns"] = f"""
+WITH stock AS ({SUPPLIER_DAILY_SQL}),
+cents AS (
+  SELECT l_suppkey, trade_date,
+         CAST(round(open_px * 100) AS BIGINT) AS o,
+         CAST(round(high_px * 100) AS BIGINT) AS h,
+         CAST(round(low_px * 100) AS BIGINT) AS l,
+         CAST(round(close_px * 100) AS BIGINT) AS c
+  FROM stock
+),
+b AS (
+  SELECT l_suppkey,
+         lag(o, 1) OVER w AS po, lag(c, 1) OVER w AS pc,
+         o, h, l, c,
+         abs(c - o) AS body, h - l AS rng,
+         h - greatest(o, c) AS ush, least(o, c) - l AS lsh
+  FROM cents
+  WINDOW w AS (PARTITION BY l_suppkey ORDER BY trade_date)
+)
+SELECT l_suppkey, count(*) AS n_days,
+       CAST(sum(CASE WHEN 20 * body <= rng AND rng > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_doji,
+       CAST(sum(CASE WHEN lsh >= 2 * body AND ush <= body AND rng > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_hammer,
+       CAST(sum(CASE WHEN pc < po AND c > o AND o <= pc AND c >= po
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_bull_engulf,
+       CAST(sum(CASE WHEN pc > po AND c < o AND o >= pc AND c <= po
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_bear_engulf
+FROM b GROUP BY l_suppkey
+"""
+
+
+# --- trading-gap audit -------------------------------------------------------
+def trading_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier trading-calendar gap audit: count and size of
+    missing-day runs between consecutive observed bars — the
+    data-completeness screen run before any rolling/interpolation
+    consumer (interpolate_daily's diagnosis half). Pure date arithmetic:
+    gap = datediff(day, prev_day) − 1 via one lag over the shared
+    (l_suppkey, trade_date) exchange, then one per-supplier rollup.
+    Output BIGINTs + the observed span. [extension]"""
+    s = supplier_daily_ohlcv(spark, sf_dir).select("l_suppkey", "trade_date")
+    w = Window.partitionBy("l_suppkey").orderBy("trade_date")
+    g = s.withColumn(
+        "gap",
+        F.datediff(F.col("trade_date"), F.lag("trade_date", 1).over(w)) - 1,
+    )
+    return g.groupBy("l_suppkey").agg(
+        F.count("*").alias("n_days"),
+        F.min("trade_date").alias("first_day"),
+        F.max("trade_date").alias("last_day"),
+        (
+            F.datediff(F.max("trade_date"), F.min("trade_date")) + 1
+        ).cast("long").alias("span_days"),
+        F.sum((F.col("gap") > 0).cast("long")).alias("n_gaps"),
+        F.coalesce(F.sum(F.when(F.col("gap") > 0, F.col("gap"))), F.lit(0))
+        .cast("long")
+        .alias("missing_days"),
+        F.coalesce(F.max("gap"), F.lit(0)).cast("long").alias("max_gap"),
+    )
+
+
+QUERIES["trading_gap_report"] = trading_gap_report
+
+ORACLE["trading_gap_report"] = f"""
+WITH stock AS ({SUPPLIER_DAILY_SQL}),
+g AS (
+  SELECT l_suppkey, trade_date,
+         date_diff('day',
+                   lag(trade_date, 1) OVER (PARTITION BY l_suppkey
+                                            ORDER BY trade_date),
+                   trade_date) - 1 AS gap
+  FROM stock
+)
+SELECT l_suppkey, count(*) AS n_days,
+       min(trade_date) AS first_day, max(trade_date) AS last_day,
+       CAST(date_diff('day', min(trade_date), max(trade_date)) + 1
+            AS BIGINT) AS span_days,
+       CAST(sum(CASE WHEN gap > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+       CAST(coalesce(sum(CASE WHEN gap > 0 THEN gap END), 0) AS BIGINT)
+         AS missing_days,
+       CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap
+FROM g GROUP BY l_suppkey
+"""
+
+
+# --- lead-lag cross-correlation vs the market --------------------------------
+XCORR_LAGS = (-2, -1, 0, 1, 2)  # market shift in TRADING days
+
+
+def leadlag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag structure: full-period Pearson cross-correlation between
+    each supplier's daily return and the MARKET return shifted by
+    -2..+2 trading days — positive-lag correlation means the market
+    leads the stock (the classic lagged-beta/price-discovery
+    diagnostic). Inputs are the same exact 1e-5-unit integer returns as
+    rolling_beta (per-stock quantized rational; market = re-quantized
+    cross-sectional mean — expressions duplicated verbatim from
+    rolling_beta, which is hash-proven, rather than refactoring a proven
+    query). All six sufficient statistics (n, Σx, Σm, Σx², Σm², Σxm)
+    are exact BIGINT aggregates; Σ of squares/products can pass 2^53 so
+    they go long→double through a digit string (playbook rule 3b); the
+    closing corr algebra is shared binary64, emitted unrounded.
+
+    Scale: the trading-day index is a row_number over the DATE DIMENSION
+    (one row per distinct date — a single-partition window over a
+    dimension-sized relation, the date-dim build every warehouse does);
+    the fact side then equi-joins (date → idx, idx+lag → market), lags
+    fan out 5× on the DIMENSION only, and the stats are one partial+final
+    hash aggregate on (l_suppkey, lag). [extension]"""
+    r = _returns(spark, sf_dir)
+    w = Window.partitionBy("l_suppkey").orderBy("trade_date")
+    c = F.expr("CAST(round(close_px * 100) AS BIGINT)")
+    p = F.lag(c, 1).over(w)
+    num = F.abs(c - p) * F.lit(200_000).cast("long") + p
+    den = 2 * p
+    sign = F.when(c > p, F.lit(1)).when(c < p, F.lit(-1)).otherwise(F.lit(0))
+    x_units = sign.cast("long") * ((num - F.pmod(num, den)) / den).cast("long")
+    per_stock = r.withColumn("x_units", x_units).filter(
+        F.col("x_units").isNotNull()
+    )
+    ms = F.sum("x_units")
+    n = F.count("x_units")
+    mnum = 2 * F.abs(ms) + n
+    mden = 2 * n
+    msign = (
+        F.when(ms > 0, F.lit(1)).when(ms < 0, F.lit(-1)).otherwise(F.lit(0))
+    )
+    market = per_stock.groupBy("trade_date").agg(
+        (
+            msign.cast("long")
+            * ((mnum - F.pmod(mnum, mden)) / mden).cast("long")
+        ).alias("m_units")
+    )
+    idx = market.withColumn(
+        "idx", F.row_number().over(Window.orderBy("trade_date"))
+    )
+    lags = F.explode(F.array(*[F.lit(v) for v in XCORR_LAGS])).alias("lag")
+    shifted = (
+        idx.select("idx", "m_units")
+        .select("idx", "m_units", lags)
+        .select((F.col("idx") - F.col("lag")).alias("x_idx"), "lag", "m_units")
+    )
+    x_side = per_stock.join(
+        idx.select("trade_date", F.col("idx").alias("x_idx")), "trade_date"
+    ).select("l_suppkey", "x_idx", "x_units")
+    j = x_side.join(shifted, "x_idx").select(
+        "l_suppkey",
+        "lag",
+        F.col("x_units").alias("x"),
+        F.col("m_units").alias("m"),
+    )
+    agg = j.groupBy("l_suppkey", "lag").agg(
+        F.count("*").alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("m").alias("sm"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("m") * F.col("m")).alias("smm"),
+        F.sum(F.col("x") * F.col("m")).alias("sxm"),
+    )
+    nd = F.col("n_days").cast("double")
+    sx = F.col("sx").cast("double")
+    sm = F.col("sm").cast("double")
+    sxx = F.col("sxx").cast("string").cast("double")
+    smm = F.col("smm").cast("string").cast("double")
+    sxm = F.col("sxm").cast("string").cast("double")
+    denom = F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * smm - sm * sm)
+    return agg.select(
+        "l_suppkey",
+        "lag",
+        "n_days",
+        ((nd * sxm - sx * sm) / F.nullif(denom, F.lit(0.0))).alias("xcorr"),
+    )
+
+
+QUERIES["leadlag_xcorr"] = leadlag_xcorr
+
+_XCORR_LAGS_SQL = ", ".join(f"({v})" for v in XCORR_LAGS)
+
+ORACLE["leadlag_xcorr"] = f"""
+WITH stock AS ({SUPPLIER_DAILY_SQL}),
+cents AS (
+  SELECT l_suppkey, trade_date,
+         CAST(round(close_px * 100) AS BIGINT) AS c,
+         lag(CAST(round(close_px * 100) AS BIGINT), 1)
+           OVER (PARTITION BY l_suppkey ORDER BY trade_date) AS p
+  FROM stock
+),
+qp AS (
+  SELECT l_suppkey, trade_date,
+         (CASE WHEN c > p THEN 1 WHEN c < p THEN -1 ELSE 0 END)
+           * CAST((num - (num % den)) / den AS BIGINT) AS x_units
+  FROM (SELECT *, abs(c - p) * 200000 + p AS num, 2 * p AS den
+        FROM cents)
+  WHERE p IS NOT NULL
+),
+market AS (
+  SELECT trade_date,
+         (CASE WHEN ms > 0 THEN 1 WHEN ms < 0 THEN -1 ELSE 0 END)
+           * CAST((mnum - (mnum % mden)) / mden AS BIGINT) AS m_units
+  FROM (
+    SELECT trade_date, sum(x_units) AS ms,
+           2 * abs(sum(x_units)) + count(x_units) AS mnum,
+           2 * count(x_units) AS mden
+    FROM qp GROUP BY trade_date
+  )
+),
+midx AS (
+  SELECT trade_date, m_units,
+         CAST(row_number() OVER (ORDER BY trade_date) AS INTEGER) AS idx
+  FROM market
+),
+shifted AS (
+  SELECT m.idx - l.lag AS x_idx, l.lag, m.m_units
+  FROM midx m CROSS JOIN (VALUES {_XCORR_LAGS_SQL}) AS l(lag)
+),
+j AS (
+  SELECT q.l_suppkey, s.lag, q.x_units AS x, s.m_units AS m
+  FROM qp q
+  JOIN midx i USING (trade_date)
+  JOIN shifted s ON s.x_idx = i.idx
+),
+agg AS (
+  SELECT l_suppkey, lag, count(*) AS n_days,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(m) AS BIGINT) AS sm,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(m * m) AS BIGINT) AS smm,
+         CAST(sum(x * m) AS BIGINT) AS sxm
+  FROM j GROUP BY l_suppkey, lag
+)
+SELECT l_suppkey, CAST(lag AS INTEGER) AS lag, n_days,
+       (CAST(n_days AS DOUBLE) * CAST(CAST(sxm AS VARCHAR) AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sm AS DOUBLE))
+       / NULLIF(
+           sqrt(CAST(n_days AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           * sqrt(CAST(n_days AS DOUBLE) * CAST(CAST(smm AS VARCHAR) AS DOUBLE)
+                  - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)),
+           0.0) AS xcorr
+FROM agg
+"""

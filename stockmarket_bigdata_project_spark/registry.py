@@ -124,6 +124,11 @@ _INTRODUCED_R7: frozenset[str] = frozenset({
     "source_token_budget_curve",
     "zorder_skipping_report",
     "skyline_two_phase_orders",
+    "candlestick_patterns",
+    "trading_gap_report",
+    "leadlag_xcorr",
+    "unimax_language_budgets",
+    "try_arithmetic_functions",
 })
 
 

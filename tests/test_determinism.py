@@ -130,6 +130,12 @@ _SENSITIVE = [
     "source_token_budget_curve",  # ntile cut on (micro, doc_id) order
     "zorder_skipping_report",  # sort-free z-division file envelopes
     "skyline_two_phase_orders",  # two-phase skyline: local prune + global pass
+    # round-7 third batch (_INTRODUCED_R7), pinned before their gate window
+    "candlestick_patterns",  # lag-pair pattern flags over the total order
+    "trading_gap_report",  # lag date gaps + per-supplier rollup
+    "leadlag_xcorr",  # six exact sufficient stats → shared binary64 corr
+    "unimax_language_budgets",  # driver-side recurrence over collected K rows
+    "try_arithmetic_functions",  # map-side error-safe projection
 ]
 
 

@@ -1178,3 +1178,44 @@ def test_skyline_two_phase_global_pass_after_local_prune(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "rangepartitioning" not in plan.lower(), plan
+
+
+# --- round-7 third batch -----------------------------------------------------
+def test_try_arithmetic_is_map_side_only(spark, sf_dir):
+    from stockmarket_bigdata_project_spark.functions.scalar import (
+        try_arithmetic_functions,
+    )
+
+    plan = _plan(try_arithmetic_functions(spark, sf_dir))
+    assert "Exchange" not in plan, plan  # pure scan→project
+
+
+def test_candlestick_and_gaps_share_single_key_exchange(spark, sf_dir):
+    """Pattern flags / gap arithmetic must ride the one
+    hashpartitioning(l_suppkey) exchange above the OHLCV aggregate; the
+    per-supplier rollup reuses the same partitioning map-side."""
+    from stockmarket_bigdata_project_spark.operators.finance import (
+        candlestick_patterns,
+        trading_gap_report,
+    )
+
+    for fn in (candlestick_patterns, trading_gap_report):
+        plan = _plan(fn(spark, sf_dir))
+        assert "rangepartitioning" not in plan.lower(), plan
+        assert "SinglePartition" not in plan, plan
+
+
+def test_leadlag_xcorr_fans_out_dimension_not_fact(spark, sf_dir):
+    """The 5-lag fan-out must hit the date DIMENSION (explode over the
+    market table), never the fact side; the trading-day index is the only
+    single-partition window (dimension-sized); no nested-loop joins."""
+    from stockmarket_bigdata_project_spark.operators.finance import (
+        leadlag_xcorr,
+    )
+
+    plan = _plan(leadlag_xcorr(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the explode (Generate) must sit above the market aggregate, which
+    # consumes only (trade_date, m_units) — never the lineitem fact scan
+    assert "Generate" in plan, plan
