@@ -666,3 +666,152 @@ def test_skyline_two_phase_pure_python(spark, sf_dir):
         for r in skyline_two_phase_orders(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def _daily_bars(sf_dir):
+    """(suppkey, date) -> (open, high, low, close) cents, rebuilt from the
+    lineitem parquet bytes with the same packed total-order key as
+    gold._ord_key — no Spark, no DuckDB."""
+    t = pq.read_table(
+        table_path(sf_dir, "lineitem"),
+        columns=[
+            "l_orderkey",
+            "l_linenumber",
+            "l_suppkey",
+            "l_shipdate",
+            "l_extendedprice",
+            "l_quantity",
+        ],
+    )
+    cols = {c: t.column(c).to_pylist() for c in t.column_names}
+    bars = {}
+    for ok, ln, sk, sd, px, _q in zip(
+        cols["l_orderkey"],
+        cols["l_linenumber"],
+        cols["l_suppkey"],
+        cols["l_shipdate"],
+        cols["l_extendedprice"],
+        cols["l_quantity"],
+    ):
+        day = sd.date() if hasattr(sd, "date") else sd
+        cents = round(px * 100)
+        key = (ok * 16 + ln) * 100_000_000 + cents
+        b = bars.setdefault((sk, day), [None, cents, cents, None, None, None])
+        b[1] = max(b[1], cents)
+        b[2] = min(b[2], cents)
+        if b[4] is None or key < b[4]:
+            b[4], b[0] = key, cents  # open = price at min key
+        if b[5] is None or key > b[5]:
+            b[5], b[3] = key, cents  # close = price at max key
+    return {k: (v[0], v[1], v[2], v[3]) for k, v in bars.items()}
+
+
+def test_leadlag_xcorr_pure_python(spark, sf_dir):
+    """Third opinion for the lead-lag correlation: daily bars, quantized
+    returns, market mean, lagged alignment and the closing binary64
+    algebra all recomputed in pure Python (IEEE doubles, same expression
+    order) — must match Spark bit-for-bit."""
+    import math
+
+    from stockmarket_bigdata_project_spark.operators.finance import (
+        XCORR_LAGS,
+        leadlag_xcorr,
+    )
+
+    bars = _daily_bars(sf_dir)
+    by_supp = defaultdict(list)
+    for (sk, day), (o, h, l, c) in bars.items():
+        by_supp[sk].append((day, c))
+    x_units = {}  # (sk, day) -> units
+    for sk, rows in by_supp.items():
+        rows.sort()
+        for (d0, c0), (d1, c1) in zip(rows, rows[1:]):
+            num = abs(c1 - c0) * 200_000 + c0
+            den = 2 * c0
+            s = 1 if c1 > c0 else (-1 if c1 < c0 else 0)
+            x_units[(sk, d1)] = s * ((num - num % den) // den)
+    per_date = defaultdict(list)
+    for (sk, d), x in x_units.items():
+        per_date[d].append(x)
+    m_units, dates = {}, sorted(per_date)
+    for d in dates:
+        ms, n = sum(per_date[d]), len(per_date[d])
+        mnum, mden = 2 * abs(ms) + n, 2 * n
+        s = 1 if ms > 0 else (-1 if ms < 0 else 0)
+        m_units[d] = s * ((mnum - mnum % mden) // mden)
+    idx = {d: i + 1 for i, d in enumerate(dates)}
+    expected = {}
+    for lag in XCORR_LAGS:
+        stats = defaultdict(lambda: [0, 0, 0, 0, 0, 0])
+        for (sk, d), x in x_units.items():
+            j = idx[d] + lag  # market at trading-day index + lag
+            if not (1 <= j <= len(dates)):
+                continue
+            m = m_units[dates[j - 1]]
+            st = stats[sk]
+            st[0] += 1
+            st[1] += x
+            st[2] += m
+            st[3] += x * x
+            st[4] += m * m
+            st[5] += x * m
+        for sk, (n, sx, sm, sxx, smm, sxm) in stats.items():
+            nd = float(n)
+            den = math.sqrt(nd * float(sxx) - float(sx) * float(sx)) * math.sqrt(
+                nd * float(smm) - float(sm) * float(sm)
+            )
+            expected[(sk, lag)] = (
+                n,
+                None
+                if den == 0.0
+                else (nd * float(sxm) - float(sx) * float(sm)) / den,
+            )
+    got = {
+        (r["l_suppkey"], r["lag"]): (r["n_days"], r["xcorr"])
+        for r in leadlag_xcorr(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for k in expected:
+        assert got[k][0] == expected[k][0], k
+        a, b = got[k][1], expected[k][1]
+        assert (a is None and b is None) or a == b, (k, a, b)
+
+
+def test_candlestick_patterns_pure_python(spark, sf_dir):
+    """Third opinion for the candlestick screen: the integer pattern rules
+    recomputed from hand-built OHLC bars."""
+    from stockmarket_bigdata_project_spark.operators.finance import (
+        candlestick_patterns,
+    )
+
+    bars = _daily_bars(sf_dir)
+    by_supp = defaultdict(list)
+    for (sk, day), b in bars.items():
+        by_supp[sk].append((day, b))
+    expected = {}
+    for sk, rows in by_supp.items():
+        rows.sort()
+        nd = nh = nbull = nbear = 0
+        prev = None
+        for _, (o, h, l, c) in rows:
+            body, rng = abs(c - o), h - l
+            ush, lsh = h - max(o, c), min(o, c) - l
+            nd += 20 * body <= rng and rng > 0
+            nh += lsh >= 2 * body and ush <= body and rng > 0
+            if prev is not None:
+                po, pc = prev
+                nbull += pc < po and c > o and o <= pc and c >= po
+                nbear += pc > po and c < o and o >= pc and c <= po
+            prev = (o, c)
+        expected[sk] = (len(rows), nd, nh, nbull, nbear)
+    got = {
+        r["l_suppkey"]: (
+            r["n_days"],
+            r["n_doji"],
+            r["n_hammer"],
+            r["n_bull_engulf"],
+            r["n_bear_engulf"],
+        )
+        for r in candlestick_patterns(spark, sf_dir).collect()
+    }
+    assert got == expected
