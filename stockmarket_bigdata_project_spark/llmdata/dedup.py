@@ -1241,3 +1241,58 @@ JOIN sigs sa ON sa.doc_id = t.doc_a
 JOIN sigs sb ON sb.doc_id = t.doc_b
 GROUP BY 1
 """
+
+
+# --- crawl-order novelty -----------------------------------------------------
+def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document NOVELTY in crawl order: the fraction of a doc's
+    distinct 3-gram shingles whose corpus-wide FIRST occurrence (min
+    doc_id — ids stand in for crawl order) is this document. New content
+    scores ~10⁶ micro-units; a re-crawl of already-seen material scores
+    ~0 — the marginal-contribution dial dataset curators read when
+    deciding whether another dump of a source still adds tokens worth
+    training on (complement of the dedup family: duplicate share tells
+    you what to CUT, novelty tells you what a source still ADDS).
+    Output: (doc_id, n_shingles, n_first_seen, novelty_micro) — pure
+    BIGINTs, round-half-up micro quantization.
+
+    Scale shape: the same single shingle-hash exchange as line/substring
+    dedup — one min-aggregate per shingle joined back on the same key
+    (ReuseExchange), one per-doc rollup; text never shuffles.
+    [extension]"""
+    sh = _shingles_df(spark, sf_dir)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per = sh.join(first, "shingle").groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias(
+            "n_first_seen"
+        ),
+    )
+    return per.select(
+        "doc_id",
+        "n_shingles",
+        "n_first_seen",
+        F.expr(
+            "(2 * 1000000 * n_first_seen + n_shingles)"
+            " DIV (2 * n_shingles)"
+        ).alias("novelty_micro"),
+    )
+
+
+QUERIES["ngram_novelty_score"] = ngram_novelty_score
+
+ORACLE["ngram_novelty_score"] = f"""
+WITH {_SHINGLES_SQL.strip()},
+nfirst AS (SELECT sh, min(doc_id) AS first_doc FROM shingles GROUP BY sh),
+nper AS (
+  SELECT s.doc_id, count(*) AS n_shingles,
+         CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_first_seen
+  FROM shingles s JOIN nfirst f USING (sh)
+  GROUP BY s.doc_id
+)
+SELECT doc_id, n_shingles, n_first_seen,
+       (2 * 1000000 * n_first_seen + n_shingles) // (2 * n_shingles)
+         AS novelty_micro
+FROM nper
+"""

@@ -1890,3 +1890,116 @@ SELECT b.query_id, b.n_exact,
          // (2 * b.n_exact) AS recall_micro
 FROM ivfrb b LEFT JOIN ivfrh h USING (query_id)
 """
+
+
+# --- sparse tf-cosine document pairs -----------------------------------------
+SC_DF_CAP = 20  # drop terms in more than SC_DF_CAP docs (hot boilerplate)
+SC_DOT_MIN = 3  # emit pairs with integer tf-dot >= this (output bound)
+
+
+def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise sparse COSINE similarity over tf vectors of word 3-grams —
+    the classic bag-of-terms document-similarity operator, complementing
+    the set-based Jaccard (ngram_jaccard_pairs: presence only) and the
+    dense embedding cosine (knn_*): repeated grams WEIGHT the match here.
+    Terms occurring in more than SC_DF_CAP docs are dropped from the
+    index (standard df pruning — boilerplate carries no similarity
+    signal), which also bounds the posting self-join fan-out per term at
+    SC_DF_CAP², keeping candidate generation shuffle-linear like
+    minhash_lsh_pairs / winnowing_dup_candidates. Vectors are defined
+    over the PRUNED vocabulary (dot and norms consistently).
+
+    Exactness: tf, the dot product, and both squared norms are exact
+    BIGINT aggregates; cosine = dot / (sqrt(ssa)·sqrt(ssb)) is shared
+    binary64 on exact integer inputs (the vol_5d sqrt precedent). The
+    integer dot-product floor SC_DOT_MIN bounds the output exactly.
+    [extension]"""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    n = F.greatest(F.size("ws") - 2, F.lit(0))
+    tri = F.arrays_zip(
+        F.slice("ws", 1, n), F.slice("ws", 2, n), F.slice("ws", 3, n)
+    )
+    occ = base.select("doc_id", F.explode(tri).alias("g")).select(
+        "doc_id",
+        F.concat_ws(" ", F.col("g.0"), F.col("g.1"), F.col("g.2")).alias(
+            "term"
+        ),
+    )
+    tf = occ.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    post = tf.join(df.filter(F.col("df") <= SC_DF_CAP), "term").select(
+        "doc_id", "term", "tf"
+    )
+    ssq = post.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("ssq")
+    )
+    a = post.select(
+        F.col("doc_id").alias("doc_a"), "term", F.col("tf").alias("tfa")
+    )
+    b = post.select(
+        F.col("doc_id").alias("doc_b"), "term", F.col("tf").alias("tfb")
+    )
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("tfa") * F.col("tfb")).alias("dot"))
+        .filter(F.col("dot") >= SC_DOT_MIN)
+    )
+    sa = ssq.select(F.col("doc_id").alias("doc_a"), F.col("ssq").alias("ssa"))
+    sb = ssq.select(F.col("doc_id").alias("doc_b"), F.col("ssq").alias("ssb"))
+    return (
+        dots.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "dot",
+            (
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("ssa").cast("double"))
+                    * F.sqrt(F.col("ssb").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+    )
+
+
+QUERIES["sparse_cosine_pairs"] = sparse_cosine_pairs
+
+ORACLE["sparse_cosine_pairs"] = f"""
+WITH occ AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                i -> string_split(text, ' ')[i] || ' ' ||
+                     string_split(text, ' ')[i+1] || ' ' ||
+                     string_split(text, ' ')[i+2])) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM occ GROUP BY 1, 2),
+post AS (
+  SELECT doc_id, term, tf FROM tf
+  WHERE term IN (SELECT term FROM tf GROUP BY term
+                 HAVING count(*) <= {SC_DF_CAP})
+),
+ssq AS (
+  SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS ssq
+  FROM post GROUP BY doc_id
+),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+  FROM post a JOIN post b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING sum(a.tf * b.tf) >= {SC_DOT_MIN}
+)
+SELECT d.doc_a, d.doc_b, d.dot,
+       CAST(d.dot AS DOUBLE)
+         / (sqrt(CAST(sa.ssq AS DOUBLE)) * sqrt(CAST(sb.ssq AS DOUBLE)))
+         AS cosine
+FROM dots d
+JOIN ssq sa ON sa.doc_id = d.doc_a
+JOIN ssq sb ON sb.doc_id = d.doc_b
+"""

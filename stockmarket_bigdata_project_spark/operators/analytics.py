@@ -1069,3 +1069,61 @@ SELECT o.o_orderkey, o.cents, o.odate AS order_date
 FROM o JOIN fr ON o.cents = fr.cents AND o.odate = fr.dmax
 WHERE fr.runmax IS NULL OR fr.dmax > fr.runmax
 """
+
+
+# --- rolling active users ----------------------------------------------------
+WAU_WINDOW = 7  # trailing days, inclusive
+
+
+def rolling_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU per day — the product-analytics staple,
+    and the canonical SLIDING-WINDOW COUNT DISTINCT, which no engine's
+    window frame expresses directly (count(DISTINCT) over a moving frame
+    isn't supported; collect_set-in-frame holds the whole set per row).
+    The scalable form: dedup events to (user, day) pairs FIRST (one
+    exchange over keys, not events), fan each pair out to the ≤ 7 target
+    days it supports (map-side explode of a constant range — the
+    dimension-bounded fan-out, same move as leadlag_xcorr's lag explode),
+    semi-join to observed days, and run one distinct-count per target
+    day. Cost: |user-day pairs|·7 small rows through one aggregate —
+    never a per-row set state. Output: (day, dau, wau_7d), exact BIGINTs.
+    [extension]"""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    days = ev.select("d").distinct()
+    fan = ev.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(WAU_WINDOW - 1))).alias("k"),
+        "d",
+    ).select("user_id", F.expr("date_add(d, k)").alias("day"))
+    act = fan.join(
+        F.broadcast(days.withColumnRenamed("d", "day")), "day", "left_semi"
+    )
+    wau = act.groupBy("day").agg(
+        F.countDistinct("user_id").alias("wau_7d")
+    )
+    dau = ev.groupBy(F.col("d").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    return dau.join(wau, "day").select("day", "dau", "wau_7d")
+
+
+QUERIES["rolling_weekly_active_users"] = rolling_weekly_active_users
+
+ORACLE["rolling_weekly_active_users"] = f"""
+WITH pd AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+wdays AS (SELECT DISTINCT d FROM pd),
+x AS (
+  SELECT DISTINCT p.user_id, dy.d AS day
+  FROM pd p JOIN wdays dy
+    ON p.d <= dy.d AND p.d >= dy.d - {WAU_WINDOW - 1}
+),
+w AS (SELECT day, count(*) AS wau_7d FROM x GROUP BY day),
+dau AS (SELECT d AS day, count(DISTINCT user_id) AS dau FROM pd GROUP BY d)
+SELECT day, dau.dau, w.wau_7d FROM dau JOIN w USING (day)
+"""

@@ -129,6 +129,9 @@ _INTRODUCED_R7: frozenset[str] = frozenset({
     "leadlag_xcorr",
     "unimax_language_budgets",
     "try_arithmetic_functions",
+    "sparse_cosine_pairs",
+    "ngram_novelty_score",
+    "rolling_weekly_active_users",
 })
 
 

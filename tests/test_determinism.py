@@ -136,6 +136,10 @@ _SENSITIVE = [
     "leadlag_xcorr",  # six exact sufficient stats → shared binary64 corr
     "unimax_language_budgets",  # driver-side recurrence over collected K rows
     "try_arithmetic_functions",  # map-side error-safe projection
+    # round-7 fourth batch (_INTRODUCED_R7), pinned before their gate window
+    "sparse_cosine_pairs",  # df-capped posting join + sqrt-normalized dot
+    "ngram_novelty_score",  # first-occurrence min over the shingle key
+    "rolling_weekly_active_users",  # fan-out distinct count per target day
 ]
 
 

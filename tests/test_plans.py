@@ -1219,3 +1219,58 @@ def test_leadlag_xcorr_fans_out_dimension_not_fact(spark, sf_dir):
     # the explode (Generate) must sit above the market aggregate, which
     # consumes only (trade_date, m_units) — never the lineitem fact scan
     assert "Generate" in plan, plan
+
+
+# --- round-7 fourth batch ----------------------------------------------------
+def test_sparse_cosine_text_never_shuffles(spark, sf_dir):
+    """The posting join carries (doc_id, term-hash-sized strings, tf);
+    document text must be consumed in the scan stage — and the pair join
+    must be an equi-join on term, never a cartesian."""
+    import re
+
+    from stockmarket_bigdata_project_spark.llmdata.similarity import (
+        sparse_cosine_pairs,
+    )
+
+    plan = _plan(sparse_cosine_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), m.group(0)
+
+
+def test_novelty_reuses_single_shingle_exchange(spark, sf_dir):
+    """first-occurrence aggregate and the join back ride the SAME shingle
+    partitioning; no global sort, no text in any exchange."""
+    import re
+
+    from stockmarket_bigdata_project_spark.llmdata.dedup import (
+        ngram_novelty_score,
+    )
+
+    plan = _plan(ngram_novelty_score(spark, sf_dir))
+    assert "rangepartitioning" not in plan.lower(), plan
+    for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), m.group(0)
+
+
+def test_wau_fans_out_pairs_not_events(spark, sf_dir):
+    """The 7-day fan-out must sit ABOVE the (user, day) dedup aggregate —
+    the Generate's input is the deduped pair relation, so the explode cost
+    is |pairs|·7, never |events|·7 — and the observed-days filter is a
+    broadcast semi-join."""
+    from stockmarket_bigdata_project_spark.operators.analytics import (
+        rolling_weekly_active_users,
+    )
+
+    plan = _plan(rolling_weekly_active_users(spark, sf_dir))
+    assert "Generate" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the explode consumes the aggregated pair relation, not the raw scan:
+    # a HashAggregate must appear BELOW the Generate in the tree (higher id)
+    import re
+
+    gen = re.search(r"\((\d+)\) Generate", plan)
+    aggs = [int(m.group(1)) for m in re.finditer(r"\((\d+)\) HashAggregate", plan)]
+    assert gen and any(a > int(gen.group(1)) for a in aggs), plan
