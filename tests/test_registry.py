@@ -173,3 +173,32 @@ def test_every_query_name_is_unique_and_resolvable():
     assert len(qs) == len(set(qs))
     for name, fn in qs.items():
         assert callable(fn), name
+
+
+def test_no_query_name_shadowing_within_modules():
+    """registry.all_queries() raises on CROSS-module duplicate names, but a
+    `QUERIES["x"] = ...` later in the SAME module silently overwrites a
+    dict-literal "x" — which is how a new query nearly shadowed the
+    hash-proven pareto_frontier_orders in round 7 (caught in review,
+    renamed to skyline_two_phase_orders). Lint the source: no name may be
+    both a QUERIES/ORACLE literal key and a later bracket assignment, nor
+    bracket-assigned twice, in one module."""
+    import glob
+    import os
+    import re
+
+    root = os.path.join(os.path.dirname(__file__), "..",
+                        "stockmarket_bigdata_project_spark")
+    offenders = []
+    for path in glob.glob(os.path.join(root, "**", "*.py"), recursive=True):
+        with open(path) as f:
+            src = f.read()
+        for kind in ("QUERIES", "ORACLE"):
+            m = re.search(rf"^{kind}\s*=\s*\{{(.*?)^\}}", src, re.M | re.S)
+            lit = re.findall(r'^\s*"([^"]+)":', m.group(1), re.M) if m else []
+            assigns = re.findall(rf'^{kind}\["([^"]+)"\]\s*=', src, re.M)
+            overlap = set(lit) & set(assigns)
+            doubles = {k for k in assigns if assigns.count(k) > 1}
+            if overlap or doubles:
+                offenders.append((path, kind, overlap | doubles))
+    assert not offenders, offenders
