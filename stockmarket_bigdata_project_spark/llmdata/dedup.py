@@ -352,6 +352,17 @@ def near_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- dup-group resolution: distributed connected components ------------------
 _CC_MAX_ITER = 25
 
+# The resolved component relation is deterministic per (session, sf_dir) and
+# already MATERIALIZED (the CC loop localCheckpoints each iterate), yet every
+# consumer — dup groups, survivors, soft-dedup weights, cluster histogram,
+# the corpus pipeline, the training manifest — used to re-run the whole
+# LSH + iterative-CC resolution from scratch. Memoize the checkpointed result
+# per (session, sf_dir): the runtime analog of staging the resolution as a
+# table, which is exactly what a 100 TB deployment does (the docstring below
+# has always said so). Results are unchanged — consumers receive the same
+# immutable DataFrame they previously recomputed.
+_COMPONENTS_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
 
 def minhash_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, component) for every doc in ≥1 verified LSH pair; component =
@@ -376,6 +387,18 @@ def minhash_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only. Replaces the reference's nothing — it has no dedup at all;
     this is the north-star LLM-data extension (BASELINE.json).
     """
+    # applicationId (not id(spark)) so a recycled object address after a
+    # stopped session can never serve a dead checkpointed plan. The
+    # shuffle-partitions conf rides in the key so the determinism sweep's
+    # 32-vs-7 flip still exercises two independent resolutions.
+    memo_key = (
+        spark.sparkContext.applicationId,
+        spark.conf.get("spark.sql.shuffle.partitions"),
+        sf_dir,
+    )
+    memoized = _COMPONENTS_MEMO.get(memo_key)
+    if memoized is not None:
+        return memoized
     pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
         pairs.union(pairs.select("doc_b", "doc_a"))
@@ -432,6 +455,7 @@ def minhash_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"connected-components did not converge in {_CC_MAX_ITER} "
             "iterations; raise _CC_MAX_ITER for this graph"
         )
+    _COMPONENTS_MEMO[memo_key] = labels
     return labels
 
 
