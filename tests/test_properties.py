@@ -149,6 +149,25 @@ def test_dedup_survivors_partition_corpus(spark, sf_dir):
     assert survivors + dropped == docs
 
 
+def test_dup_components_memo_contract(spark, sf_dir):
+    """The resolved component relation is memoized per (app, shuffle-conf,
+    sf_dir): a repeat call under the same conf returns the SAME checkpointed
+    DataFrame (no re-resolution), while flipping spark.sql.shuffle.partitions
+    — the determinism sweep's lever — forces a genuinely fresh resolution
+    with identical rows."""
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    first = D.minhash_dup_components(spark, sf_dir)
+    assert D.minhash_dup_components(spark, sf_dir) is first
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        fresh = D.minhash_dup_components(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert fresh is not first
+    rows = lambda df: sorted((r.doc_id, r.component) for r in df.collect())
+    assert rows(fresh) == rows(first)
+
+
 def test_corpus_clean_consistent_with_parts(spark, sf_dir):
     """corpus_clean must equal the manual composition of its three parts:
     quality floor (same formula as quality_scores), exact survivors, and
