@@ -168,6 +168,36 @@ def test_dup_components_memo_contract(spark, sf_dir):
     assert rows(fresh) == rows(first)
 
 
+def test_staged_lsh_relations_contract(spark, sf_dir):
+    """The LSH candidate/verified-pair relations are staged (persist + memo
+    per (app, shuffle-conf, sf_dir)): repeat calls under the same conf return
+    the SAME handle; flipping spark.sql.shuffle.partitions — the determinism
+    sweep's lever — forces a genuinely fresh computation with identical rows;
+    and after a first action, later consumers read the in-memory relation
+    (InMemoryTableScan in the executed plan) instead of re-running the
+    shingle→minhash→band pipeline."""
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    first = D.minhash_lsh_pairs(spark, sf_dir)
+    assert D.minhash_lsh_pairs(spark, sf_dir) is first
+    first.count()  # fills the persist cache
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        first.explain("formatted")
+    plan = buf.getvalue()
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        fresh = D.minhash_lsh_pairs(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert fresh is not first
+    rows = lambda df: sorted((r.doc_a, r.doc_b, r.jaccard) for r in df.collect())
+    assert rows(fresh) == rows(first)
+
+
 def test_corpus_clean_consistent_with_parts(spark, sf_dir):
     """corpus_clean must equal the manual composition of its three parts:
     quality floor (same formula as quality_scores), exact survivors, and
