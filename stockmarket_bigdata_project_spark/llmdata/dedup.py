@@ -283,11 +283,25 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _build_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _candidate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, n_inter, na, nb) exact shingle-overlap counts for every
+    LSH candidate pair — the shared sufficient statistics for BOTH set
+    resemblances this module verifies candidates with (Jaccard and Broder
+    containment). Staged (persist + memo) like the relations it sits
+    between."""
+    return _staged(
+        "candidate_overlap",
+        spark,
+        sf_dir,
+        lambda: _build_candidate_overlap(spark, sf_dir),
+    )
+
+
+def _build_candidate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates = _lsh_candidates(spark, sf_dir)
     # exact verification of candidates only: the shingle relation is
     # semi-filtered to candidate docs (explode+distinct ∝ |candidates|, see
-    # _shingles_df), and the Jaccard denominators are counted from that SAME
+    # _shingles_df), and the set-size denominators are counted from that SAME
     # filtered relation (the doc_id filter commutes with the distinct, so the
     # counts are exact totals) — the full-corpus minhash aggregation runs
     # exactly once, in the candidates job above.
@@ -308,11 +322,16 @@ def _build_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return inter.join(ca, "doc_a").join(cb, "doc_b").select(
+        "doc_a", "doc_b", "n_inter", "na", "nb"
+    )
+
+
+def _build_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    overlap = _candidate_overlap(spark, sf_dir)
     jac = F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
     return (
-        inter.join(ca, "doc_a")
-        .join(cb, "doc_b")
-        .withColumn("jaccard", jac)
+        overlap.withColumn("jaccard", jac)
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -1376,4 +1395,134 @@ SELECT doc_id, n_shingles, n_first_seen,
        (2 * 1000000 * n_first_seen + n_shingles) // (2 * n_shingles)
          AS novelty_micro
 FROM nper
+"""
+
+
+# --- containment verification (subset-duplication) ---------------------------
+def minhash_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates verified by Broder CONTAINMENT instead of Jaccard:
+    c(A,B) = |A∩B| / |A| over 3-gram shingle sets, reported in BOTH
+    directions for every candidate. Jaccard misses subset duplication — a
+    short doc quoted whole inside a long one scores near-zero Jaccard but
+    containment ~1 — and real curation pipelines check both (Broder's
+    original resemblance/containment pair); the consumer cuts at its own τ
+    per direction. The containments are single integer÷integer binary64
+    divisions, deterministic across engines. Output: (doc_a, doc_b,
+    n_inter, na, nb, containment_a, containment_b).
+
+    Scale shape: reuses the staged candidate-overlap sufficient statistics
+    (one computation serves the Jaccard and containment verifiers); nothing
+    beyond the already-linear LSH path runs. [extension]"""
+    overlap = _candidate_overlap(spark, sf_dir)
+    return (
+        overlap.select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            "na",
+            "nb",
+            (F.col("n_inter") / F.col("na")).alias("containment_a"),
+            (F.col("n_inter") / F.col("nb")).alias("containment_b"),
+        )
+    )
+
+
+QUERIES["minhash_containment_pairs"] = minhash_containment_pairs
+
+ORACLE["minhash_containment_pairs"] = f"""
+WITH {_SHINGLES_SQL.strip()},
+{_MINHASH_SQL},
+{_BANDS_SQL},
+pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+),
+ccounts AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+cinter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+  FROM pairs p
+  JOIN shingles a ON a.doc_id = p.doc_a
+  JOIN shingles b ON b.doc_id = p.doc_b AND b.sh = a.sh
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT i.doc_a, i.doc_b, i.n_inter,
+       ca.n_sh AS na, cb.n_sh AS nb,
+       CAST(i.n_inter AS DOUBLE) / ca.n_sh AS containment_a,
+       CAST(i.n_inter AS DOUBLE) / cb.n_sh AS containment_b
+FROM cinter i
+JOIN ccounts ca ON ca.doc_id = i.doc_a
+JOIN ccounts cb ON cb.doc_id = i.doc_b
+"""
+
+
+# --- edit-distance verification ----------------------------------------------
+ED_RATIO_DEN = 40  # keep pairs with edit_distance ≤ max_len / 40 (≤ 2.5%)
+
+
+def edit_distance_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates verified by CHARACTER edit distance: Levenshtein over
+    the raw texts, kept when ed ≤ max(len_a, len_b) / 40 — the
+    near-identical tier (sub-2.5% character churn: OCR noise, template
+    fill-ins), tuned so the cut discriminates within the planted near-dups
+    in testdata. Shingle Jaccard is
+    blind to within-word edits (OCR noise, diacritic stripping, tokenizer
+    drift) that leave few 3-grams intact; the edit-ratio check is the
+    standard second opinion (cf. the fuzzy-dedup stage of web-corpus
+    pipelines). Levenshtein is O(len²) per pair, which is exactly why it
+    runs on the LSH-pruned candidate set and never all-pairs. The keep
+    predicate is integer arithmetic (ed·5 ≤ max_len); outputs are pure
+    BIGINTs plus one integer÷integer binary64 division. Output: (doc_a,
+    doc_b, edit_distance, max_len, ed_ratio).
+
+    Scale shape: the candidate relation (tiny next to the corpus) joins the
+    doc dimension twice by key — the pair side broadcasts, the corpus text
+    stays map-side (near_dup_source_matrix's stance); the quadratic-cost
+    primitive is confined to |candidates| rows. [extension]"""
+    candidates = _lsh_candidates(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    ed = F.levenshtein("text_a", "text_b")
+    ml = F.greatest(F.length("text_a"), F.length("text_b"))
+    return (
+        candidates.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            ed.cast("long").alias("edit_distance"),
+            ml.cast("long").alias("max_len"),
+        )
+        .filter(F.col("edit_distance") * ED_RATIO_DEN <= F.col("max_len"))
+        .withColumn(
+            "ed_ratio", F.col("edit_distance") / F.col("max_len")
+        )
+    )
+
+
+QUERIES["edit_distance_verified_pairs"] = edit_distance_verified_pairs
+
+ORACLE["edit_distance_verified_pairs"] = f"""
+WITH {_SHINGLES_SQL.strip()},
+{_MINHASH_SQL},
+{_BANDS_SQL},
+pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+),
+ed AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance,
+         CAST(greatest(length(da.text), length(db.text)) AS BIGINT)
+           AS max_len
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.doc_a
+  JOIN documents db ON db.doc_id = p.doc_b
+)
+SELECT doc_a, doc_b, edit_distance, max_len,
+       CAST(edit_distance AS DOUBLE) / max_len AS ed_ratio
+FROM ed
+WHERE edit_distance * {ED_RATIO_DEN} <= max_len
 """

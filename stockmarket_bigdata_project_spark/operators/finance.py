@@ -965,3 +965,68 @@ SELECT l_suppkey, CAST(lag AS INTEGER) AS lag, n_days,
            0.0) AS xcorr
 FROM agg
 """
+
+
+# --- on-balance volume -------------------------------------------------------
+def obv_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-Balance Volume (Granville): per supplier, the running sum of daily
+    volume signed by the close-to-close direction — the classic
+    volume-confirms-price accumulation gauge. direction ∈ {+1, -1, 0}
+    (0 for an unchanged close AND for the first trading day, where lag is
+    NULL — both engines' CASE falls through to ELSE 0). Volume is an
+    integer-valued quantity sum, so direction·volume and the running OBV
+    are pure BIGINT arithmetic — bit-exact in any engine, no float in the
+    pipeline. Output: (l_suppkey, trade_date, direction, obv).
+
+    Scale shape: shares supplier_daily_ohlcv's single (l_suppkey) hash
+    exchange; the lag and the running sum ride the same window sort —
+    constant state per row. [extension]"""
+    s = supplier_daily_ohlcv(spark, sf_dir)
+    w = Window.partitionBy("l_suppkey").orderBy("trade_date")
+    prev = F.lag("close_px", 1).over(w)
+    direction = (
+        F.when(F.col("close_px") > prev, 1)
+        .when(F.col("close_px") < prev, -1)
+        .otherwise(0)
+    )
+    b = s.select(
+        "l_suppkey",
+        "trade_date",
+        direction.cast("int").alias("direction"),
+        F.col("volume").cast("long").alias("vol"),
+    )
+    w_cum = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("trade_date")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return b.select(
+        "l_suppkey",
+        "trade_date",
+        "direction",
+        F.sum(F.col("direction") * F.col("vol")).over(w_cum).alias("obv"),
+    )
+
+
+QUERIES["obv_indicator"] = obv_indicator
+
+ORACLE["obv_indicator"] = f"""
+WITH stock AS ({SUPPLIER_DAILY_SQL}),
+dirs AS (
+  SELECT l_suppkey, trade_date,
+         CAST(CASE
+           WHEN close_px > lag(close_px, 1) OVER w THEN 1
+           WHEN close_px < lag(close_px, 1) OVER w THEN -1
+           ELSE 0
+         END AS INTEGER) AS direction,
+         CAST(volume AS BIGINT) AS vol
+  FROM stock
+  WINDOW w AS (PARTITION BY l_suppkey ORDER BY trade_date)
+)
+SELECT l_suppkey, trade_date, direction,
+       CAST(sum(direction * vol) OVER (
+         PARTITION BY l_suppkey ORDER BY trade_date
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS obv
+FROM dirs
+"""

@@ -132,6 +132,9 @@ _INTRODUCED_R7: frozenset[str] = frozenset({
     "sparse_cosine_pairs",
     "ngram_novelty_score",
     "rolling_weekly_active_users",
+    "minhash_containment_pairs",
+    "edit_distance_verified_pairs",
+    "obv_indicator",
 })
 
 

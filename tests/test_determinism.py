@@ -140,6 +140,10 @@ _SENSITIVE = [
     "sparse_cosine_pairs",  # df-capped posting join + sqrt-normalized dot
     "ngram_novelty_score",  # first-occurrence min over the shingle key
     "rolling_weekly_active_users",  # fan-out distinct count per target day
+    # round-7 fifth batch (_INTRODUCED_R7), pinned before their gate window
+    "minhash_containment_pairs",  # staged overlap stats + two int÷int ratios
+    "edit_distance_verified_pairs",  # levenshtein over LSH candidates
+    "obv_indicator",  # signed cumulative BIGINT volume over the total order
 ]
 
 

@@ -1274,3 +1274,33 @@ def test_wau_fans_out_pairs_not_events(spark, sf_dir):
     gen = re.search(r"\((\d+)\) Generate", plan)
     aggs = [int(m.group(1)) for m in re.finditer(r"\((\d+)\) HashAggregate", plan)]
     assert gen and any(a > int(gen.group(1)) for a in aggs), plan
+
+
+def test_containment_and_ed_reuse_staged_candidates(spark, sf_dir):
+    """Both second-opinion verifiers (containment, edit distance) must
+    consume the STAGED candidate/overlap relations (InMemoryRelation in
+    the plan) — never rebuild the shingle→minhash→band pipeline — and the
+    pair-onto-dimension joins must stay hash/broadcast (no cartesian)."""
+    from stockmarket_bigdata_project_spark.llmdata.dedup import (
+        edit_distance_verified_pairs,
+        minhash_containment_pairs,
+    )
+
+    for fn in (minhash_containment_pairs, edit_distance_verified_pairs):
+        plan = _plan(fn(spark, sf_dir))
+        assert "InMemoryRelation" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+
+def test_obv_rides_supplier_partitioning(spark, sf_dir):
+    """OBV's lag + running sum share the (l_suppkey) window partitioning:
+    no global sort (rangepartitioning/SinglePartition) anywhere — at scale
+    the running sum is per-supplier state, never a total order."""
+    from stockmarket_bigdata_project_spark.operators.finance import (
+        obv_indicator,
+    )
+
+    plan = _plan(obv_indicator(spark, sf_dir))
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(l_suppkey" in plan, plan
