@@ -1,0 +1,198 @@
+"""Scale-up study: measure how the heavy queries scale with fact-table
+volume, on synthetic 2x/4x blow-ups of the sf0.1 testdata.
+
+The per-round bench (bench.py) answers "is the engine fast at sf0.1"; this
+tool answers the 100 TB question directly — "what is the measured scaling
+EXPONENT of each heavy query" (log-log slope of steady runtime vs volume).
+A shuffle-linear pipeline should fit slope ~1; the documented O(n^2)
+correctness baselines (knn_bruteforce) should fit slope ~2, which makes
+them the built-in control pair for the method.
+
+Blow-up construction (DuckDB, written under /tmp/scale/x{K}/):
+  * fact tables (orders, lineitem, events): K replicas with replica-offset
+    primary keys (orderkey/event_id), so joins fan out correctly and no
+    key collides;
+  * documents: K replicas with offset doc_ids AND per-replica word tagging
+    (every word w -> w_rK for replica K>0), so replicas share NO 3-gram
+    shingles — without this, every doc would gain K-1 planted near-dups
+    and the LSH candidate set would grow quadratically in K by
+    construction, polluting the scaling measurement of the linear path;
+  * embeddings: K replicas with offset vec_ids and a per-replica cyclic
+    rotation of the vector, so replica neighborhoods differ;
+  * dimensions (region/nation/customer/supplier/part): copied once — the
+    study scales FACT volume at fixed dimensions, the same regime a
+    growing production corpus is in.
+
+Usage:
+    python tools_scale_study.py            # build x1(symlink)/x2/x4, run
+    python tools_scale_study.py --build    # only build the data
+Prints one JSON line per query: {"query": ..., "secs": {1: s, 2: s, 4: s},
+"slope": b} where slope is the least-squares fit of log2(sec) on
+log2(scale).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+BASE = "/root/testdata/sf0.1"
+ROOT = "/tmp/scale"
+SCALES = (1, 2, 4)
+DIMS = ("region", "nation", "customer", "supplier", "part")
+KEY_OFFSET = 1_000_000_000
+
+# Heavy queries + the quadratic control. Each is measured cold then steady
+# (bench.py protocol); the steady number feeds the slope fit.
+QUERIES = [
+    "gold_daily_features",
+    "sequence_assembly",
+    "minhash_lsh_pairs",
+    "corpus_clean",
+    "substring_dedup_rewrite",
+    "winnowing_dup_candidates",
+    "semdedup_survivors",
+    "hybrid_retrieval_rrf",
+    "sparse_cosine_pairs",
+    "training_manifest",
+    "knn_bruteforce",  # documented O(n^2) baseline — expected slope ~2
+]
+
+
+def build() -> None:
+    import duckdb
+
+    con = duckdb.connect()
+    for k in SCALES:
+        d = os.path.join(ROOT, f"x{k}")
+        os.makedirs(d, exist_ok=True)
+        if k == 1:
+            for t in DIMS + ("orders", "lineitem", "events", "documents",
+                             "embeddings"):
+                dst = os.path.join(d, f"{t}.parquet")
+                if not os.path.exists(dst):
+                    os.symlink(os.path.join(BASE, f"{t}.parquet"), dst)
+            continue
+        for t in DIMS:
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet('{BASE}/{t}.parquet'))"
+                f" TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+            )
+        reps = ", ".join(f"CAST({r} AS BIGINT)" for r in range(k))
+        con.execute(
+            f"""COPY (
+              SELECT o_orderkey + r * {KEY_OFFSET} AS o_orderkey,
+                     o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+                     o_orderpriority
+              FROM read_parquet('{BASE}/orders.parquet'),
+                   (SELECT unnest([{reps}]) AS r)
+            ) TO '{d}/orders.parquet' (FORMAT PARQUET)"""
+        )
+        con.execute(
+            f"""COPY (
+              SELECT l_orderkey + r * {KEY_OFFSET} AS l_orderkey,
+                     l_partkey, l_suppkey, l_linenumber, l_quantity,
+                     l_extendedprice, l_discount, l_tax, l_returnflag,
+                     l_linestatus, l_shipdate
+              FROM read_parquet('{BASE}/lineitem.parquet'),
+                   (SELECT unnest([{reps}]) AS r)
+            ) TO '{d}/lineitem.parquet' (FORMAT PARQUET)"""
+        )
+        con.execute(
+            f"""COPY (
+              SELECT event_id + r * {KEY_OFFSET} AS event_id, ts, user_id,
+                     event_type, value, props
+              FROM read_parquet('{BASE}/events.parquet'),
+                   (SELECT unnest([{reps}]) AS r)
+            ) TO '{d}/events.parquet' (FORMAT PARQUET)"""
+        )
+        con.execute(
+            f"""COPY (
+              SELECT doc_id + r * {KEY_OFFSET} AS doc_id,
+                     CASE WHEN r = 0 THEN text ELSE array_to_string(
+                       list_transform(string_split(text, ' '),
+                                      w -> w || '_r' || r), ' ') END AS text,
+                     lang, source, n_chars
+              FROM read_parquet('{BASE}/documents.parquet'),
+                   (SELECT unnest([{reps}]) AS r)
+            ) TO '{d}/documents.parquet' (FORMAT PARQUET)"""
+        )
+        con.execute(
+            f"""COPY (
+              SELECT vec_id + r * {KEY_OFFSET} AS vec_id,
+                     CASE WHEN r = 0 THEN embedding
+                          ELSE embedding[r + 1:] || embedding[1:r] END
+                       AS embedding,
+                     label
+              FROM read_parquet('{BASE}/embeddings.parquet'),
+                   (SELECT unnest([{reps}]) AS r)
+            ) TO '{d}/embeddings.parquet' (FORMAT PARQUET)"""
+        )
+        print(f"built {d}", file=sys.stderr)
+
+
+def run() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from stockmarket_bigdata_project_spark import registry
+    from stockmarket_bigdata_project_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-study")
+    q = registry.all_queries()
+
+    def force(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    def fit(secs):
+        xs = [math.log2(k) for k in SCALES]
+        ys = [math.log2(secs[k]) for k in SCALES]
+        n = len(xs)
+        mx, my = sum(xs) / n, sum(ys) / n
+        return round(
+            sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+            / sum((x - mx) ** 2 for x in xs),
+            2,
+        )
+
+    results = []
+    for name in QUERIES:
+        cold, steady = {}, {}
+        for k in SCALES:
+            d = os.path.join(ROOT, f"x{k}")
+            start = time.perf_counter()
+            force(q[name](spark, d))  # cold: fills caches/staged relations
+            cold[k] = round(time.perf_counter() - start, 3)
+            start = time.perf_counter()
+            force(q[name](spark, d))
+            steady[k] = round(time.perf_counter() - start, 3)
+        # For queries built on staged relations (persist+memo per sf_dir)
+        # the steady pass reads the in-memory relation, so COLD is the
+        # honest pipeline-scaling number; for unstaged queries steady is
+        # (both are reported, fit both).
+        row = {
+            "query": name,
+            "cold": cold,
+            "steady": steady,
+            "slope_cold": fit(cold),
+            "slope_steady": fit(steady),
+        }
+        results.append(row)
+        print(json.dumps(row), flush=True)
+    print(
+        json.dumps(
+            {
+                "summary": {
+                    r["query"]: [r["slope_cold"], r["slope_steady"]]
+                    for r in results
+                }
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    build()
+    if "--build" not in sys.argv:
+        run()
