@@ -227,6 +227,11 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SEMDEDUP_TAU = 0.40  # within-cluster cosine above this = semantic duplicate
+# k ∝ n: one centroid per this many vectors keeps expected cluster size —
+# and the within-cluster pairwise cost — constant as the corpus grows;
+# floored at N_CENTROIDS it reproduces the historical k = 8 at every gate
+# SF (500/500/2000 vectors), so proven results are bit-unchanged.
+SEMDEDUP_VECS_PER_CLUSTER = 250
 
 
 def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -241,12 +246,30 @@ def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: assignment is a broadcast-centroid argmax (linear over
     the corpus); the pairwise step is bucket-local — O(Σ cᵢ²) for cluster
     sizes cᵢ, exactly the cost SemDeDup budgets by choosing k ∝ n so
-    clusters stay bounded; nothing quadratic in the corpus ever forms.
+    clusters stay bounded. k here IS proportional: k = max(N_CENTROIDS,
+    n_vecs // SEMDEDUP_VECS_PER_CLUSTER), which reproduces the historical
+    k = 8 bit-exactly at every gate SF (500/500/2000 vectors) and keeps
+    expected cluster size — hence per-cluster pair cost — constant as the
+    corpus grows. The round-7 scale study measured the fixed-k form at
+    slope ~1.3 (superlinear) on 4× volume; this rule drops it to ~0.87
+    (PERFORMANCE.md "Measured scaling exponents"). The count rides in as
+    a 1-row broadcast, not a driver collect. The remaining super-constant
+    term is the flat n·k broadcast assignment — map-side multiply-adds,
+    no shuffle — which a 100 TB deployment replaces with hierarchical /
+    ANN centroid assignment (the same seam knn_ivf documents).
     Exactness: integer-micros cosines + id tie-breaks, so kept/removed is
     bit-deterministic and value-level oracle-checked."""
     e = _emb(spark, sf_dir)
-    cent = e.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"), F.col("mvec").alias("cvec")
+    k_df = e.agg(
+        F.expr(
+            f"greatest(CAST({N_CENTROIDS} AS BIGINT),"
+            f" count(*) DIV {SEMDEDUP_VECS_PER_CLUSTER})"
+        ).alias("k")
+    )
+    cent = (
+        e.crossJoin(F.broadcast(k_df))
+        .filter(F.col("vec_id") < F.col("k"))
+        .select(F.col("vec_id").alias("centroid_id"), F.col("mvec").alias("cvec"))
     )
     assign_w = Window.partitionBy("vec_id").orderBy(
         F.desc("ccos"), F.asc("centroid_id")
@@ -687,7 +710,10 @@ ORACLE["semdedup_survivors"] = f"""
 WITH e AS (
   SELECT vec_id, {_MVEC_SQL} AS mvec FROM embeddings
 ), cent AS (
-  SELECT vec_id AS centroid_id, mvec AS cvec FROM e WHERE vec_id < {N_CENTROIDS}
+  SELECT vec_id AS centroid_id, mvec AS cvec FROM e
+  WHERE vec_id < (SELECT greatest(CAST({N_CENTROIDS} AS BIGINT),
+                                  count(*) // {SEMDEDUP_VECS_PER_CLUSTER})
+                  FROM e)
 ), assigned AS (
   SELECT vec_id, mvec, centroid_id AS bucket FROM (
     SELECT e.vec_id, e.mvec, c.centroid_id,

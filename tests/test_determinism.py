@@ -144,6 +144,9 @@ _SENSITIVE = [
     "minhash_containment_pairs",  # staged overlap stats + two int÷int ratios
     "edit_distance_verified_pairs",  # levenshtein over LSH candidates
     "obv_indicator",  # signed cumulative BIGINT volume over the total order
+    # round-7 scale fix: k = max(8, n // 250) rides a count aggregate —
+    # partitioning-independent by construction, pinned here anyway
+    "semdedup_survivors",
 ]
 
 
