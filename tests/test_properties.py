@@ -658,3 +658,26 @@ def test_ivf_pq_retention_floor(spark, sf_dir):
     }
     retention = len(iv & ad) / len(ad)
     assert retention >= 0.5, f"IVF-PQ retention collapsed: {retention:.2f}"
+
+
+def test_containment_dominates_jaccard(spark, sf_dir):
+    """Set algebra pins the three candidate verifiers together: for every
+    verified LSH pair, each directional containment |A∩B|/|A| must be ≥ the
+    Jaccard |A∩B|/|A∪B| of the same pair (union ⊇ either set), verified
+    pairs must be a subset of the containment-report pairs (same candidate
+    relation), and n_inter ≤ min(na, nb)."""
+    cont = {
+        (r.doc_a, r.doc_b): r
+        for r in D.minhash_containment_pairs(spark, sf_dir).collect()
+    }
+    for r in cont.values():
+        assert r.n_inter <= min(r.na, r.nb)
+        assert r.containment_a >= r.n_inter / (r.na + r.nb - r.n_inter) - 1e-12
+        assert r.containment_b >= r.n_inter / (r.na + r.nb - r.n_inter) - 1e-12
+    verified = D.minhash_lsh_pairs(spark, sf_dir).collect()
+    assert verified, "no verified pairs — testdata should plant near-dups"
+    for v in verified:
+        c = cont.get((v.doc_a, v.doc_b))
+        assert c is not None, f"verified pair {v} missing from containment"
+        jac = c.n_inter / (c.na + c.nb - c.n_inter)
+        assert abs(jac - v.jaccard) < 1e-12
