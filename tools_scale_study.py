@@ -59,6 +59,15 @@ QUERIES = [
     "sparse_cosine_pairs",
     "training_manifest",
     "knn_bruteforce",  # documented O(n^2) baseline — expected slope ~2
+    # second wave (round-7 extension of the study)
+    "dedup_exact",
+    "line_dedup_stats",
+    "decontam_overlap",
+    "sparse_retrieval_topk",
+    "ivf_pq_topk",
+    "pagerank_near_dup",
+    "minhash_dup_components",  # iterative CC (staged: cold is the signal)
+    "semdedup_survivors",  # re-measured post-fix (k = max(8, n // 250))
 ]
 
 
