@@ -27,6 +27,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import load_table
 
+# LSH cost model: candidate-pair mass ∝ Σ_buckets s·(s−1)/2 per band
+# (audited before the join by minhash_band_skew_report); detection curve
+# P(candidate | jaccard=j) = 1 − (1 − j^BAND_SIZE)^(N_HASHES/BAND_SIZE).
+# More bands → higher recall and more candidates to verify; longer bands →
+# sharper threshold. 16 hashes / 4-row bands puts the S-curve knee near
+# j ≈ 0.5 — re-derive for your corpus's dup profile and τ.
 N_HASHES = 16
 BAND_SIZE = 4  # → 4 bands; P(candidate) = 1-(1-j^4)^4
 JACCARD_THRESHOLD = 0.2  # tuned to the planted near-dups in testdata

@@ -30,8 +30,14 @@ from ..catalog import load_table
 
 N_QUERIES = 10  # vec_id < 10 serve as the query set
 TOP_K = 5
+# IVF cost model: per-query probe cost ∝ nprobe · (n / k); assignment cost
+# ∝ n · k. The FAISS rule of thumb is k ≈ 4·sqrt(n) (balances the two at
+# ~n^1.5 total, recall tuned via nprobe/k). k = 8 is sized for the 500–2000
+# vector testdata; re-derive for your corpus. SemDeDup's k is separately
+# n-proportional (see SEMDEDUP_VECS_PER_CLUSTER) because its within-cluster
+# cost is quadratic in cluster size, not linear.
 N_CENTROIDS = 8
-NPROBE = 4
+NPROBE = 4  # recall/cost dial: fraction of the space scanned = nprobe / k
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
