@@ -519,17 +519,23 @@ def asof_join_next_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_day").alias("m_day"),
         F.col("day_total").alias("m_total"),
     )
+    # Reversed running frame, NOT first() over (1 FOLLOWING, UNBOUNDED):
+    # Spark re-scans the partition remainder per row for an
+    # UnboundedFollowing frame — O(rows²) on a hot customer — while the
+    # descending-order (UNBOUNDED, 1 PRECEDING) running last() computes the
+    # identical "nearest strictly-following row" in O(rows) (same rewrite
+    # as interpolate_daily; PERFORMANCE.md scale study).
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy("day", "side")
-        .rowsBetween(1, Window.unboundedFollowing)
+        .orderBy(F.desc("day"), F.desc("side"))
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     gap = F.datediff(F.col("n_day"), F.col("day"))
     within = F.col("n_day").isNotNull() & (gap <= ASOF_TOL_DAYS)
     return (
         lu.unionByName(ru)
-        .withColumn("n_day", F.first("m_day", ignorenulls=True).over(w))
-        .withColumn("n_total", F.first("m_total", ignorenulls=True).over(w))
+        .withColumn("n_day", F.last("m_day", ignorenulls=True).over(w))
+        .withColumn("n_total", F.last("m_total", ignorenulls=True).over(w))
         .filter(F.col("side") == 1)
         .select(
             "o_orderkey",

@@ -324,16 +324,25 @@ def interpolate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("trade_date")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # The NEXT-observation lookup is a running last() over DESCENDING date,
+    # not first() over a [current, unboundedFollowing) frame: Spark executes
+    # an UnboundedFollowing frame by re-scanning the remainder of the
+    # partition for EVERY row — O(rows²) per supplier, and measured at
+    # ~200 s on the sf0.1 panel when AQE coalesced the spine to few
+    # partitions (PERFORMANCE.md scale study). The reversed running frame
+    # computes the identical value (first non-null at-or-after a date ==
+    # last non-null seen scanning dates downward) in O(rows), one extra
+    # local sort, same single exchange.
     wf = (
         Window.partitionBy("l_suppkey")
-        .orderBy("trade_date")
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.desc("trade_date"))
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     obs_d = F.when(F.col("cents").isNotNull(), d)
     prev_c = F.last("cents", ignorenulls=True).over(wb)
     prev_d = F.last(obs_d, ignorenulls=True).over(wb)
-    next_c = F.first("cents", ignorenulls=True).over(wf)
-    next_d = F.first(obs_d, ignorenulls=True).over(wf)
+    next_c = F.last("cents", ignorenulls=True).over(wf)
+    next_d = F.last(obs_d, ignorenulls=True).over(wf)
     num = prev_c * (next_d - d) + next_c * (d - prev_d)
     interp = F.when(
         F.col("cents").isNotNull(), F.col("cents") / 100.0

@@ -68,6 +68,18 @@ QUERIES = [
     "pagerank_near_dup",
     "minhash_dup_components",  # iterative CC (staged: cold is the signal)
     "semdedup_survivors",  # re-measured post-fix (k = max(8, n // 250))
+    # third wave: relational / time-series / sampling families (orders,
+    # lineitem and events scale in the blow-up too)
+    "interval_join_48h",
+    "asof_join_prev_order",
+    "association_rules",
+    "scd2_event_history",
+    "rolling_weekly_active_users",
+    "interpolate_daily",
+    "bpe_train_merges",
+    "kmeans_exact_assignments",
+    "epoch_shuffle_order",
+    "skyline_two_phase_orders",
 ]
 
 
