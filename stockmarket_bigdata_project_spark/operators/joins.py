@@ -300,7 +300,16 @@ def asof_join_merge_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         ru
     )
     out_schema = "o_orderkey long, o_custkey long, day date, prev_day_total double"
-    return both.groupBy("o_custkey").applyInPandas(merge_group, out_schema)
+    # Pin Arrow-UDF parallelism (same rationale as suppression_window_dedup):
+    # AQE coalesces by byte size and serializes the CPU-bound per-group
+    # Python pass; an explicit repartition(N, key) is the exact partitioning
+    # applyInPandas needs and is exempt from AQE coalescing.
+    n = spark.sparkContext.defaultParallelism
+    return (
+        both.repartition(n, "o_custkey")
+        .groupBy("o_custkey")
+        .applyInPandas(merge_group, out_schema)
+    )
 
 
 QUERIES = {

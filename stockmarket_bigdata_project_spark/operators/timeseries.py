@@ -773,7 +773,19 @@ def suppression_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pdf.loc[kept_idx, ["o_custkey", "o_orderkey", "day"]]
 
     out_schema = "o_custkey long, o_orderkey long, day date"
-    return o.groupBy("o_custkey").applyInPandas(keep_group, out_schema)
+    # Pin the Arrow-UDF stage's parallelism: AQE coalesces shuffle output by
+    # BYTE size, but a per-group Python pass is CPU-bound per row — at sf0.1
+    # AQE folded ~15k customer groups into 2 partitions and serialized 24 s
+    # of Python onto 2 cores. An explicit repartition(N, key) produces the
+    # exact hashpartitioning applyInPandas requires (no extra exchange) and
+    # AQE does not coalesce user-specified partition counts. Values are
+    # partitioning-independent (per-group computation).
+    n = spark.sparkContext.defaultParallelism
+    return (
+        o.repartition(n, "o_custkey")
+        .groupBy("o_custkey")
+        .applyInPandas(keep_group, out_schema)
+    )
 
 
 QUERIES["suppression_window_dedup"] = suppression_window_dedup

@@ -151,6 +151,11 @@ _SENSITIVE = [
     # running frames (O(rows) not O(rows²)) — values must be unchanged
     "interpolate_daily",
     "asof_join_next_tolerance",
+    # round-7 scale fix: Arrow-UDF stages pinned to defaultParallelism
+    # (AQE byte-based coalescing serialized the Python pass) — values are
+    # per-group, partitioning-independent; pinned anyway
+    "suppression_window_dedup",
+    "asof_join_merge_pandas",
 ]
 
 
