@@ -197,6 +197,20 @@ _RELATION_MEMO: dict[tuple[str, str, str, str], DataFrame] = {}
 
 
 def _staged(name: str, spark: SparkSession, sf_dir: str, build) -> DataFrame:
+    """Memoized persist() of a deterministic intermediate relation.
+
+    Caller contract: Spark resolves spark.sql.shuffle.partitions at the
+    FIRST ACTION, not at plan construction, so a handle built under conf A
+    whose first action runs after the conf flips to B caches results
+    computed under B while filed under key A. Values are unaffected (every
+    staged relation is partitioning-independent by construction — pinned in
+    test_determinism), but callers that rely on the conf-in-the-key to get
+    two INDEPENDENT computations (the 32-vs-7 determinism sweep) must act
+    on the returned handle before changing the conf — which the sweep does:
+    it collect()s immediately after construction under each setting. An
+    eager count() here would be the structural fix, but plan construction
+    must stay job-free (test_lsh_band_checkpoint_is_lazy), so the contract
+    is documented instead."""
     key = (
         name,
         spark.sparkContext.applicationId,
@@ -1477,7 +1491,8 @@ def edit_distance_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard second opinion (cf. the fuzzy-dedup stage of web-corpus
     pipelines). Levenshtein is O(len²) per pair, which is exactly why it
     runs on the LSH-pruned candidate set and never all-pairs. The keep
-    predicate is integer arithmetic (ed·5 ≤ max_len); outputs are pure
+    predicate is integer arithmetic (ed·ED_RATIO_DEN ≤ max_len, i.e.
+    ed·40 ≤ max_len); outputs are pure
     BIGINTs plus one integer÷integer binary64 division. Output: (doc_a,
     doc_b, edit_distance, max_len, ed_ratio).
 

@@ -817,9 +817,12 @@ XCORR_LAGS = (-2, -1, 0, 1, 2)  # market shift in TRADING days
 def leadlag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lead-lag structure: full-period Pearson cross-correlation between
     each supplier's daily return and the MARKET return shifted by
-    -2..+2 trading days — positive-lag correlation means the market
-    leads the stock (the classic lagged-beta/price-discovery
-    diagnostic). Inputs are the same exact 1e-5-unit integer returns as
+    -2..+2 trading days. Sign convention: lag L pairs the stock return
+    at trading-day index i with the market return at index i+L
+    (x_idx = idx − lag below), so a high POSITIVE-lag correlation means
+    today's stock return co-moves with the FUTURE market return — the
+    STOCK leads the market; negative lags test the market leading the
+    stock (the classic lagged-beta/price-discovery diagnostic). Inputs are the same exact 1e-5-unit integer returns as
     rolling_beta (per-stock quantized rational; market = re-quantized
     cross-sectional mean — expressions duplicated verbatim from
     rolling_beta, which is hash-proven, rather than refactoring a proven

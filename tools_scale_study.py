@@ -67,7 +67,9 @@ QUERIES = [
     "ivf_pq_topk",
     "pagerank_near_dup",
     "minhash_dup_components",  # iterative CC (staged: cold is the signal)
-    "semdedup_survivors",  # re-measured post-fix (k = max(8, n // 250))
+    # (r8: dropped the duplicate "semdedup_survivors" entry — it already
+    # runs in the first wave above, post-fix, and the summary dict kept
+    # only the last row per name anyway)
     # third wave: relational / time-series / sampling families (orders,
     # lineitem and events scale in the blow-up too)
     "interval_join_48h",
