@@ -77,6 +77,16 @@ CURATION = [
 ]
 
 
+# Queries built on session-memoized STAGED relations (persist + memo in
+# llmdata.dedup: the LSH candidate/verified-pair relations and the resolved
+# dup components): their second execution reads the in-memory relation — a
+# cache hit, not the pipeline. For these the COLD time is the honest
+# headline number (what a fresh cluster run pays end-to-end); the memo-hit
+# read lands in `queries_memo_hit` as the annotation, not the headline
+# (r7 verdict task 4 — the r7 headline had this inverted).
+STAGED = {"minhash_lsh_pairs", "corpus_clean", "training_manifest"}
+
+
 def _force(df) -> None:
     """Execute the full plan without materializing to the driver or disk."""
     df.write.format("noop").mode("overwrite").save()
@@ -150,8 +160,17 @@ def main() -> None:
             )
         return cold, steady
 
-    cold, timings = _run(names)
-    cur_cold, cur_timings = _run([n for n in CURATION if n in queries])
+    cold, steady = _run(names)
+    cur_cold, cur_steady = _run([n for n in CURATION if n in queries])
+
+    # headline number per query: steady for real pipelines, COLD for the
+    # staged queries (their steady pass is a memo-hit read — see STAGED)
+    timings = {n: (cold[n] if n in STAGED else steady[n]) for n in steady}
+    cur_timings = {
+        n: (cur_cold[n] if n in STAGED else cur_steady[n]) for n in cur_steady
+    }
+    memo_hit = {n: steady[n] for n in steady if n in STAGED}
+    memo_hit.update({n: cur_steady[n] for n in cur_steady if n in STAGED})
 
     total = round(sum(timings.values()), 3)
     curation_total = round(sum(cur_timings.values()), 3)
@@ -167,6 +186,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_cold": cold,
+                "queries_memo_hit": memo_hit,
+                "headline_policy": (
+                    "staged queries (persist+memo relations) reported COLD; "
+                    "their memo-hit steady read is in queries_memo_hit"
+                ),
                 "curation_queries_total": curation_total,
                 "curation_queries": cur_timings,
                 "curation_queries_cold": cur_cold,

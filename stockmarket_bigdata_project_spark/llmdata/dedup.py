@@ -36,6 +36,22 @@ from ..catalog import load_table
 N_HASHES = 16
 BAND_SIZE = 4  # → 4 bands; P(candidate) = 1-(1-j^4)^4
 JACCARD_THRESHOLD = 0.2  # tuned to the planted near-dups in testdata
+# Hot-bucket cap (r8): a (band, sig) bucket of size s contributes s·(s−1)/2
+# candidate pairs to the self-join — quadratic IN THE BUCKET by construction.
+# On a boilerplate-heavy real corpus one signature can collect 10⁶ docs and
+# the join explodes; minhash_band_skew_report MEASURES that mass, this cap
+# ENFORCES the bound: buckets larger than LSH_BUCKET_CAP are dropped from
+# candidate generation entirely (the winnowing df > 20 / sparse_cosine
+# df ≤ 20 precedent). What a mega-bucket holds is either boilerplate (the
+# content a curation pipeline handles with boilerplate_strip / line dedup,
+# not pairwise near-dedup) or genuine near-dups that other, less-loaded
+# bands re-catch — the standard production mitigation (cf. the bucket-size
+# ceilings in large-scale MinHash dedup writeups). 32 is ~8× the largest
+# testdata bucket at any gate SF (≤4, measured via the skew report), so
+# every previously-proven result is bit-identical; the cap is encoded in
+# the DuckDB oracle (_CAPPED_BANDS_SQL) so the contract is value-checked,
+# and the synthetic mega-bucket test pins the enforcement.
+LSH_BUCKET_CAP = 32
 
 
 def _normalized(col: str = "text") -> F.Column:
@@ -263,8 +279,22 @@ def _build_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_bands = mh.select("doc_id", F.explode(band_structs).alias("bs")).select(
         "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     ).localCheckpoint(eager=False)
-    l = all_bands.alias("l")
-    r = all_bands.alias("r")
+    # Hot-bucket cap: buckets above LSH_BUCKET_CAP never enter the self-join
+    # (see the constant's rationale). Shape: one (band, sig)-keyed count
+    # aggregate over the materialized band table — map-side combined, its
+    # output is |buckets over the cap| rows, i.e. approximately empty — then
+    # a broadcast ANTI join, so the big side never reshuffles for the cap.
+    # This is strictly cheaper than the window-count alternative (which
+    # would sort the whole band table inside the (band, sig) exchange).
+    hot = (
+        all_bands.groupBy("band", "sig")
+        .agg(F.count("*").alias("s"))
+        .filter(F.col("s") > LSH_BUCKET_CAP)
+        .select("band", "sig")
+    )
+    capped = all_bands.join(F.broadcast(hot), ["band", "sig"], "left_anti")
+    l = capped.alias("l")
+    r = capped.alias("r")
     # The band table is materialized above (localCheckpoint — the runtime
     # analog of staging the sketch as a table at cluster scale), so the
     # candidate self-join below is cheap to reference from BOTH its
@@ -289,9 +319,11 @@ def _build_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate generation + exact verification:
-       band signature = concat of BAND_SIZE minhashes → bucket-join within a
-       band → distinct candidate pairs → verify true Jaccard ≥ τ.
-    Every step is an equi-shuffle; nothing is quadratic in corpus size.
+       band signature = concat of BAND_SIZE minhashes → hot-bucket cap
+       (buckets > LSH_BUCKET_CAP dropped) → bucket-join within a band →
+       distinct candidate pairs → verify true Jaccard ≥ τ.
+    Every step is an equi-shuffle; nothing is quadratic in corpus size —
+    the cap bounds the one residual quadratic term (within-bucket pairs).
     Staged (persist + memo): the verified pair set feeds components,
     survivors, pagerank, triangles, the source matrix, and leakage repair —
     one computation per session serves them all."""
@@ -793,6 +825,25 @@ _BANDS_SQL = (
     + "\n)"
 )
 
+# Candidate generation with the hot-bucket cap (mirror of
+# _build_lsh_candidates): buckets larger than LSH_BUCKET_CAP are excluded
+# before the self-join. `bands` itself stays raw — minhash_band_skew_report
+# audits the UNCAPPED load, which is the number that tells an operator the
+# cap is doing work.
+_CAPPED_BANDS_SQL = f"""capped_bands AS (
+  SELECT doc_id, band, sig FROM (
+    SELECT doc_id, band, sig,
+           count(*) OVER (PARTITION BY band, sig) AS bsz
+    FROM bands
+  ) WHERE bsz <= {LSH_BUCKET_CAP}
+)"""
+
+_PAIRS_SQL = """pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM capped_bands l JOIN capped_bands r
+    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+)"""
+
 _JACCARD_TAIL = f"""
 counts AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
 inter AS (
@@ -849,11 +900,8 @@ comps AS (
 _CC_CHAIN = f"""WITH RECURSIVE {_SHINGLES_SQL.strip()},
 {_MINHASH_SQL},
 {_BANDS_SQL},
-pairs AS (
-  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-  FROM bands l JOIN bands r
-    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
-),
+{_CAPPED_BANDS_SQL},
+{_PAIRS_SQL},
 {_COMPONENTS_SQL.strip()}"""
 
 ORACLE = {
@@ -896,20 +944,18 @@ SELECT doc_id, h0, h1, h2, h3 FROM minhash
 WITH {_SHINGLES_SQL.strip()},
 {_MINHASH_SQL},
 {_BANDS_SQL},
-pairs AS (
-  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-  FROM bands l JOIN bands r
-    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
-),
+{_CAPPED_BANDS_SQL},
+{_PAIRS_SQL},
 {_JACCARD_TAIL.strip()}
 """,
     "lsh_eval_precision_recall": f"""
 WITH {_SHINGLES_SQL.strip()},
 {_MINHASH_SQL},
 {_BANDS_SQL},
+{_CAPPED_BANDS_SQL},
 cand AS (
   SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-  FROM bands l JOIN bands r
+  FROM capped_bands l JOIN capped_bands r
     ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
 ),
 counts AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
@@ -1453,11 +1499,8 @@ ORACLE["minhash_containment_pairs"] = f"""
 WITH {_SHINGLES_SQL.strip()},
 {_MINHASH_SQL},
 {_BANDS_SQL},
-pairs AS (
-  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-  FROM bands l JOIN bands r
-    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
-),
+{_CAPPED_BANDS_SQL},
+{_PAIRS_SQL},
 ccounts AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
 cinter AS (
   SELECT p.doc_a, p.doc_b, count(*) AS n_inter
@@ -1528,11 +1571,8 @@ ORACLE["edit_distance_verified_pairs"] = f"""
 WITH {_SHINGLES_SQL.strip()},
 {_MINHASH_SQL},
 {_BANDS_SQL},
-pairs AS (
-  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-  FROM bands l JOIN bands r
-    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
-),
+{_CAPPED_BANDS_SQL},
+{_PAIRS_SQL},
 ed AS (
   SELECT p.doc_a, p.doc_b,
          CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance,

@@ -219,8 +219,15 @@ def retrieval_eval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (threshold tuned to testdata's
-    max inter-vector cosine ~0.51 so the query has signal)."""
+    """Embedding-cosine near-duplicate pairs — CORRECTNESS BASELINE ONLY.
+
+    This is a deliberately uncapped all-pairs theta join (O(n²) by
+    construction, like knn_bruteforce and ngram_jaccard_pairs): it exists
+    to define the exact result set that the scale path —
+    embedding_lsh_near_dup (banded hyperplane LSH, shuffle-linear) — is
+    recall-scored against in tests/test_properties.py. Do NOT run it on a
+    production corpus; run embedding_lsh_near_dup. Threshold tuned to
+    testdata's max inter-vector cosine ~0.51 so the query has signal."""
     e = _emb(spark, sf_dir)
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("mvec").alias("va"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("mvec").alias("vb"))
@@ -728,6 +735,195 @@ WITH e AS (
              ORDER BY {_cos_sql("e.mvec", "c.cvec")} DESC,
                       c.centroid_id ASC) AS rn
     FROM e CROSS JOIN cent c) WHERE rn = 1
+), removed AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE {_cos_sql("a.mvec", "b.mvec")} >= {SEMDEDUP_TAU}
+)
+SELECT a.vec_id, a.bucket,
+       CAST(r.vec_id IS NULL AS INTEGER) AS kept
+FROM assigned a LEFT JOIN removed r ON r.vec_id = a.vec_id
+"""
+
+
+def semdedup_survivors_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with ANN (two-level / coarse-quantized) centroid assignment
+    — the 100 TB form of semdedup_survivors, whose one remaining
+    super-linear term was the FLAT n·k broadcast-centroid argmax (k ∝ n ⇒
+    n²/250 multiply-adds; measured slope contribution in PERFORMANCE.md).
+    Here assignment goes through the standard hierarchical route every
+    large-scale IVF deployment uses (the seam knn_ivf and the r7 verdict
+    both name):
+
+      1. g = max(2, ⌊√k⌋) COARSE centroids (the first g fine centroids);
+      2. each fine centroid → its nearest coarse cell (k·g work, tiny);
+      3. each vector → nearest coarse cell (n·g);
+      4. each vector → nearest FINE centroid WITHIN that cell only
+         (n · k/g expected).
+
+    Assignment drops from n·k to n·(g + k/g) ≈ 2n√k — with k ∝ n that is
+    O(n^1.5) versus the flat form's O(n²), and the within-cluster prune
+    (identical keep-smallest-id rule, same SEMDEDUP_TAU) stays the
+    dominant, linear-by-construction term. Every coarse cell is non-empty
+    (a coarse centroid's own fine row maps to itself at cosine 1), so
+    assignment is total.
+
+    Approximation is confined to assignment: a vector near a cell
+    boundary may land on a different (near-equal-cosine) fine bucket
+    than the flat argmax — the same recall trade knn_ivf makes; the
+    agreement floor vs the flat twin is pinned in test_properties.
+    Determinism is NOT traded: fixed centroids, bit-exact integer-micros
+    cosines, id tie-breaks — the whole pipeline is value-level
+    oracle-checked, stage-for-stage, like every other ANN query here.
+    [extension]"""
+    e = _emb(spark, sf_dir)
+    kg = e.agg(
+        F.expr(
+            f"greatest(CAST({N_CENTROIDS} AS BIGINT),"
+            f" count(*) DIV {SEMDEDUP_VECS_PER_CLUSTER})"
+        ).alias("k")
+    ).select(
+        "k",
+        F.expr(
+            "greatest(CAST(2 AS BIGINT),"
+            " CAST(floor(sqrt(CAST(k AS DOUBLE))) AS BIGINT))"
+        ).alias("g"),
+    )
+    cent = (
+        e.crossJoin(F.broadcast(kg))
+        .filter(F.col("vec_id") < F.col("k"))
+        .select(F.col("vec_id").alias("centroid_id"), F.col("mvec").alias("cvec"))
+    )
+    coarse = (
+        e.crossJoin(F.broadcast(kg))
+        .filter(F.col("vec_id") < F.col("g"))
+        .select(F.col("vec_id").alias("coarse_id"), F.col("mvec").alias("gvec"))
+    )
+    # fine centroid -> coarse cell (k·g rows, broadcast-sized)
+    fmap_w = Window.partitionBy("centroid_id").orderBy(
+        F.desc("gcos"), F.asc("coarse_id")
+    )
+    fmap = (
+        cent.crossJoin(F.broadcast(coarse))
+        .select(
+            "centroid_id",
+            "cvec",
+            "coarse_id",
+            _cosine(F.col("cvec"), F.col("gvec")).alias("gcos"),
+        )
+        .withColumn("rn", F.row_number().over(fmap_w))
+        .filter(F.col("rn") == 1)
+        .select("centroid_id", "cvec", "coarse_id")
+    )
+    # vector -> coarse cell (n·g, the only corpus-wide probe)
+    vc_w = Window.partitionBy("vec_id").orderBy(F.desc("gcos"), F.asc("coarse_id"))
+    vcoarse = (
+        e.crossJoin(F.broadcast(coarse))
+        .select(
+            "vec_id",
+            "mvec",
+            "coarse_id",
+            _cosine(F.col("mvec"), F.col("gvec")).alias("gcos"),
+        )
+        .withColumn("rn", F.row_number().over(vc_w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "mvec", "coarse_id")
+    )
+    # vector -> fine bucket WITHIN its coarse cell (n·k/g expected; the fine
+    # map is k rows — broadcast — so the corpus side never reshuffles)
+    vf_w = Window.partitionBy("vec_id").orderBy(
+        F.desc("ccos"), F.asc("centroid_id")
+    )
+    assigned = (
+        vcoarse.join(F.broadcast(fmap), "coarse_id")
+        .select(
+            "vec_id",
+            "mvec",
+            "centroid_id",
+            _cosine(F.col("mvec"), F.col("cvec")).alias("ccos"),
+        )
+        .withColumn("rn", F.row_number().over(vf_w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "mvec", F.col("centroid_id").alias("bucket"))
+    )
+    # within-bucket prune: duplicated verbatim from semdedup_survivors
+    # (hash-proven) rather than refactoring a proven query
+    with_norm = assigned.withColumn("nrm", _norm(F.col("mvec")))
+    a = with_norm.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("mvec").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = with_norm.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("mvec").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    removed = (
+        a.join(b, ["bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(
+            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            >= SEMDEDUP_TAU
+        )
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        assigned.join(removed, "vec_id", "left")
+        .select(
+            "vec_id",
+            "bucket",
+            (F.coalesce("is_dup", F.lit(0)) == 0).cast("int").alias("kept"),
+        )
+    )
+
+
+QUERIES["semdedup_survivors_ann"] = semdedup_survivors_ann
+
+ORACLE["semdedup_survivors_ann"] = f"""
+WITH e AS (
+  SELECT vec_id, {_MVEC_SQL} AS mvec FROM embeddings
+), kg AS (
+  SELECT k, greatest(CAST(2 AS BIGINT),
+                     CAST(floor(sqrt(CAST(k AS DOUBLE))) AS BIGINT)) AS g
+  FROM (SELECT greatest(CAST({N_CENTROIDS} AS BIGINT),
+                        count(*) // {SEMDEDUP_VECS_PER_CLUSTER}) AS k
+        FROM e)
+), cent AS (
+  SELECT vec_id AS centroid_id, mvec AS cvec FROM e
+  WHERE vec_id < (SELECT k FROM kg)
+), coarse AS (
+  SELECT vec_id AS coarse_id, mvec AS gvec FROM e
+  WHERE vec_id < (SELECT g FROM kg)
+), fmap AS (
+  SELECT centroid_id, cvec, coarse_id FROM (
+    SELECT c.centroid_id, c.cvec, o.coarse_id,
+           row_number() OVER (
+             PARTITION BY c.centroid_id
+             ORDER BY {_cos_sql("c.cvec", "o.gvec")} DESC,
+                      o.coarse_id ASC) AS rn
+    FROM cent c CROSS JOIN coarse o) WHERE rn = 1
+), vcoarse AS (
+  SELECT vec_id, mvec, coarse_id FROM (
+    SELECT e.vec_id, e.mvec, o.coarse_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_cos_sql("e.mvec", "o.gvec")} DESC,
+                      o.coarse_id ASC) AS rn
+    FROM e CROSS JOIN coarse o) WHERE rn = 1
+), assigned AS (
+  SELECT vec_id, mvec, centroid_id AS bucket FROM (
+    SELECT v.vec_id, v.mvec, f.centroid_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_cos_sql("v.mvec", "f.cvec")} DESC,
+                      f.centroid_id ASC) AS rn
+    FROM vcoarse v JOIN fmap f USING (coarse_id)) WHERE rn = 1
 ), removed AS (
   SELECT DISTINCT b.vec_id
   FROM assigned a JOIN assigned b

@@ -138,7 +138,50 @@ _INTRODUCED_R7: frozenset[str] = frozenset({
 })
 
 
+# Queries introduced during round 8 (the registry entered round 8 fully
+# proven, so these tier-0 entries front the window and earn their proof
+# immediately; everything else in the window is re-proof rotation).
+_INTRODUCED_R8: frozenset[str] = frozenset({
+    "semdedup_survivors_ann",
+})
+
+# Round-8 re-proof priority (r7 verdict task 8): with every query proven,
+# the gate window re-proves old queries — spend the spare slots on the
+# FLOAT-BEARING families first (raw binary64 outputs whose cross-engine
+# bit-identity is the environment-sensitive surface), so any host/version
+# drift shows up as a red row while there is still budget to fix it.
+_REPROOF_PRIORITY = (
+    "rolling_beta",
+    "leadlag_xcorr",
+    "retrieval_eval_recall",
+    "lsh_eval_precision_recall",
+    "pq_eval_recall",
+    "ivf_pq_eval_recall",
+    "matryoshka_recall",
+    "knn_bruteforce",
+    "knn_ivf",
+    "embedding_near_dup_pairs",
+    "embedding_lsh_near_dup",
+    "embedding_range_query",
+    "label_centroid_similarity",
+    "minhash_lsh_pairs",
+    "minhash_containment_pairs",
+    "edit_distance_verified_pairs",
+    "ngram_jaccard_pairs",
+    "sparse_cosine_pairs",
+    "semdedup_survivors",
+    "correlation_matrix",
+    "predict_returns",
+    "eval_metrics",
+    "rolling_volatility",
+    "ewma_dyadic_close",
+    "trend_mann_kendall",
+)
+
+
 def _introduced_rank(name: str) -> int:
+    if name in _INTRODUCED_R8:
+        return 4
     if name in _INTRODUCED_R7:
         return 3
     if name in _INTRODUCED_R6:
@@ -222,9 +265,18 @@ def _rotate(items: dict, oracle_names: frozenset[str], origin: dict) -> dict:
             mod_rank = _FRONT_MODULE_ORDER.index(mod)
         except ValueError:
             mod_rank = len(_FRONT_MODULE_ORDER)
+        # within the already-proven tier, re-proof the float-bearing
+        # families first (see _REPROOF_PRIORITY) — ordering inside tier 2
+        # never displaces an unproven query, it only picks WHICH proven
+        # queries the window re-checks
+        try:
+            reproof_rank = _REPROOF_PRIORITY.index(name) if tier == 2 else -1
+        except ValueError:
+            reproof_rank = len(_REPROOF_PRIORITY)
         return (
             tier,
             name not in red_fixes,
+            reproof_rank,
             _introduced_rank(name),
             mod_rank,
         )

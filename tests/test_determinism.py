@@ -147,6 +147,10 @@ _SENSITIVE = [
     # round-7 scale fix: k = max(8, n // 250) rides a count aggregate —
     # partitioning-independent by construction, pinned here anyway
     "semdedup_survivors",
+    # round-8: ANN (two-level) centroid assignment — three chained argmax
+    # windows + the within-bucket prune, all id-tie-broken; pinned before
+    # its gate window
+    "semdedup_survivors_ann",
     # round-7 scale fix: UnboundedFollowing frames rewritten to reversed
     # running frames (O(rows) not O(rows²)) — values must be unchanged
     "interpolate_daily",

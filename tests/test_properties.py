@@ -28,6 +28,47 @@ def test_ivf_recall_against_bruteforce(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall collapsed: {recall:.2f}"
 
 
+def test_semdedup_ann_sound_and_agrees_with_flat(spark, sf_dir):
+    """The ANN-assigned SemDeDup twin trades assignment exactness, never
+    removal soundness: (a) every vector it removes has a GENUINE cosine ≥ τ
+    neighbor with a smaller id (checked against the all-pairs truth — a
+    removal is justified by an exact cosine to a real bucket-mate, so no
+    approximation can fabricate one); (b) per-vector kept flags agree with
+    the flat-assignment twin on ≥ 85% of vectors (boundary vectors may land
+    in a neighboring cell — the knn_ivf recall trade); (c) both twins cover
+    every vector exactly once with the same output schema."""
+    flat = {r.vec_id: r.kept for r in S.semdedup_survivors(spark, sf_dir).collect()}
+    ann_rows = S.semdedup_survivors_ann(spark, sf_dir).collect()
+    ann = {r.vec_id: r.kept for r in ann_rows}
+    assert set(ann) == set(flat)  # same coverage, no drops/dups
+    assert len(ann) == len(ann_rows)
+
+    # (a) soundness: ANN-removed ⊆ {b | ∃ a<b with cos(a,b) ≥ τ}
+    e = {r.vec_id: r.mvec for r in S._emb(spark, sf_dir).collect()}
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    ids = sorted(e)
+    has_smaller_dup = set()
+    for i, vb in enumerate(ids):
+        for va in ids[:i]:
+            if cos(e[va], e[vb]) >= S.SEMDEDUP_TAU:
+                has_smaller_dup.add(vb)
+                break
+    removed_ann = {v for v, kept in ann.items() if kept == 0}
+    unsound = removed_ann - has_smaller_dup
+    assert not unsound, f"ANN removed vectors with no true dup: {sorted(unsound)[:5]}"
+
+    # (b) agreement floor with the flat twin
+    agree = sum(1 for v in flat if flat[v] == ann[v]) / len(flat)
+    assert agree >= 0.85, f"kept-flag agreement collapsed: {agree:.3f}"
+
+
 def test_lsh_candidates_superset_of_high_jaccard(spark, sf_dir):
     """Every pair the brute-force path scores above threshold must also be
     caught by the LSH path when it shares a full band (the planted near-dups
@@ -217,6 +258,57 @@ def test_corpus_clean_consistent_with_parts(spark, sf_dir):
     expected = quality_ok & exact_keep & near_keep
     got = {r.doc_id for r in C.corpus_clean(spark, sf_dir).collect()}
     assert got == expected
+
+
+def test_lsh_hot_bucket_cap_bounds_candidate_mass(spark, tmp_path):
+    """The hot-bucket cap (LSH_BUCKET_CAP) must ENFORCE what the skew
+    report measures: a synthetic mega-bucket — 40 byte-identical docs, one
+    (band, sig) bucket of size 40 > 32 in every band — contributes ZERO
+    candidate pairs (40·39/2 = 780 per band raw, the boilerplate blow-up),
+    while a genuine near-dup pair in a small bucket still surfaces and
+    verifies. Cross-checked three ways: the Spark pair set, the raw skew
+    report (which must still SEE the mega-bucket: audit ≠ enforcement),
+    and the DuckDB oracle on the same synthetic corpus (the cap is part of
+    the value contract, not a Spark-side heuristic)."""
+    import duckdb
+
+    from tests.oracle_compare import compare
+
+    mega_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near_a = "red oak pine elm birch maple cedar willow aspen spruce fir"
+    near_b = near_a + " larch"  # shares almost every 3-gram with near_a
+    rows = [(i, mega_text, "en", "boiler", len(mega_text)) for i in range(40)]
+    rows += [
+        (100, near_a, "en", "web", len(near_a)),
+        (101, near_b, "en", "web", len(near_b)),
+    ]
+    d = str(tmp_path / "megabucket")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    pairs = {(r.doc_a, r.doc_b) for r in D.minhash_lsh_pairs(spark, d).collect()}
+    assert (100, 101) in pairs, pairs
+    assert all(a >= 100 for a, _ in pairs), (
+        f"mega-bucket pairs leaked through the cap: {sorted(pairs)[:5]}"
+    )
+
+    skew = D.minhash_band_skew_report(spark, d).collect()
+    assert max(r.max_bucket for r in skew) == 40  # audit still sees it raw
+    assert max(r.candidate_pairs for r in skew) >= 780
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    compare(
+        D.minhash_lsh_pairs(spark, d),
+        con,
+        D.ORACLE["minhash_lsh_pairs"],
+        name="minhash_lsh_pairs[megabucket]",
+    )
+    con.close()
 
 
 def test_word_ngrams_short_docs(spark):
