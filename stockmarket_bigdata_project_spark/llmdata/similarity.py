@@ -363,6 +363,14 @@ def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine verifies. Linear shuffle (bucket join); recall vs the
     brute-force baseline pinned in tests/test_properties.py.
 
+    Sizing note for scale: BITS_PER_BAND=4 gives only 16 buckets per band
+    — right for the 500–2000-vector testdata (expected bucket ~n/16), but
+    bucket population grows ∝ n at fixed bits, so a production corpus must
+    grow bits-per-band ≈ log2(n) (and band count with target recall) to
+    keep expected bucket size — and the within-bucket pair mass — bounded;
+    the dedup-side LSH_BUCKET_CAP precedent applies here identically if
+    the sig distribution is skewed.
+
     Exactness: integer-micros components, so every partial sum is an
     integer < 2^53 — double arithmetic on them is exact and associative,
     and the sign bit cannot flip with accumulation order (on a cluster or

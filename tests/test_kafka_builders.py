@@ -96,3 +96,52 @@ def test_kafka_roundtrip_against_real_broker(spark):
     ).select("d.*")
     rows = {(r.id, r.payload) for r in decoded.collect()}
     assert {(i, f"v{i}") for i in range(10)} <= rows
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_KAFKA_BROKER"),
+    reason="no Kafka broker in this environment "
+    "(set SPARK_GRAFT_KAFKA_BROKER=host:port to enable)",
+)
+def test_kafka_streaming_scan_against_real_broker(spark, tmp_path):
+    """Integration smoke for the S2 builder (the one leg the batch
+    round-trip above does not execute): produce through kafka_sink, then
+    drain the topic with kafka_stream_reader + decode via an availableNow
+    run into a memory sink — the exact reader the reference's
+    reddit_pipeline runs continuously. Skipped-clean in the sandbox."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from stockmarket_bigdata_project_spark.sources.kafka import (
+        kafka_sink, kafka_stream_reader,
+    )
+
+    broker = os.environ["SPARK_GRAFT_KAFKA_BROKER"]
+    topic = os.environ.get(
+        "SPARK_GRAFT_KAFKA_STREAM_TOPIC", "spark_graft_stream_smoke"
+    )
+    src = spark.range(10).select(
+        F.col("id"), F.concat(F.lit("s"), F.col("id")).alias("payload")
+    )
+    kafka_sink(src, broker, topic, key_col="id").save()
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("payload", StringType())]
+    )
+    reader, decode = kafka_stream_reader(spark, broker, topic, schema)
+    q = (
+        decode(reader.load())
+        .writeStream.format("memory")
+        .queryName("kafka_s2_smoke")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        (r.id, r.payload)
+        for r in spark.table("kafka_s2_smoke").collect()
+    }
+    assert {(i, f"s{i}") for i in range(10)} <= rows

@@ -82,6 +82,18 @@ QUERIES = [
     "kmeans_exact_assignments",
     "epoch_shuffle_order",
     "skyline_two_phase_orders",
+    # fourth wave (round 8, r7 verdict task 6): the two families without
+    # exponent rows — streaming (availableNow replay; state bounded by the
+    # watermark, not the replay volume) and multimodal (Arrow-batched decode
+    # over binary columns) — plus the new ANN-assigned SemDeDup twin (its
+    # "done" criterion is a measured slope without the flat n·k term).
+    "streaming_window_counts",
+    "streaming_stream_stream_join",
+    "image_features",
+    "image_features_arrow",
+    "media_dedup_groups",
+    "audio_chunk_rms",
+    "semdedup_survivors_ann",
 ]
 
 
