@@ -269,7 +269,9 @@ def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 1-row broadcast, not a driver collect. The remaining super-constant
     term is the flat n·k broadcast assignment — map-side multiply-adds,
     no shuffle — which a 100 TB deployment replaces with hierarchical /
-    ANN centroid assignment (the same seam knn_ivf documents).
+    ANN centroid assignment: that path EXISTS as semdedup_survivors_ann
+    (two-level coarse→fine, ~2n·√k), and this flat form is the exactness
+    reference its agreement floor is pinned against.
     Exactness: integer-micros cosines + id tie-breaks, so kept/removed is
     bit-deterministic and value-level oracle-checked."""
     e = _emb(spark, sf_dir)

@@ -164,8 +164,16 @@ def test_r7_closure_cannot_be_queue_jumped():
 
 def test_introduced_r6_members_are_registered():
     names = set(registry.all_queries())
-    ghost = (registry._INTRODUCED_R6 | registry._INTRODUCED_R7) - names
+    ghost = (
+        registry._INTRODUCED_R6
+        | registry._INTRODUCED_R7
+        | registry._INTRODUCED_R8
+    ) - names
     assert not ghost, f"late-introduction sets name unknown queries: {ghost}"
+    missing_priority = set(registry._REPROOF_PRIORITY) - names
+    assert not missing_priority, (
+        f"re-proof priority names unknown queries: {missing_priority}"
+    )
 
 
 def test_every_query_name_is_unique_and_resolvable():
