@@ -26,6 +26,7 @@ Blow-up construction (DuckDB, written under /tmp/scale/x{K}/):
 Usage:
     python tools_scale_study.py            # build x1(symlink)/x2/x4, run
     python tools_scale_study.py --build    # only build the data
+    python tools_scale_study.py --only a,b # run only the named queries
 Prints one JSON line per query: {"query": ..., "secs": {1: s, 2: s, 4: s},
 "slope": b} where slope is the least-squares fit of log2(sec) on
 log2(scale).
@@ -104,6 +105,12 @@ def build() -> None:
     for k in SCALES:
         d = os.path.join(ROOT, f"x{k}")
         os.makedirs(d, exist_ok=True)
+        if k > 1 and all(
+            os.path.exists(os.path.join(d, f"{t}.parquet"))
+            for t in DIMS + ("orders", "lineitem", "events", "documents",
+                             "embeddings")
+        ):
+            continue  # idempotent re-run: blow-up already built
         if k == 1:
             for t in DIMS + ("orders", "lineitem", "events", "documents",
                              "embeddings"):
@@ -191,8 +198,14 @@ def run() -> None:
             2,
         )
 
+    only = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+        unknown = only - set(QUERIES) - set(q)
+        assert not unknown, f"--only names unknown queries: {unknown}"
+
     results = []
-    for name in QUERIES:
+    for name in sorted(only) if only else QUERIES:
         cold, steady = {}, {}
         for k in SCALES:
             d = os.path.join(ROOT, f"x{k}")
