@@ -1311,6 +1311,52 @@ def minhash_band_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["minhash_band_skew_report"] = minhash_band_skew_report
 
+
+def lsh_capped_buckets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observability twin of the hot-bucket CAP (LSH_BUCKET_CAP): per band,
+    how many (band, sig) buckets exceed the cap, how many docs sit in them,
+    and the candidate-pair mass Σ s·(s−1)/2 the cap REMOVES from the
+    self-join. minhash_band_skew_report shows the raw load; this report
+    shows what the enforcement did — the number an operator alerts on
+    (a sudden jump = a new boilerplate source flooding one signature, the
+    content that should be routed to boilerplate_strip / line dedup rather
+    than pairwise verification). All-zero on healthy corpora (testdata's
+    largest bucket is 4); the synthetic mega-bucket test pins the nonzero
+    behavior. Output: 4 rows of pure BIGINTs.
+
+    Scale shape: same single (band, sig) exchange as the skew report —
+    strictly cheaper than the join it guards. [extension]"""
+    mh = _minhash_df(spark, sf_dir)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.concat_ws(
+                    "",
+                    *[f"h{band * BAND_SIZE + j}" for j in range(BAND_SIZE)],
+                ).alias("sig"),
+            )
+            for band in range(N_HASHES // BAND_SIZE)
+        ]
+    )
+    bands = mh.select("doc_id", F.explode(band_structs).alias("bs")).select(
+        F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    bucket = bands.groupBy("band", "sig").agg(F.count("*").alias("s"))
+    hot = F.col("s") > LSH_BUCKET_CAP
+    return bucket.groupBy("band").agg(
+        F.sum(hot.cast("long")).alias("n_capped_buckets"),
+        F.sum(F.when(hot, F.col("s")).otherwise(F.lit(0))).alias(
+            "n_docs_capped"
+        ),
+        F.sum(
+            F.when(hot, F.expr("(s * (s - 1)) DIV 2")).otherwise(F.lit(0))
+        ).alias("pairs_removed"),
+    )
+
+
+QUERIES["lsh_capped_buckets_report"] = lsh_capped_buckets_report
+
 ORACLE["minhash_band_skew_report"] = f"""
 WITH {_SHINGLES_SQL.strip()},
 {_MINHASH_SQL},
@@ -1321,6 +1367,22 @@ SELECT band,
        CAST(sum(s) AS BIGINT) AS n_docs,
        CAST(max(s) AS BIGINT) AS max_bucket,
        CAST(sum((s * (s - 1)) // 2) AS BIGINT) AS candidate_pairs
+FROM bsz GROUP BY band
+"""
+
+ORACLE["lsh_capped_buckets_report"] = f"""
+WITH {_SHINGLES_SQL.strip()},
+{_MINHASH_SQL},
+{_BANDS_SQL},
+bsz AS (SELECT band, sig, count(*) AS s FROM bands GROUP BY band, sig)
+SELECT band,
+       CAST(sum(CASE WHEN s > {LSH_BUCKET_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_capped_buckets,
+       CAST(sum(CASE WHEN s > {LSH_BUCKET_CAP} THEN s ELSE 0 END) AS BIGINT)
+         AS n_docs_capped,
+       CAST(sum(CASE WHEN s > {LSH_BUCKET_CAP}
+                     THEN (s * (s - 1)) // 2 ELSE 0 END) AS BIGINT)
+         AS pairs_removed
 FROM bsz GROUP BY band
 """
 

@@ -143,6 +143,7 @@ _INTRODUCED_R7: frozenset[str] = frozenset({
 # immediately; everything else in the window is re-proof rotation).
 _INTRODUCED_R8: frozenset[str] = frozenset({
     "semdedup_survivors_ann",
+    "lsh_capped_buckets_report",
 })
 
 # Round-8 re-proof priority (r7 verdict task 8): with every query proven,

@@ -297,6 +297,12 @@ def test_lsh_hot_bucket_cap_bounds_candidate_mass(spark, tmp_path):
     assert max(r.max_bucket for r in skew) == 40  # audit still sees it raw
     assert max(r.candidate_pairs for r in skew) >= 780
 
+    # the enforcement report must show exactly what the cap removed:
+    # one 40-doc bucket per band, 40·39/2 = 780 pairs each
+    capped = D.lsh_capped_buckets_report(spark, d).collect()
+    assert {(r.band, r.n_capped_buckets, r.n_docs_capped, r.pairs_removed)
+            for r in capped} == {(b, 1, 40, 780) for b in range(4)}
+
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW documents AS SELECT * FROM "
