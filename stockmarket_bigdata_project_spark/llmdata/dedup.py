@@ -1357,6 +1357,62 @@ def lsh_capped_buckets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["lsh_capped_buckets_report"] = lsh_capped_buckets_report
 
+
+def source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOURCE-level content overlap: for every source pair, the Jaccard of
+    their distinct 3-gram shingle SETS — the corpus-curation dial that says
+    which sources mirror each other's CONTENT even when no individual doc
+    pair crosses the near-dup threshold (a feed syndicated with edits, a
+    scraped mirror with different pagination). Complements
+    near_dup_source_matrix, which counts verified doc PAIRS: that report
+    finds mirrored documents, this one finds mirrored corpora. Jaccard is
+    emitted as round-half-up integer micros (the novelty_micro idiom) —
+    pure BIGINTs, engine-exact.
+
+    Scale shape: (shingle, source) distinct is one hash exchange off the
+    shingle relation; the self-join fans out ≤ |sources| per shingle
+    (bounded, NOT corpus-quadratic — at 100 TB sources number in the
+    thousands while shingles number in the trillions, so cost stays ∝
+    postings); totals are a |sources|-row aggregate broadcast back onto
+    ≤ |sources|² result rows. [extension]"""
+    sh = _shingles_df(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ss = sh.join(docs, "doc_id").select("shingle", "source").distinct()
+    counts = ss.groupBy("source").agg(F.count("*").alias("n_sh"))
+    a = ss.select("shingle", F.col("source").alias("source_a"))
+    b = ss.select("shingle", F.col("source").alias("source_b"))
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    ca = counts.select(
+        F.col("source").alias("source_a"), F.col("n_sh").alias("na")
+    )
+    cb = counts.select(
+        F.col("source").alias("source_b"), F.col("n_sh").alias("nb")
+    )
+    union_sz = F.col("na") + F.col("nb") - F.col("n_shared")
+    return (
+        shared.join(F.broadcast(ca), "source_a")
+        .join(F.broadcast(cb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "na",
+            "nb",
+            F.expr(
+                "(2 * 1000000 * n_shared + (na + nb - n_shared))"
+                " DIV (2 * (na + nb - n_shared))"
+            ).alias("jaccard_micro"),
+        )
+    )
+
+
+QUERIES["source_shingle_overlap"] = source_shingle_overlap
+
 ORACLE["minhash_band_skew_report"] = f"""
 WITH {_SHINGLES_SQL.strip()},
 {_MINHASH_SQL},
@@ -1368,6 +1424,27 @@ SELECT band,
        CAST(max(s) AS BIGINT) AS max_bucket,
        CAST(sum((s * (s - 1)) // 2) AS BIGINT) AS candidate_pairs
 FROM bsz GROUP BY band
+"""
+
+ORACLE["source_shingle_overlap"] = f"""
+WITH {_SHINGLES_SQL.strip()},
+ss AS (
+  SELECT DISTINCT s.sh, d.source
+  FROM shingles s JOIN documents d USING (doc_id)
+),
+scounts AS (SELECT source, count(*) AS n_sh FROM ss GROUP BY source),
+sshared AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+  FROM ss a JOIN ss b ON a.sh = b.sh AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT s.source_a, s.source_b, s.n_shared,
+       ca.n_sh AS na, cb.n_sh AS nb,
+       (2 * 1000000 * s.n_shared + (ca.n_sh + cb.n_sh - s.n_shared))
+         // (2 * (ca.n_sh + cb.n_sh - s.n_shared)) AS jaccard_micro
+FROM sshared s
+JOIN scounts ca ON ca.source = s.source_a
+JOIN scounts cb ON cb.source = s.source_b
 """
 
 ORACLE["lsh_capped_buckets_report"] = f"""

@@ -151,6 +151,10 @@ _SENSITIVE = [
     # windows + the within-bucket prune, all id-tie-broken; pinned before
     # its gate window
     "semdedup_survivors_ann",
+    # round-8: source-level shingle-set Jaccard in integer micros
+    "source_shingle_overlap",
+    # round-8: cap-enforcement accounting (pure BIGINT rollup)
+    "lsh_capped_buckets_report",
     # round-7 scale fix: UnboundedFollowing frames rewritten to reversed
     # running frames (O(rows) not O(rows²)) — values must be unchanged
     "interpolate_daily",

@@ -64,3 +64,62 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # [10:45,11:00): the 10:59 row, emitted once wm (11:20) passed 11:00.
     # [11:30,11:45): withheld — final wm 11:20 hasn't passed 11:45.
     assert got == {0: (2, 3.0), 45: (1, 4.0)}
+
+
+def test_windowed_agg_state_bounded_by_key_space(spark, tmp_path):
+    """The 100 TB streaming claim, verified on the runtime metric rather
+    than asserted in prose (r7 verdict task 6 'state-bound verification'):
+    a watermarked tumbling-window aggregation holds state keyed by
+    (window, event_type) — PEAK state rows (stateOperators numRowsTotal
+    across every micro-batch) must be bounded by the distinct key space
+    and therefore independent of replay VOLUME (the x1→x4 blow-ups
+    replicate rows within the same time span: rows 4×, key space fixed —
+    which is why the wave-4 scale study measured slope ≈ 0 for this
+    family). Run at sf0.01, where keys (7 206) << rows (10 000) so the
+    bound is informative, not vacuous."""
+    import pyspark.sql.functions as F
+
+    from stockmarket_bigdata_project_spark.catalog import load_table
+    from stockmarket_bigdata_project_spark.streaming.pipelines import (
+        WATERMARK, WINDOW, replay_dir,
+    )
+    from tests.conftest import SF_DIR_CORRECTNESS as SF
+
+    ev = load_table(spark, SF, "events")
+    n_rows = ev.count()
+    n_keys = (
+        ev.select(F.window("ts", WINDOW), "event_type").distinct().count()
+    )
+    assert n_keys < n_rows  # the bound must be informative at this SF
+
+    agg = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir(spark, SF))
+        .withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", WINDOW), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("state_bound_test")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    peaks = [
+        op["numRowsTotal"]
+        for p in q.recentProgress
+        for op in (p["stateOperators"] or [])
+    ]
+    rows_in = sum(
+        p["numInputRows"] for p in q.recentProgress
+    )
+    assert rows_in == n_rows  # the whole corpus replayed
+    assert peaks, "no stateOperators metrics recorded"
+    assert max(peaks) <= n_keys, (
+        f"state rows {max(peaks)} exceed the key space {n_keys} — "
+        "state is growing with volume, not with keys"
+    )
