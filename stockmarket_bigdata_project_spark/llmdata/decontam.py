@@ -190,11 +190,47 @@ def _ngram_sql(n: int, source: str = "documents") -> str:
 """
 
 
+def decontam_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY decontamination: training docs that are near-duplicates of a
+    benchmark doc (verified 3-gram Jaccard ≥ τ via the MinHash-LSH path) —
+    the document-level complement of decontam_overlap's exact n-gram
+    check. Exact matching catches verbatim leaks; this catches the
+    paraphrased / reformatted / partially-rewritten eval leakage the
+    GPT-3-era exact filters famously missed (cf. the fuzzy dedup-based
+    decontamination in the PaLM / Llama data notes). Output:
+    (bench_doc_id, train_doc_id, jaccard) — the quarantine list with the
+    evidence attached.
+
+    Scale shape: a pure composition over the STAGED verified near-dup
+    pair relation (dedup.minhash_lsh_pairs — one computation per session
+    serves this, the source matrix, components, leakage repair, ...): two
+    broadcast-free filters and a union, nothing new shuffles. At 100 TB
+    the eval set is normally a separate small table; the identical plan is
+    the bench-side semi-join of the pair relation. [extension]"""
+    from .dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    a_bench = (F.col("doc_a") % BENCH_MOD == 0)
+    b_bench = (F.col("doc_b") % BENCH_MOD == 0)
+    left = pairs.filter(a_bench & ~b_bench).select(
+        F.col("doc_a").alias("bench_doc_id"),
+        F.col("doc_b").alias("train_doc_id"),
+        "jaccard",
+    )
+    right = pairs.filter(b_bench & ~a_bench).select(
+        F.col("doc_b").alias("bench_doc_id"),
+        F.col("doc_a").alias("train_doc_id"),
+        "jaccard",
+    )
+    return left.unionByName(right)
+
+
 QUERIES = {
     "decontam_overlap": decontam_overlap,
     "decontam_stats": decontam_stats,
     "boilerplate_ngrams": boilerplate_ngrams,
     "boilerplate_strip": boilerplate_strip,
+    "decontam_fuzzy_pairs": decontam_fuzzy_pairs,
 }
 
 _POS_GRAM = " || ' ' || ".join(f"ws[i+{j}]" for j in range(BOILER_N))
@@ -268,3 +304,19 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN agg a USING (doc_id)
 """,
 }
+
+
+def _fuzzy_oracle() -> str:
+    from .dedup import ORACLE as _D
+
+    return f"""
+WITH lshp AS ({_D["minhash_lsh_pairs"]})
+SELECT doc_a AS bench_doc_id, doc_b AS train_doc_id, jaccard
+FROM lshp WHERE doc_a % {BENCH_MOD} = 0 AND doc_b % {BENCH_MOD} <> 0
+UNION ALL
+SELECT doc_b AS bench_doc_id, doc_a AS train_doc_id, jaccard
+FROM lshp WHERE doc_b % {BENCH_MOD} = 0 AND doc_a % {BENCH_MOD} <> 0
+"""
+
+
+ORACLE["decontam_fuzzy_pairs"] = _fuzzy_oracle()

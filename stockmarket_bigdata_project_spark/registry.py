@@ -145,6 +145,7 @@ _INTRODUCED_R8: frozenset[str] = frozenset({
     "semdedup_survivors_ann",
     "lsh_capped_buckets_report",
     "source_shingle_overlap",
+    "decontam_fuzzy_pairs",
 })
 
 # Round-8 re-proof priority (r7 verdict task 8): with every query proven,

@@ -155,6 +155,8 @@ _SENSITIVE = [
     "source_shingle_overlap",
     # round-8: cap-enforcement accounting (pure BIGINT rollup)
     "lsh_capped_buckets_report",
+    # round-8: bench×train filter over the staged verified-pair relation
+    "decontam_fuzzy_pairs",
     # round-7 scale fix: UnboundedFollowing frames rewritten to reversed
     # running frames (O(rows) not O(rows²)) — values must be unchanged
     "interpolate_daily",

@@ -27,6 +27,7 @@ Usage:
     python tools_scale_study.py            # build x1(symlink)/x2/x4, run
     python tools_scale_study.py --build    # only build the data
     python tools_scale_study.py --only a,b # run only the named queries
+    python tools_scale_study.py --scales 1,2,4,8  # 4-point fit
 Prints one JSON line per query: {"query": ..., "secs": {1: s, 2: s, 4: s},
 "slope": b} where slope is the least-squares fit of log2(sec) on
 log2(scale).
@@ -43,6 +44,10 @@ import time
 BASE = "/root/testdata/sf0.1"
 ROOT = "/tmp/scale"
 SCALES = (1, 2, 4)
+if "--scales" in sys.argv:  # e.g. --scales 1,2,4,8 for a 4-point fit
+    SCALES = tuple(
+        int(k) for k in sys.argv[sys.argv.index("--scales") + 1].split(",")
+    )
 DIMS = ("region", "nation", "customer", "supplier", "part")
 KEY_OFFSET = 1_000_000_000
 
