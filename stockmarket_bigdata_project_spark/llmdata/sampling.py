@@ -345,6 +345,7 @@ FROM chunks
 }
 
 from .dedup import ORACLE as _DEDUP_ORACLE  # noqa: E402
+from .dedup import _CC_CHAIN as _DEDUP_CC_CHAIN  # noqa: E402
 from .textstats import QUALITY_MICRO_SQL, STOPWORDS  # noqa: E402
 
 _HEX16_ID = " + ".join(
@@ -579,6 +580,59 @@ SELECT doc_id, shard,
        CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
             AS INTEGER) AS pos
 FROM keyed
+"""
+
+
+def dedup_aware_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-AWARE shard assignment: every member of a near-dup cluster
+    lands in the SAME shard — keyed by the cluster's canonical doc id —
+    so any within-shard pass downstream (local re-dedup on refreshed data,
+    survivor election, soft-dedup weighting, pack-time suppression) sees
+    the whole cluster WITHOUT a corpus-wide shuffle; singletons shard by
+    their own id. This is the data-layout half of the dedup story: the
+    pair/component queries find duplication, this query makes the layout
+    preserve that locality for every later job (the same reasoning as
+    bucketing a fact table on its join key). shard =
+    first-16-bits-of-md5(seed:shard_key) mod N_EPOCH_SHARDS — the
+    epoch_shuffle_order idiom, deterministic across engines.
+
+    Scale shape: the component relation (∝ near-dup docs, tiny next to
+    the corpus) broadcast-left-joins onto the doc ids; the hash is
+    map-side; no exchange beyond what a shard writer pays anyway.
+    [extension]"""
+    from .dedup import minhash_dup_components
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    comp = minhash_dup_components(spark, sf_dir)
+    j = docs.join(F.broadcast(comp), "doc_id", "left")
+    shard_key = F.coalesce("component", "doc_id")
+    h = F.md5(F.concat(F.lit(EPOCH_SEED + ":"), shard_key.cast("string")))
+    hv = F.conv(F.substring(h, 1, 4), 16, 10).cast("int")
+    return j.select(
+        "doc_id",
+        shard_key.cast("long").alias("shard_key"),
+        (hv % N_EPOCH_SHARDS).alias("shard"),
+        F.col("component").isNotNull().cast("int").alias("is_clustered"),
+    )
+
+
+QUERIES["dedup_aware_shards"] = dedup_aware_shards
+
+ORACLE["dedup_aware_shards"] = f"""{_DEDUP_CC_CHAIN},
+dj AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS shard_key,
+         (c.doc_id IS NOT NULL) AS clustered
+  FROM documents d LEFT JOIN comps c USING (doc_id)
+),
+dkeyed AS (
+  SELECT doc_id, shard_key, clustered,
+         md5('{EPOCH_SEED}:' || CAST(shard_key AS VARCHAR)) AS h
+  FROM dj
+)
+SELECT doc_id, CAST(shard_key AS BIGINT) AS shard_key,
+       CAST(({_EPOCH_HEX16}) % {N_EPOCH_SHARDS} AS INTEGER) AS shard,
+       CAST(clustered AS INTEGER) AS is_clustered
+FROM dkeyed
 """
 
 

@@ -146,6 +146,7 @@ _INTRODUCED_R8: frozenset[str] = frozenset({
     "lsh_capped_buckets_report",
     "source_shingle_overlap",
     "decontam_fuzzy_pairs",
+    "dedup_aware_shards",
 })
 
 # Round-8 re-proof priority (r7 verdict task 8): with every query proven,

@@ -157,6 +157,8 @@ _SENSITIVE = [
     "lsh_capped_buckets_report",
     # round-8: bench×train filter over the staged verified-pair relation
     "decontam_fuzzy_pairs",
+    # round-8: cluster-colocated md5 shard assignment (broadcast left join)
+    "dedup_aware_shards",
     # round-7 scale fix: UnboundedFollowing frames rewritten to reversed
     # running frames (O(rows) not O(rows²)) — values must be unchanged
     "interpolate_daily",
