@@ -253,15 +253,11 @@ def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _build_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    mh = _minhash_df(spark, sf_dir)
-    # All bands in ONE pass over the signature matrix: explode an array of
-    # (band, sig) structs instead of a 4-way union — the union form recomputes
-    # the whole shingle→minhash pipeline once per band AND once per self-join
-    # side; the explode form makes both join inputs byte-identical subplans so
-    # ReuseExchange materializes the band table once (measured 6.9s → see
-    # PERFORMANCE.md).
-    band_structs = F.array(
+def _band_structs() -> F.Column:
+    """Array of (band, sig) structs over the h0..h15 signature columns —
+    one explode turns a signature row into its banded form (shared by the
+    candidate builder, the skew/cap reports, and the incremental path)."""
+    return F.array(
         *[
             F.struct(
                 F.lit(band).alias("band"),
@@ -273,6 +269,17 @@ def _build_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             for band in range(N_HASHES // BAND_SIZE)
         ]
     )
+
+
+def _build_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mh = _minhash_df(spark, sf_dir)
+    # All bands in ONE pass over the signature matrix: explode an array of
+    # (band, sig) structs instead of a 4-way union — the union form recomputes
+    # the whole shingle→minhash pipeline once per band AND once per self-join
+    # side; the explode form makes both join inputs byte-identical subplans so
+    # ReuseExchange materializes the band table once (measured 6.9s → see
+    # PERFORMANCE.md).
+    band_structs = _band_structs()
     # eager=False: merely CONSTRUCTING this DataFrame (queries() enumeration,
     # explain()) must not run Spark jobs; the band table materializes at the
     # first action and is reused by both join sides from then on.
@@ -454,6 +461,80 @@ def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
         (F.col("seen").isNotNull()).alias("is_duplicate"),
+    )
+
+
+def incremental_minhash_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time NEAR-dedup: the incoming batch (the same deterministic
+    id-slice incremental_dedup_new_docs uses) LSH-matched against the
+    EXISTING corpus — the incremental form production pipelines actually
+    run per crawl (the full self-join re-runs O(corpus) work per day; this
+    runs O(batch) against a pre-built index). Exact-hash incremental dedup
+    (incremental_dedup_new_docs) catches byte-identical re-crawls; this
+    catches the near-duplicates. Output: (doc_id, dup_of_doc_id, jaccard)
+    — each new doc paired with every existing near-duplicate, verified
+    exactly.
+
+    Scale shape: ONE banded equi-join of batch bands against corpus bands
+    (cost ∝ batch × bucket occupancy, hot buckets excluded by the same
+    LSH_BUCKET_CAP — computed over the full band table, so enforcement is
+    identical to the batch-build path); verification is semi-filtered to
+    candidate docs, ∝ |candidates|. At 100 TB the corpus band table and
+    hot-bucket set are pre-materialized index tables; the per-batch cost
+    never touches corpus size. The signature build here recomputes per
+    call (batch + corpus in one pass) — the production form reads the
+    stored index; the JOIN SHAPE, cap semantics, and verification are the
+    operator under test. [extension]"""
+    mh = _minhash_df(spark, sf_dir)
+    bands = mh.select("doc_id", F.explode(_band_structs()).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    ).localCheckpoint(eager=False)
+    hot = (
+        bands.groupBy("band", "sig")
+        .agg(F.count("*").alias("s"))
+        .filter(F.col("s") > LSH_BUCKET_CAP)
+        .select("band", "sig")
+    )
+    capped = bands.join(F.broadcast(hot), ["band", "sig"], "left_anti")
+    is_new = F.col("doc_id") % INCR_MOD == INCR_REM
+    batch = capped.filter(is_new).select(
+        F.col("doc_id").alias("new_id"), "band", "sig"
+    )
+    corpus = capped.filter(~is_new).select(
+        F.col("doc_id").alias("old_id"), "band", "sig"
+    )
+    cands = (
+        batch.join(corpus, ["band", "sig"])
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    cand_docs = (
+        cands.select(F.col("new_id").alias("doc_id"))
+        .union(cands.select("old_id"))
+        .distinct()
+    )
+    sh = _shingles_df(spark, sf_dir, doc_filter=cand_docs)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("new_id"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("old_id"), "shingle")
+    inter = (
+        cands.join(sa, "new_id")
+        .join(sb, ["old_id", "shingle"])
+        .groupBy("new_id", "old_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("new_id"), F.col("n_sh").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("old_id"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return (
+        inter.join(ca, "new_id")
+        .join(cb, "old_id")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select(
+            F.col("new_id").alias("doc_id"),
+            F.col("old_id").alias("dup_of_doc_id"),
+            jac.alias("jaccard"),
+        )
     )
 
 
@@ -777,6 +858,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_survivors": dedup_exact_survivors,
     "incremental_dedup_new_docs": incremental_dedup_new_docs,
+    "incremental_minhash_new_docs": incremental_minhash_new_docs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
@@ -1043,6 +1125,35 @@ JOIN documents db ON p.doc_b = db.doc_id
 GROUP BY da.source, db.source
 """
 
+ORACLE["incremental_minhash_new_docs"] = f"""
+WITH {_SHINGLES_SQL.strip()},
+{_MINHASH_SQL},
+{_BANDS_SQL},
+{_CAPPED_BANDS_SQL},
+icands AS (
+  SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS old_id
+  FROM capped_bands b JOIN capped_bands c
+    ON b.band = c.band AND b.sig = c.sig
+  WHERE b.doc_id % {INCR_MOD} = {INCR_REM}
+    AND c.doc_id % {INCR_MOD} <> {INCR_REM}
+),
+icounts AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+iinter AS (
+  SELECT p.new_id, p.old_id, count(*) AS n_inter
+  FROM icands p
+  JOIN shingles a ON a.doc_id = p.new_id
+  JOIN shingles b ON b.doc_id = p.old_id AND b.sh = a.sh
+  GROUP BY p.new_id, p.old_id
+)
+SELECT i.new_id AS doc_id, i.old_id AS dup_of_doc_id,
+       CAST(i.n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - i.n_inter) AS jaccard
+FROM iinter i
+JOIN icounts ca ON ca.doc_id = i.new_id
+JOIN icounts cb ON cb.doc_id = i.old_id
+WHERE i.n_inter * 1.0 / (ca.n_sh + cb.n_sh - i.n_inter)
+      >= {JACCARD_THRESHOLD}
+"""
+
 ORACLE["incremental_dedup_new_docs"] = f"""
 WITH hashed AS (
   SELECT doc_id, lang, source,
@@ -1285,19 +1396,7 @@ def minhash_band_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-row rollup — strictly cheaper than the candidate join it audits.
     [extension]"""
     mh = _minhash_df(spark, sf_dir)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(band).alias("band"),
-                F.concat_ws(
-                    "",
-                    *[f"h{band * BAND_SIZE + j}" for j in range(BAND_SIZE)],
-                ).alias("sig"),
-            )
-            for band in range(N_HASHES // BAND_SIZE)
-        ]
-    )
-    bands = mh.select("doc_id", F.explode(band_structs).alias("bs")).select(
+    bands = mh.select("doc_id", F.explode(_band_structs()).alias("bs")).select(
         F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
     bucket = bands.groupBy("band", "sig").agg(F.count("*").alias("s"))
@@ -1327,19 +1426,7 @@ def lsh_capped_buckets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: same single (band, sig) exchange as the skew report —
     strictly cheaper than the join it guards. [extension]"""
     mh = _minhash_df(spark, sf_dir)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(band).alias("band"),
-                F.concat_ws(
-                    "",
-                    *[f"h{band * BAND_SIZE + j}" for j in range(BAND_SIZE)],
-                ).alias("sig"),
-            )
-            for band in range(N_HASHES // BAND_SIZE)
-        ]
-    )
-    bands = mh.select("doc_id", F.explode(band_structs).alias("bs")).select(
+    bands = mh.select("doc_id", F.explode(_band_structs()).alias("bs")).select(
         F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
     bucket = bands.groupBy("band", "sig").agg(F.count("*").alias("s"))

@@ -147,6 +147,7 @@ _INTRODUCED_R8: frozenset[str] = frozenset({
     "source_shingle_overlap",
     "decontam_fuzzy_pairs",
     "dedup_aware_shards",
+    "incremental_minhash_new_docs",
 })
 
 # Round-8 re-proof priority (r7 verdict task 8): with every query proven,

@@ -159,6 +159,8 @@ _SENSITIVE = [
     "decontam_fuzzy_pairs",
     # round-8: cluster-colocated md5 shard assignment (broadcast left join)
     "dedup_aware_shards",
+    # round-8: batch×corpus banded join + capped buckets + exact verify
+    "incremental_minhash_new_docs",
     # round-7 scale fix: UnboundedFollowing frames rewritten to reversed
     # running frames (O(rows) not O(rows²)) — values must be unchanged
     "interpolate_daily",

@@ -779,3 +779,25 @@ def test_containment_dominates_jaccard(spark, sf_dir):
         assert c is not None, f"verified pair {v} missing from containment"
         jac = c.n_inter / (c.na + c.nb - c.n_inter)
         assert abs(jac - v.jaccard) < 1e-12
+
+
+def test_incremental_minhash_matches_batch_boundary(spark, sf_dir):
+    """The incremental near-dedup path must agree EXACTLY with the batch
+    self-join restricted to batch↔corpus pairs: same band table, same
+    hot-bucket cap, same verification ⇒ the (new, existing, jaccard) sets
+    are equal — the invariant that lets a pipeline switch between full
+    rebuilds and incremental runs without the corpus drifting."""
+    inc = {
+        (r.doc_id, r.dup_of_doc_id, r.jaccard)
+        for r in D.incremental_minhash_new_docs(spark, sf_dir).collect()
+    }
+    is_new = lambda x: x % D.INCR_MOD == D.INCR_REM
+    batch = set()
+    for r in D.minhash_lsh_pairs(spark, sf_dir).collect():
+        if is_new(r.doc_a) != is_new(r.doc_b):
+            new, old = (
+                (r.doc_a, r.doc_b) if is_new(r.doc_a) else (r.doc_b, r.doc_a)
+            )
+            batch.add((new, old, r.jaccard))
+    assert inc == batch
+    assert inc, "no batch-boundary near-dups in testdata — vacuous check"
