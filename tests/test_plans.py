@@ -1371,3 +1371,19 @@ def test_source_overlap_bounded_fanout_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "rangepartitioning" not in plan.lower(), plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_incremental_minhash_no_text_shuffle(spark, sf_dir):
+    """The incremental near-dedup join moves (band, sig) rows and shingle
+    hashes — document text must stay in the scan stage (the per-batch-cost
+    claim dies if the corpus text ever crosses an exchange)."""
+    import re
+
+    from stockmarket_bigdata_project_spark.llmdata.dedup import (
+        incremental_minhash_new_docs,
+    )
+
+    plan = _plan(incremental_minhash_new_docs(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), m.group(0)
