@@ -226,3 +226,53 @@ def test_streaming_upsert_into_docstore_end_to_end(spark, sf_dir):
         .collect()
     }
     assert got == expect
+
+
+# --- broker-backed smoke (gated: runs only where real Mongo infra exists) ----
+import os as _os
+
+import pytest as _pt
+
+
+@_pt.mark.skipif(
+    not _os.environ.get("SPARK_GRAFT_MONGO_URI"),
+    reason="no MongoDB / mongo-spark connector in this environment "
+    "(set SPARK_GRAFT_MONGO_URI=mongodb://host:port to enable)",
+)
+def test_mongo_upsert_roundtrip_against_real_server(spark):
+    """Integration smoke for the S12 Mongo builders: write a batch through
+    mongo_upsert_writer, then upsert a second batch sharing keys — the
+    read-back must show replace_one(filter=keys, upsert=True) semantics
+    (new keys inserted, shared keys replaced, nothing duplicated). Keeps
+    the builder's option mapping EXECUTED against real infra wherever it
+    exists (the Kafka S1/S2/S13 smoke precedent); skipped-clean in the
+    sandbox, which ships neither a server nor the connector JAR."""
+    uri = _os.environ["SPARK_GRAFT_MONGO_URI"]
+    db = _os.environ.get("SPARK_GRAFT_MONGO_DB", "spark_graft_smoke")
+    coll = _os.environ.get("SPARK_GRAFT_MONGO_COLLECTION", "upsert_smoke")
+
+    from stockmarket_bigdata_project_spark.sources.docstore import (
+        mongo_upsert_writer,
+    )
+
+    first = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "k long, v string"
+    )
+    mongo_upsert_writer(first, uri, db, coll, ["k"]).save()
+    second = spark.createDataFrame(
+        [(5, "V5"), (99, "v99")], "k long, v string"
+    )
+    mongo_upsert_writer(second, uri, db, coll, ["k"]).save()
+
+    got = {
+        (r.k, r.v)
+        for r in spark.read.format("mongodb")
+        .option("connection.uri", uri)
+        .option("database", db)
+        .option("collection", coll)
+        .load()
+        .select("k", "v")
+        .collect()
+    }
+    expected = {(i, f"v{i}") for i in range(10) if i != 5} | {(5, "V5"), (99, "v99")}
+    assert expected <= got
