@@ -201,28 +201,93 @@ def decontam_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bench_doc_id, train_doc_id, jaccard) — the quarantine list with the
     evidence attached.
 
-    Scale shape: a pure composition over the STAGED verified near-dup
-    pair relation (dedup.minhash_lsh_pairs — one computation per session
-    serves this, the source matrix, components, leakage repair, ...): two
-    broadcast-free filters and a union, nothing new shuffles. At 100 TB
-    the eval set is normally a separate small table; the identical plan is
-    the bench-side semi-join of the pair relation. [extension]"""
-    from .dedup import minhash_lsh_pairs
+    TRAIN SIDE UNCAPPED (r9, closes the r8 ADVICE blind spot): the shared
+    near-dup pipeline drops LSH buckets over LSH_BUCKET_CAP, which is
+    correct for the dedup SELF-join (per-bucket pair mass is s²/2 —
+    quadratic blow-up) but catastrophic for decontamination — benchmark
+    content leaked/replicated more than CAP times collides in every
+    band, so the heaviest leakage was precisely the case the shared cap
+    silently dropped. The bench×train join is structurally different:
+    per-bucket candidate mass is s_bench·s_train (BILINEAR, bounded by
+    the eval-set side), so no train-side cap is needed for asymptotic
+    safety and none is applied — a bench doc replicated any number of
+    times in training is always fully quarantined. The only capped side
+    is the BENCH side, by deterministic rank truncation (the CAP
+    lowest-id bench rows per bucket): it bounds total candidate mass by
+    CAP·Σ s_train ≤ CAP·4n — hard-linear in the corpus — and only
+    drops intra-eval-set duplicate attribution (a bucket with >CAP bench
+    rows holds near-identical BENCH docs; every colliding train doc
+    still pairs with the kept representatives, so the quarantine set is
+    unchanged, only the duplicate bench-side evidence rows are).
 
-    pairs = minhash_lsh_pairs(spark, sf_dir)
-    a_bench = (F.col("doc_a") % BENCH_MOD == 0)
-    b_bench = (F.col("doc_b") % BENCH_MOD == 0)
-    left = pairs.filter(a_bench & ~b_bench).select(
-        F.col("doc_a").alias("bench_doc_id"),
-        F.col("doc_b").alias("train_doc_id"),
-        "jaccard",
+    Scale shape: the eval set is tiny by nature (here the doc_id % mod
+    slice) → the bench band table is small and its truncation window
+    exchanges bench-sized rows only; the bench⋈train band join is one
+    equi-shuffle; shingle verification is semi-filtered to candidate
+    docs. Nothing is quadratic and no corpus-sized relation is
+    broadcast. [extension]"""
+    from pyspark.sql import Window
+
+    from .dedup import (
+        LSH_BUCKET_CAP,
+        JACCARD_THRESHOLD,
+        _band_structs,
+        _minhash_df,
+        _shingles_df,
     )
-    right = pairs.filter(b_bench & ~a_bench).select(
-        F.col("doc_b").alias("bench_doc_id"),
-        F.col("doc_a").alias("train_doc_id"),
-        "jaccard",
+
+    mh = _minhash_df(spark, sf_dir)
+    bands = (
+        mh.select("doc_id", F.explode(_band_structs()).alias("bs"))
+        .select(
+            "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+        )
+        .localCheckpoint(eager=False)
     )
-    return left.unionByName(right)
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    bench_w = Window.partitionBy("band", "sig").orderBy("doc_id")
+    bench = (
+        bands.filter(is_bench)
+        .withColumn("rn", F.row_number().over(bench_w))
+        .filter(F.col("rn") <= LSH_BUCKET_CAP)
+        .select(F.col("doc_id").alias("bench_doc_id"), "band", "sig")
+    )
+    train = bands.filter(~is_bench).select(
+        F.col("doc_id").alias("train_doc_id"), "band", "sig"
+    )
+    cands = (
+        bench.join(train, ["band", "sig"])
+        .select("bench_doc_id", "train_doc_id")
+        .distinct()
+    )
+    cand_docs = (
+        cands.select(F.col("bench_doc_id").alias("doc_id"))
+        .union(cands.select("train_doc_id"))
+        .distinct()
+    )
+    sh = _shingles_df(spark, sf_dir, doc_filter=cand_docs)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("bench_doc_id"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("train_doc_id"), "shingle")
+    inter = (
+        cands.join(sa, "bench_doc_id")
+        .join(sb, ["train_doc_id", "shingle"])
+        .groupBy("bench_doc_id", "train_doc_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    ca = counts.select(
+        F.col("doc_id").alias("bench_doc_id"), F.col("n_sh").alias("na")
+    )
+    cb = counts.select(
+        F.col("doc_id").alias("train_doc_id"), F.col("n_sh").alias("nb")
+    )
+    jac = F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return (
+        inter.join(ca, "bench_doc_id")
+        .join(cb, "train_doc_id")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("bench_doc_id", "train_doc_id", jac.alias("jaccard"))
+    )
 
 
 QUERIES = {
@@ -307,15 +372,52 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 
 
 def _fuzzy_oracle() -> str:
-    from .dedup import ORACLE as _D
+    """Mirror of the leak-safe candidate generation: the TRAIN side is
+    uncapped (the bench×train join is bilinear, not quadratic), the
+    BENCH side is rank-truncated to the CAP lowest ids per bucket,
+    verification is exact 3-gram Jaccard."""
+    from .dedup import (
+        LSH_BUCKET_CAP,
+        JACCARD_THRESHOLD,
+        _BANDS_SQL,
+        _MINHASH_SQL,
+        _SHINGLES_SQL,
+    )
 
     return f"""
-WITH lshp AS ({_D["minhash_lsh_pairs"]})
-SELECT doc_a AS bench_doc_id, doc_b AS train_doc_id, jaccard
-FROM lshp WHERE doc_a % {BENCH_MOD} = 0 AND doc_b % {BENCH_MOD} <> 0
-UNION ALL
-SELECT doc_b AS bench_doc_id, doc_a AS train_doc_id, jaccard
-FROM lshp WHERE doc_b % {BENCH_MOD} = 0 AND doc_a % {BENCH_MOD} <> 0
+WITH {_SHINGLES_SQL.strip()},
+{_MINHASH_SQL},
+{_BANDS_SQL},
+bench_bands AS (
+  SELECT doc_id, band, sig FROM (
+    SELECT doc_id, band, sig,
+           row_number() OVER (PARTITION BY band, sig ORDER BY doc_id) AS rn
+    FROM bands WHERE doc_id % {BENCH_MOD} = 0
+  ) WHERE rn <= {LSH_BUCKET_CAP}
+),
+train_bands AS (
+  SELECT doc_id, band, sig FROM bands WHERE doc_id % {BENCH_MOD} <> 0
+),
+fpairs AS (
+  SELECT DISTINCT b.doc_id AS bench_doc_id, t.doc_id AS train_doc_id
+  FROM bench_bands b JOIN train_bands t
+    ON b.band = t.band AND b.sig = t.sig
+),
+counts AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT p.bench_doc_id, p.train_doc_id, count(*) AS n_inter
+  FROM fpairs p
+  JOIN shingles a ON a.doc_id = p.bench_doc_id
+  JOIN shingles b ON b.doc_id = p.train_doc_id AND b.sh = a.sh
+  GROUP BY 1, 2
+)
+SELECT i.bench_doc_id, i.train_doc_id,
+       CAST(i.n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - i.n_inter) AS jaccard
+FROM inter i
+JOIN counts ca ON ca.doc_id = i.bench_doc_id
+JOIN counts cb ON cb.doc_id = i.train_doc_id
+WHERE i.n_inter * 1.0 / (ca.n_sh + cb.n_sh - i.n_inter)
+      >= {JACCARD_THRESHOLD}
 """
 
 

@@ -205,34 +205,45 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # final stage defers), which would break the job-free plan-construction pin
 # (test_lsh_band_checkpoint_is_lazy); persist is truly lazy — the first
 # action fills the cache, every later consumer reads InMemoryTableScan. The
-# cached relations are id-pair/id-label sized, never text-bearing. The
-# shuffle-partitions conf rides in the key so the determinism sweep's
-# 32-vs-7 flip still exercises independent computations; applicationId (not
-# id(spark)) so a recycled object address can never serve a dead plan.
-_RELATION_MEMO: dict[tuple[str, str, str, str], DataFrame] = {}
+# cached relations are id-pair/id-label sized, never text-bearing.
+# applicationId (not id(spark)) so a recycled object address can never
+# serve a dead plan.
+_RELATION_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def clear_staged_memo() -> None:
+    """Unpersist and forget every staged relation.
+
+    Callers that need two INDEPENDENT computations of a staged relation —
+    the 32-vs-7 shuffle-partitions determinism sweep, bench.py's
+    cold-pass timing of staged queries — call this between runs. The
+    memo key deliberately does NOT encode any session conf (see _staged),
+    so an explicit clear is the one way to force a rebuild."""
+    for df in _RELATION_MEMO.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # a stopped session can't unpersist; dropping the ref suffices
+    _RELATION_MEMO.clear()
+    _COMPONENTS_MEMO.clear()  # eager localCheckpoints: dropping refs suffices
 
 
 def _staged(name: str, spark: SparkSession, sf_dir: str, build) -> DataFrame:
     """Memoized persist() of a deterministic intermediate relation.
 
-    Caller contract: Spark resolves spark.sql.shuffle.partitions at the
-    FIRST ACTION, not at plan construction, so a handle built under conf A
-    whose first action runs after the conf flips to B caches results
-    computed under B while filed under key A. Values are unaffected (every
-    staged relation is partitioning-independent by construction — pinned in
-    test_determinism), but callers that rely on the conf-in-the-key to get
-    two INDEPENDENT computations (the 32-vs-7 determinism sweep) must act
-    on the returned handle before changing the conf — which the sweep does:
-    it collect()s immediately after construction under each setting. An
-    eager count() here would be the structural fix, but plan construction
-    must stay job-free (test_lsh_band_checkpoint_is_lazy), so the contract
-    is documented instead."""
-    key = (
-        name,
-        spark.sparkContext.applicationId,
-        spark.conf.get("spark.sql.shuffle.partitions"),
-        sf_dir,
-    )
+    Keyed on relation IDENTITY only — (name, applicationId, sf_dir). The
+    r8 key additionally carried spark.sql.shuffle.partitions, which the
+    r8 ADVICE flagged as a cross-filing hazard: Spark resolves that conf
+    at the FIRST ACTION, not at plan construction, so a handle built
+    under conf A whose first action ran under conf B cached B-results
+    under A's key — correctness rested on a calling convention enforced
+    only by prose. With the conf out of the key there is nothing to
+    cross-file: every staged relation is partitioning-independent by
+    construction (pinned in test_determinism), so whichever conf fills
+    the cache, the values ARE the relation. Sweeps that need independent
+    recomputations call clear_staged_memo() explicitly instead of
+    relying on key divergence."""
+    key = (name, spark.sparkContext.applicationId, sf_dir)
     df = _RELATION_MEMO.get(key)
     if df is None:
         df = build().persist()
@@ -570,7 +581,7 @@ _CC_MAX_ITER = 25
 # table, which is exactly what a 100 TB deployment does (the docstring below
 # has always said so). Results are unchanged — consumers receive the same
 # immutable DataFrame they previously recomputed.
-_COMPONENTS_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+_COMPONENTS_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 def minhash_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -597,14 +608,13 @@ def minhash_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the north-star LLM-data extension (BASELINE.json).
     """
     # applicationId (not id(spark)) so a recycled object address after a
-    # stopped session can never serve a dead checkpointed plan. The
-    # shuffle-partitions conf rides in the key so the determinism sweep's
-    # 32-vs-7 flip still exercises two independent resolutions.
-    memo_key = (
-        spark.sparkContext.applicationId,
-        spark.conf.get("spark.sql.shuffle.partitions"),
-        sf_dir,
-    )
+    # stopped session can never serve a dead checkpointed plan. Identity-
+    # only key (r9, same contract as _staged): the resolution here is
+    # EAGER (localCheckpoint per round), so whichever conf is current at
+    # the call materializes the labels; determinism sweeps force an
+    # independent re-resolution via clear_staged_memo(), not key
+    # divergence.
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
     memoized = _COMPONENTS_MEMO.get(memo_key)
     if memoized is not None:
         return memoized

@@ -155,7 +155,8 @@ _SENSITIVE = [
     "source_shingle_overlap",
     # round-8: cap-enforcement accounting (pure BIGINT rollup)
     "lsh_capped_buckets_report",
-    # round-8: bench×train filter over the staged verified-pair relation
+    # round-9: leak-safe bench×train LSH join (bench rank-truncated,
+    # train uncapped) + exact verification
     "decontam_fuzzy_pairs",
     # round-8: cluster-colocated md5 shard assignment (broadcast left join)
     "dedup_aware_shards",
@@ -184,13 +185,23 @@ def _rows(df):
 
 @pytest.mark.parametrize("name", _SENSITIVE)
 def test_identical_across_shuffle_partitionings(name, spark, sf_dir):
+    from stockmarket_bigdata_project_spark.llmdata.dedup import (
+        clear_staged_memo,
+    )
+
     before = spark.conf.get("spark.sql.shuffle.partitions")
     try:
+        # the staged-relation memo is keyed on identity, not conf (r9):
+        # clear before each run so staged-riding queries genuinely
+        # recompute under each partitioning instead of reading the cache
         spark.conf.set("spark.sql.shuffle.partitions", "32")
+        clear_staged_memo()
         a = _rows(_QUERIES[name](spark, sf_dir))
         # prime-and-small forces different partial groupings and merge orders
         spark.conf.set("spark.sql.shuffle.partitions", "7")
+        clear_staged_memo()
         b = _rows(_QUERIES[name](spark, sf_dir))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+        clear_staged_memo()
     assert a == b, f"{name}: result depends on shuffle partitioning"

@@ -1396,26 +1396,23 @@ def test_capped_buckets_report_no_text_shuffle(spark, sf_dir):
         assert "text" not in m.group(1), m.group(0)
 
 
-def test_fuzzy_decontam_rides_staged_pairs(spark, sf_dir):
-    """decontam_fuzzy_pairs must consume the STAGED verified-pair relation
-    (InMemoryRelation in the plan) — never rebuild the minhash pipeline —
-    and add no join of its own (two filters + a union)."""
+def test_fuzzy_decontam_leak_safe_shape(spark, sf_dir):
+    """decontam_fuzzy_pairs (r9 leak-safe form) builds its own bench×train
+    candidate join rather than riding the capped dedup pair relation: the
+    plan must contain no cartesian, the only row_number window must
+    partition on the (band, sig) bucket of the BENCH side (the rank
+    truncation), and document text must never cross an exchange."""
+    import re
+
     from stockmarket_bigdata_project_spark.llmdata.decontam import (
         decontam_fuzzy_pairs,
     )
-    from stockmarket_bigdata_project_spark.llmdata.dedup import (
-        minhash_lsh_pairs,
-    )
 
-    minhash_lsh_pairs(spark, sf_dir).count()  # fill the staged cache
     plan = _plan(decontam_fuzzy_pairs(spark, sf_dir))
-    assert plan.count("InMemoryTableScan") >= 2, plan  # both union branches
-    assert "Union" in plan, plan
-    # the consumer's OWN operators (everything above the first cache scan)
-    # are filter+project+union only — the joins visible deeper in the plan
-    # belong to the cached relation's build plan, which ran once
-    own = plan[: plan.find("InMemoryTableScan")]
-    assert "Join" not in own, own
+    assert "CartesianProduct" not in plan, plan
+    assert "row_number" in plan, plan  # the bench-side rank truncation
+    for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), m.group(0)
 
 
 def test_source_overlap_bounded_fanout_shape(spark, sf_dir):

@@ -191,16 +191,21 @@ def test_dedup_survivors_partition_corpus(spark, sf_dir):
 
 
 def test_dup_components_memo_contract(spark, sf_dir):
-    """The resolved component relation is memoized per (app, shuffle-conf,
-    sf_dir): a repeat call under the same conf returns the SAME checkpointed
-    DataFrame (no re-resolution), while flipping spark.sql.shuffle.partitions
-    — the determinism sweep's lever — forces a genuinely fresh resolution
-    with identical rows."""
+    """The resolved component relation is memoized per (app, sf_dir) —
+    identity only, conf-free (r9: the conf-in-key variant cross-filed
+    results when a handle's first action ran under a different conf than
+    its construction). Repeat calls return the SAME DataFrame even across
+    a shuffle-partitions flip; clear_staged_memo() — the determinism
+    sweep's lever — forces a genuinely fresh resolution with identical
+    rows."""
     before = spark.conf.get("spark.sql.shuffle.partitions")
+    D.clear_staged_memo()
     first = D.minhash_dup_components(spark, sf_dir)
     assert D.minhash_dup_components(spark, sf_dir) is first
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "5")
+        assert D.minhash_dup_components(spark, sf_dir) is first
+        D.clear_staged_memo()
         fresh = D.minhash_dup_components(spark, sf_dir)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
@@ -211,13 +216,16 @@ def test_dup_components_memo_contract(spark, sf_dir):
 
 def test_staged_lsh_relations_contract(spark, sf_dir):
     """The LSH candidate/verified-pair relations are staged (persist + memo
-    per (app, shuffle-conf, sf_dir)): repeat calls under the same conf return
-    the SAME handle; flipping spark.sql.shuffle.partitions — the determinism
-    sweep's lever — forces a genuinely fresh computation with identical rows;
-    and after a first action, later consumers read the in-memory relation
+    per (app, sf_dir) — identity only, conf-free since r9): repeat calls
+    return the SAME handle even across a shuffle-partitions flip (the
+    conf-in-key variant cross-filed results when construction and first
+    action ran under different confs); clear_staged_memo() forces a
+    genuinely fresh computation with identical rows; and after a first
+    action, later consumers read the in-memory relation
     (InMemoryTableScan in the executed plan) instead of re-running the
     shingle→minhash→band pipeline."""
     before = spark.conf.get("spark.sql.shuffle.partitions")
+    D.clear_staged_memo()
     first = D.minhash_lsh_pairs(spark, sf_dir)
     assert D.minhash_lsh_pairs(spark, sf_dir) is first
     first.count()  # fills the persist cache
@@ -231,6 +239,8 @@ def test_staged_lsh_relations_contract(spark, sf_dir):
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "5")
+        assert D.minhash_lsh_pairs(spark, sf_dir) is first
+        D.clear_staged_memo()
         fresh = D.minhash_lsh_pairs(spark, sf_dir)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
@@ -315,6 +325,68 @@ def test_lsh_hot_bucket_cap_bounds_candidate_mass(spark, tmp_path):
         name="minhash_lsh_pairs[megabucket]",
     )
     con.close()
+
+
+def test_fuzzy_decontam_catches_leakage_past_bucket_cap(spark, tmp_path):
+    """The r8 blind spot, closed: benchmark content replicated MORE than
+    LSH_BUCKET_CAP times in training collides in every band, so the
+    shared dedup cap drops the bucket and minhash_lsh_pairs reports
+    nothing — the heaviest leakage was exactly the case the old
+    ride-the-staged-pairs decontam missed. The leak-safe form must
+    quarantine ALL 40 replicas (train side uncapped: bench×train is
+    bilinear), value-matched against the DuckDB oracle on the same
+    synthetic corpus."""
+    import duckdb
+
+    from stockmarket_bigdata_project_spark.llmdata.decontam import (
+        BENCH_MOD,
+        ORACLE,
+        decontam_fuzzy_pairs,
+    )
+    from tests.oracle_compare import compare
+
+    leaked = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    clean = "red oak pine elm birch maple cedar willow aspen spruce fir"
+    # doc 0: the benchmark doc (0 % BENCH_MOD == 0); 40 training replicas
+    # of it (ids chosen non-divisible by BENCH_MOD); two clean train docs
+    train_ids = [i for i in range(1, 60) if i % BENCH_MOD != 0][:40]
+    rows = [(0, leaked, "en", "bench", len(leaked))]
+    rows += [(i, leaked, "en", "crawl", len(leaked)) for i in train_ids]
+    rows += [(j, clean, "en", "web", len(clean)) for j in (101, 102)]
+    d = str(tmp_path / "leak")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    D.clear_staged_memo()
+    try:
+        # the dedup path caps the 41-doc bucket away (by design): the only
+        # surviving pair is the small-bucket control (101, 102)
+        dedup_pairs = {
+            (r.doc_a, r.doc_b) for r in D.minhash_lsh_pairs(spark, d).collect()
+        }
+        assert dedup_pairs == {(101, 102)}, sorted(dedup_pairs)[:5]
+        # ... but decontamination must still see every replica
+        got = {
+            (r.bench_doc_id, r.train_doc_id)
+            for r in decontam_fuzzy_pairs(spark, d).collect()
+        }
+        assert got == {(0, i) for i in train_ids}, sorted(got)[:5]
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet/*.parquet')"
+        )
+        compare(
+            decontam_fuzzy_pairs(spark, d),
+            con,
+            ORACLE["decontam_fuzzy_pairs"],
+            name="decontam_fuzzy_pairs[leak]",
+        )
+        con.close()
+    finally:
+        D.clear_staged_memo()  # drop the synthetic-corpus staged relations
 
 
 def test_word_ngrams_short_docs(spark):
