@@ -22,6 +22,8 @@ dedup recipes).
 
 from __future__ import annotations
 
+import threading
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -549,6 +551,159 @@ def incremental_minhash_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- stored-index incremental near-dedup (r9) ---------------------------------
+# incremental_minhash_new_docs proves the per-batch JOIN SHAPE but rebuilds
+# the corpus band table per call; this is the production twin the r8 verdict
+# named: the corpus band table is a BUCKETED, SORTED parquet table keyed on
+# (band, sig) — written once at index-build time, exchange-free at query
+# time — and the hot-bucket set is a second (tiny) stored table. Per-batch
+# work is then: batch-only signature build (the batch filter pushes below
+# the aggregate to the scan) + broadcast anti-join against the stored hot
+# set + one equi-join against the bucketed index (the index side needs NO
+# exchange and NO sort — Spark plans a shuffle of the batch side only) +
+# candidate-filtered verification. The corpus TEXT pipeline never runs.
+_LSH_INDEX_LOCK = threading.Lock()
+_LSH_INDEX_PREPARED: dict[str, tuple[str, str]] = {}
+
+
+def _ensure_lsh_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write the corpus-side LSH band index (bucketed on (band, sig)) and
+    the corpus hot-bucket table, once per sf_dir. At 100 TB this is the
+    nightly index-build job; the per-batch query below never recomputes
+    it."""
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    bt, ht = f"lsh_band_idx_{tag}", f"lsh_hot_idx_{tag}"
+    with _LSH_INDEX_LOCK:
+        if sf_dir not in _LSH_INDEX_PREPARED:
+            import os
+            import shutil
+            from urllib.parse import urlparse
+
+            wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+            for t in (bt, ht):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+                if wh:
+                    shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+            is_new = F.col("doc_id") % INCR_MOD == INCR_REM
+            corpus_bands = (
+                _minhash_df(spark, sf_dir)
+                .filter(~is_new)  # pushes below the signature agg to the scan
+                .select("doc_id", F.explode(_band_structs()).alias("bs"))
+                .select(
+                    "doc_id",
+                    F.col("bs.band").alias("band"),
+                    F.col("bs.sig").alias("sig"),
+                )
+            )
+            corpus_bands.write.mode("overwrite").bucketBy(
+                8, "band", "sig"
+            ).sortBy("band", "sig").saveAsTable(bt)
+            (
+                spark.table(bt)
+                .groupBy("band", "sig")
+                .agg(F.count("*").alias("s"))
+                .filter(F.col("s") > LSH_BUCKET_CAP)
+                .select("band", "sig")
+                .write.mode("overwrite")
+                .saveAsTable(ht)
+            )
+            _LSH_INDEX_PREPARED[sf_dir] = (bt, ht)
+    return _LSH_INDEX_PREPARED[sf_dir]
+
+
+def _indexed_candidates(
+    spark: SparkSession, sf_dir: str, batch_cap: int | None = None
+) -> DataFrame:
+    """(new_id, old_id) candidate pairs of the stored-index path, BEFORE
+    the localCheckpoint barrier — split out so the plan pin can assert
+    the candidate subplan's properties (index scan, batch-only signature
+    build), which a lazy checkpoint hides from downstream explains."""
+    bt, ht = _ensure_lsh_index(spark, sf_dir)
+    is_new = F.col("doc_id") % INCR_MOD == INCR_REM
+    if batch_cap is not None:
+        is_new = is_new & (F.col("doc_id") < batch_cap)
+    batch_bands = (
+        _minhash_df(spark, sf_dir)
+        .filter(is_new)
+        .select("doc_id", F.explode(_band_structs()).alias("bs"))
+        .select(
+            "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+        )
+    )
+    hot = spark.table(ht)
+    batch_capped = batch_bands.join(F.broadcast(hot), ["band", "sig"], "left_anti")
+    corpus_bands = spark.table(bt)
+    return (
+        batch_capped.select(F.col("doc_id").alias("new_id"), "band", "sig")
+        .join(
+            corpus_bands.select(F.col("doc_id").alias("old_id"), "band", "sig"),
+            ["band", "sig"],
+        )
+        .select("new_id", "old_id")
+        .distinct()
+    )
+
+
+def incremental_minhash_indexed(
+    spark: SparkSession, sf_dir: str, batch_cap: int | None = None
+) -> DataFrame:
+    """Stored-index incremental NEAR-dedup: the per-batch production form
+    of incremental_minhash_new_docs. The corpus band table and hot-bucket
+    set are PRE-MATERIALIZED (bucketed parquet via _ensure_lsh_index);
+    the per-batch plan builds signatures for BATCH docs only (the slice
+    filter pushes below the minhash aggregate into the documents scan),
+    anti-joins the stored hot set, equi-joins the bucketed index with no
+    exchange and no sort on the index side, and verifies exact Jaccard
+    over candidate docs only. Per-batch shuffle + verification cost is
+    ∝ batch and ∝ candidates; the only corpus-sized touch is the
+    exchange-free columnar scan of the compact (doc_id, band, sig) index
+    — corpus TEXT is read only for candidate old docs, via the
+    verification semi-filter. Cap semantics: hot buckets are defined by
+    CORPUS occupancy alone (an index built last night cannot know
+    today's batch) — the one intended semantic difference from the
+    rebuild-per-call twin, mirrored in the oracle.
+
+    ``batch_cap`` (tooling only, not registered): additionally bounds
+    the batch to doc_id < batch_cap so tools_scale_study can grow the
+    corpus x1→x8 at FIXED batch size — the flat-runtime proof behind
+    the per-batch cost claim. [extension]"""
+    # eager=False: construction stays job-free; the candidate relation
+    # (id pairs, ∝ batch) materializes at the first action and is reused
+    # by all three verification consumers — without this the batch
+    # signature build and the index join replicate once per consumer
+    cands = _indexed_candidates(spark, sf_dir, batch_cap).localCheckpoint(
+        eager=False
+    )
+    cand_docs = (
+        cands.select(F.col("new_id").alias("doc_id"))
+        .union(cands.select("old_id"))
+        .distinct()
+    )
+    sh = _shingles_df(spark, sf_dir, doc_filter=cand_docs)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("new_id"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("old_id"), "shingle")
+    inter = (
+        cands.join(sa, "new_id")
+        .join(sb, ["old_id", "shingle"])
+        .groupBy("new_id", "old_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("new_id"), F.col("n_sh").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("old_id"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return (
+        inter.join(ca, "new_id")
+        .join(cb, "old_id")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select(
+            F.col("new_id").alias("doc_id"),
+            F.col("old_id").alias("dup_of_doc_id"),
+            jac.alias("jaccard"),
+        )
+    )
+
+
 def near_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source contamination matrix: verified near-dup pairs bucketed
     by (source of A, source of B) — the report that tells a curation team
@@ -869,6 +1024,7 @@ QUERIES = {
     "dedup_exact_survivors": dedup_exact_survivors,
     "incremental_dedup_new_docs": incremental_dedup_new_docs,
     "incremental_minhash_new_docs": incremental_minhash_new_docs,
+    "incremental_minhash_indexed": incremental_minhash_indexed,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
@@ -1146,6 +1302,49 @@ icands AS (
     ON b.band = c.band AND b.sig = c.sig
   WHERE b.doc_id % {INCR_MOD} = {INCR_REM}
     AND c.doc_id % {INCR_MOD} <> {INCR_REM}
+),
+icounts AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+iinter AS (
+  SELECT p.new_id, p.old_id, count(*) AS n_inter
+  FROM icands p
+  JOIN shingles a ON a.doc_id = p.new_id
+  JOIN shingles b ON b.doc_id = p.old_id AND b.sh = a.sh
+  GROUP BY p.new_id, p.old_id
+)
+SELECT i.new_id AS doc_id, i.old_id AS dup_of_doc_id,
+       CAST(i.n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - i.n_inter) AS jaccard
+FROM iinter i
+JOIN icounts ca ON ca.doc_id = i.new_id
+JOIN icounts cb ON cb.doc_id = i.old_id
+WHERE i.n_inter * 1.0 / (ca.n_sh + cb.n_sh - i.n_inter)
+      >= {JACCARD_THRESHOLD}
+"""
+
+# Stored-index twin: identical verification, but the hot-bucket set is
+# defined by CORPUS occupancy only (the index is built before the batch
+# exists), and candidates come from batch bands ⋈ corpus bands.
+ORACLE["incremental_minhash_indexed"] = f"""
+WITH {_SHINGLES_SQL.strip()},
+{_MINHASH_SQL},
+{_BANDS_SQL},
+corpus_bands AS (
+  SELECT doc_id, band, sig FROM bands
+  WHERE doc_id % {INCR_MOD} <> {INCR_REM}
+),
+hot AS (
+  SELECT band, sig FROM corpus_bands
+  GROUP BY band, sig HAVING count(*) > {LSH_BUCKET_CAP}
+),
+batch_capped AS (
+  SELECT b.doc_id, b.band, b.sig
+  FROM (SELECT doc_id, band, sig FROM bands
+        WHERE doc_id % {INCR_MOD} = {INCR_REM}) b
+  ANTI JOIN hot h ON b.band = h.band AND b.sig = h.sig
+),
+icands AS (
+  SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS old_id
+  FROM batch_capped b JOIN corpus_bands c
+    ON b.band = c.band AND b.sig = c.sig
 ),
 icounts AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
 iinter AS (

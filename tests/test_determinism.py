@@ -147,9 +147,9 @@ _SENSITIVE = [
     # round-7 scale fix: k = max(8, n // 250) rides a count aggregate —
     # partitioning-independent by construction, pinned here anyway
     "semdedup_survivors",
-    # round-8: ANN (two-level) centroid assignment — three chained argmax
-    # windows + the within-bucket prune, all id-tie-broken; pinned before
-    # its gate window
+    # round-8 (r9: argmax windows → partial max(struct) aggregates):
+    # ANN (two-level) centroid assignment + within-bucket prune, all
+    # id-tie-broken
     "semdedup_survivors_ann",
     # round-8: source-level shingle-set Jaccard in integer micros
     "source_shingle_overlap",
@@ -158,10 +158,12 @@ _SENSITIVE = [
     # round-9: leak-safe bench×train LSH join (bench rank-truncated,
     # train uncapped) + exact verification
     "decontam_fuzzy_pairs",
-    # round-8: cluster-colocated md5 shard assignment (broadcast left join)
+    # round-8: cluster-colocated md5 shard assignment (r9: unhinted join)
     "dedup_aware_shards",
     # round-8: batch×corpus banded join + capped buckets + exact verify
     "incremental_minhash_new_docs",
+    # round-9: stored-index twin (bucketed band table + stored hot set)
+    "incremental_minhash_indexed",
     # round-7 scale fix: UnboundedFollowing frames rewritten to reversed
     # running frames (O(rows) not O(rows²)) — values must be unchanged
     "interpolate_daily",

@@ -1430,6 +1430,38 @@ def test_source_overlap_bounded_fanout_shape(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_incremental_minhash_indexed_reads_stored_index(spark, sf_dir):
+    """The stored-index twin's per-batch plan must (a) read the corpus
+    band table from the BUCKETED index and the hot set from its stored
+    table — never rebuild them; (b) build minhash signatures for the
+    batch slice only: every modulo filter in the plan is the batch
+    predicate, and the corpus-complement filter (NOT batch — the index
+    builder's signature) must be absent; (c) keep document text out of
+    every exchange."""
+    import re
+
+    from stockmarket_bigdata_project_spark.llmdata.dedup import (
+        _indexed_candidates,
+        incremental_minhash_indexed,
+    )
+
+    # candidate subplan (pre-checkpoint): the index-vs-rebuild property
+    plan = _plan(_indexed_candidates(spark, sf_dir))
+    assert "lsh_band_idx" in plan, plan
+    assert "lsh_hot_idx" in plan, plan
+    assert "Bucketed: true" in plan, plan
+    assert "SelectedBucketsCount" in plan, plan
+    mods = re.findall(r"Condition : [^\n]*% 10\)[^\n]*", plan)
+    assert mods and all("= 7" in c for c in mods), mods
+    assert all("NOT" not in c for c in mods), mods
+    for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), m.group(0)
+    # full query: text still never crosses an exchange
+    full = _plan(incremental_minhash_indexed(spark, sf_dir))
+    for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)", full):
+        assert "text" not in m.group(1), m.group(0)
+
+
 def test_incremental_minhash_no_text_shuffle(spark, sf_dir):
     """The incremental near-dedup join moves (band, sig) rows and shingle
     hashes — document text must stay in the scan stage (the per-batch-cost
