@@ -83,7 +83,11 @@ CURATION = [
 # cache hit, not the pipeline. For these the COLD time is the honest
 # headline number (what a fresh cluster run pays end-to-end); the memo-hit
 # read lands in `queries_memo_hit` as the annotation, not the headline
-# (r7 verdict task 4 — the r7 headline had this inverted).
+# (r7 verdict task 4 — the r7 headline had this inverted). r8 ADVICE
+# refinement: the staged memo is CLEARED before each staged query's cold
+# pass — without that, only the first staged query per session paid the
+# full pipeline (corpus_clean ran after minhash_lsh_pairs had already
+# memoized the pair relation, so its "cold" was partially warm).
 STAGED = {"minhash_lsh_pairs", "corpus_clean", "training_manifest"}
 
 
@@ -97,6 +101,13 @@ def _force(df) -> None:
 # directly comparable across rounds without hand-computing raw×(cal_r4/cal_rN)
 # (r5 verdict task 5: the verdict and builder both re-derived this by hand).
 _R4_REFERENCE_CALIBRATION = 0.0959
+
+# spark_calibration_sec recorded in BENCH_r06.json (its first appearance) —
+# the fixed reference for the PRIMARY normalization series (r8 verdict task
+# 7: host_calibration and spark_calibration moved in opposite directions
+# r7→r8, so the JVM-side canary — which measures the thing under test — is
+# declared primary and both series are reported).
+_R6_REFERENCE_SPARK_CALIBRATION = 0.0847
 
 
 def _host_calibration() -> float:
@@ -144,10 +155,16 @@ def main() -> None:
     # warm the JVM + parquet footer cache once so q1 doesn't pay session startup
     _force(queries[names[0]](spark, sf_dir).limit(1))
 
+    from stockmarket_bigdata_project_spark.llmdata.dedup import (
+        clear_staged_memo,
+    )
+
     def _run(block: list[str]) -> tuple[dict[str, float], dict[str, float]]:
         cold: dict[str, float] = {}
         steady: dict[str, float] = {}
         for name in block:
+            if name in STAGED:
+                clear_staged_memo()  # cold must pay the FULL pipeline
             start = time.perf_counter()
             _force(queries[name](spark, sf_dir))
             cold[name] = round(time.perf_counter() - start, 3)
@@ -175,9 +192,16 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     curation_total = round(sum(cur_timings.values()), 3)
     calibration = _host_calibration()
-    # normalize to the r4 reference box speed: >1 cal means this box ran
-    # slower than the r4 recording, so normalized = raw × (cal_r4 / cal_now)
+    spark_cal = _spark_calibration(spark)
+    # Two normalizations, both reported (r8 verdict task 7: the two canaries
+    # moved in OPPOSITE directions r7→r8, so a single scalar is unreliable):
+    #   * host (Python md5 loop), reference = the r4 recording — kept for
+    #     series continuity with BENCH_r4..r8;
+    #   * spark (fixed 32-partition JVM aggregate), reference = the r6
+    #     recording (its first appearance) — PRIMARY, because it measures
+    #     the JVM/scheduler path the benchmark itself exercises.
     norm = _R4_REFERENCE_CALIBRATION / calibration if calibration else 1.0
+    snorm = _R6_REFERENCE_SPARK_CALIBRATION / spark_cal if spark_cal else 1.0
     print(
         json.dumps(
             {
@@ -188,16 +212,29 @@ def main() -> None:
                 "queries_cold": cold,
                 "queries_memo_hit": memo_hit,
                 "headline_policy": (
-                    "staged queries (persist+memo relations) reported COLD; "
-                    "their memo-hit steady read is in queries_memo_hit"
+                    "staged queries (persist+memo relations) reported COLD "
+                    "with the staged memo cleared immediately before each "
+                    "one's cold pass (a later staged query must not read "
+                    "relations memoized by an earlier block entry); their "
+                    "memo-hit steady read is in queries_memo_hit"
                 ),
                 "curation_queries_total": curation_total,
                 "curation_queries": cur_timings,
                 "curation_queries_cold": cur_cold,
                 "host_calibration_sec": calibration,
-                "spark_calibration_sec": _spark_calibration(spark),
+                "spark_calibration_sec": spark_cal,
+                "calibration_policy": (
+                    "spark_calibration is PRIMARY (it measures the JVM "
+                    "query path under test; reference 0.0847 = r6); the "
+                    "host md5 canary and its r4-referenced normalization "
+                    "are kept for series continuity"
+                ),
                 "headline_normalized_to_r4": round(total * norm, 3),
                 "curation_normalized_to_r4": round(curation_total * norm, 3),
+                "headline_normalized_spark_r6": round(total * snorm, 3),
+                "curation_normalized_spark_r6": round(
+                    curation_total * snorm, 3
+                ),
                 "sf": sf,
             }
         )
