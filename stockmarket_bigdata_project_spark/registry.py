@@ -150,6 +150,13 @@ _INTRODUCED_R8: frozenset[str] = frozenset({
     "incremental_minhash_new_docs",
 })
 
+# Queries introduced during round 9 (tier-0 unproven: they front the window
+# and earn their proof immediately; the registry entered round 9 fully
+# proven otherwise).
+_INTRODUCED_R9: frozenset[str] = frozenset({
+    "incremental_minhash_indexed",
+})
+
 # Round-8 re-proof priority (r7 verdict task 8): with every query proven,
 # the gate window re-proves old queries — spend the spare slots on the
 # FLOAT-BEARING families first (raw binary64 outputs whose cross-engine
@@ -185,6 +192,8 @@ _REPROOF_PRIORITY = (
 
 
 def _introduced_rank(name: str) -> int:
+    if name in _INTRODUCED_R9:
+        return 5
     if name in _INTRODUCED_R8:
         return 4
     if name in _INTRODUCED_R7:

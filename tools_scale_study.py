@@ -100,7 +100,42 @@ QUERIES = [
     "media_dedup_groups",
     "audio_chunk_rms",
     "semdedup_survivors_ann",
+    # fifth wave (round 9, r8 verdict task 4): the late-r8 queries whose
+    # docstrings make cost claims the study exists to verify, plus the two
+    # de-broadcast r9 fixes re-measured without their hints, plus the
+    # stored-index incremental twin. NOTE on the incremental pair: in the
+    # blow-up the batch slice (doc_id % 10 == 7) grows WITH the corpus, so
+    # slope ≈ 1 here only verifies "∝ batch when batch ∝ corpus"; the
+    # fixed-batch claim ("per-batch cost never touches corpus size") is
+    # proven by incremental_minhash_indexed_fixed_batch below, whose batch
+    # stays the x1 slice (doc_id < KEY_OFFSET keeps only replica-0 docs)
+    # while the corpus grows x1→x8 — its STEADY pass must stay flat (cold
+    # includes the nightly index build, which legitimately scales ∝ corpus).
+    "incremental_minhash_new_docs",
+    "incremental_minhash_indexed",
+    "incremental_minhash_indexed_fixed_batch",
+    "dedup_aware_shards",  # staged upstream (dup components): cold = signal
+    "decontam_fuzzy_pairs",
+    "source_shingle_overlap",  # fan-out bounded by |sources|² (fixed dims)
 ]
+
+
+def _special_queries():
+    """Study-only variants not in the registry (parameterized forms whose
+    fixed parameter is the point of the measurement)."""
+    from stockmarket_bigdata_project_spark.llmdata.dedup import (
+        incremental_minhash_indexed,
+    )
+
+    return {
+        # corpus grows x1→x8, batch pinned to the x1 slice: the flat-steady
+        # proof behind the stored-index per-batch cost claim
+        "incremental_minhash_indexed_fixed_batch": (
+            lambda spark, d: incremental_minhash_indexed(
+                spark, d, batch_cap=KEY_OFFSET
+            )
+        ),
+    }
 
 
 def build() -> None:
@@ -187,7 +222,8 @@ def run() -> None:
     from stockmarket_bigdata_project_spark.session import get_spark
 
     spark = get_spark(app_name="scale-study")
-    q = registry.all_queries()
+    q = dict(registry.all_queries())
+    q.update(_special_queries())
 
     def force(df):
         df.write.format("noop").mode("overwrite").save()
