@@ -642,6 +642,85 @@ FROM dkeyed
 """
 
 
+# --- recurring-job form: co-bucketed shard assignment (r9) --------------------
+# dedup_aware_shards leaves the doc_id join unhinted (AQE picks the
+# strategy from runtime stats); for the RECURRING nightly job the r8
+# verdict named the stronger layout: bucket BOTH sides on doc_id once at
+# write time (sources/bucketing.py lever #1), and every later shard
+# assignment runs as a sort-merge join with ZERO exchanges — no broadcast
+# budget, no corpus shuffle, regardless of how large the near-dup
+# component fraction grows. Plan-pinned in tests/test_bucketing.py.
+_SHARD_BUCKETS = 8
+_shard_tables_lock = None  # initialized lazily to avoid import-time threading
+_shard_tables_prepared: dict[str, tuple[str, str]] = {}
+
+
+def _ensure_shard_bucketed_tables(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str]:
+    """Write the doc-id projection and the resolved near-dup component
+    relation as co-bucketed, sorted tables (once per sf_dir) — the
+    nightly layout job; the per-epoch query below joins them shuffle-free."""
+    global _shard_tables_lock
+    import threading
+
+    if _shard_tables_lock is None:
+        _shard_tables_lock = threading.Lock()
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    dt, ct = f"docs_shard_b_{tag}", f"comp_shard_b_{tag}"
+    with _shard_tables_lock:
+        if sf_dir not in _shard_tables_prepared:
+            import os
+            import shutil
+            from urllib.parse import urlparse
+
+            from .dedup import minhash_dup_components
+
+            wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+            for t in (dt, ct):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+                if wh:
+                    shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+            load_table(spark, sf_dir, "documents").select(
+                "doc_id"
+            ).write.mode("overwrite").bucketBy(_SHARD_BUCKETS, "doc_id").sortBy(
+                "doc_id"
+            ).saveAsTable(dt)
+            minhash_dup_components(spark, sf_dir).write.mode(
+                "overwrite"
+            ).bucketBy(_SHARD_BUCKETS, "doc_id").sortBy("doc_id").saveAsTable(ct)
+            _shard_tables_prepared[sf_dir] = (dt, ct)
+    return _shard_tables_prepared[sf_dir]
+
+
+def dedup_aware_shards_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_aware_shards over CO-BUCKETED tables: identical output (same
+    oracle), exchange-free plan. merge hint for the same reason as
+    bucketed_join_orders_lineitem — at toy SF the component side fits a
+    broadcast, which would hide the zero-exchange property under test; at
+    100 TB SMJ over bucketed scans is the natural plan. [extension]"""
+    dt, ct = _ensure_shard_bucketed_tables(spark, sf_dir)
+    docs = spark.table(dt).hint("merge")
+    comp = spark.table(ct)
+    j = docs.join(comp, "doc_id", "left")
+    shard_key = F.coalesce("component", "doc_id")
+    h = F.md5(F.concat(F.lit(EPOCH_SEED + ":"), shard_key.cast("string")))
+    hv = F.conv(F.substring(h, 1, 4), 16, 10).cast("int")
+    return j.select(
+        "doc_id",
+        shard_key.cast("long").alias("shard_key"),
+        (hv % N_EPOCH_SHARDS).alias("shard"),
+        F.col("component").isNotNull().cast("int").alias("is_clustered"),
+    )
+
+
+QUERIES["dedup_aware_shards_bucketed"] = dedup_aware_shards_bucketed
+
+# bucketing must be invisible in the values: the same oracle as the
+# unhinted form
+ORACLE["dedup_aware_shards_bucketed"] = ORACLE["dedup_aware_shards"]
+
+
 MIX_BUDGET = 10_000  # docs to draw across sources in one mixture epoch
 
 

@@ -155,6 +155,7 @@ _INTRODUCED_R8: frozenset[str] = frozenset({
 # proven otherwise).
 _INTRODUCED_R9: frozenset[str] = frozenset({
     "incremental_minhash_indexed",
+    "dedup_aware_shards_bucketed",
 })
 
 # Round-8 re-proof priority (r7 verdict task 8): with every query proven,

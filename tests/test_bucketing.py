@@ -26,6 +26,27 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     assert df.count() > 0
 
 
+def test_dedup_aware_shards_bucketed_has_no_shuffle(spark, sf_dir):
+    """The r8-verdict layout fix, pinned: shard assignment over co-bucketed
+    (doc_id) tables must be a sort-merge join with ZERO exchanges — no
+    broadcast of the component relation (the 100 TB OOM the hint forced)
+    and no corpus shuffle either."""
+    from stockmarket_bigdata_project_spark.llmdata.sampling import (
+        dedup_aware_shards_bucketed,
+    )
+
+    df = dedup_aware_shards_bucketed(spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Bucketed: true") == 2, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert df.count() > 0
+
+
 def test_compaction_reduces_files(spark, sf_dir, tmp_path):
     """The compaction rewrite must leave exactly ONE parquet file per month
     partition where the fragmented write left several."""
