@@ -156,6 +156,8 @@ _INTRODUCED_R8: frozenset[str] = frozenset({
 _INTRODUCED_R9: frozenset[str] = frozenset({
     "incremental_minhash_indexed",
     "dedup_aware_shards_bucketed",
+    "incremental_semdedup_new_docs",
+    "incremental_semdedup_indexed",
 })
 
 # Round-8 re-proof priority (r7 verdict task 8): with every query proven,

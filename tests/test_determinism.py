@@ -164,6 +164,13 @@ _SENSITIVE = [
     "incremental_minhash_new_docs",
     # round-9: stored-index twin (bucketed band table + stored hot set)
     "incremental_minhash_indexed",
+    # round-9: co-bucketed shard assignment (values must equal the
+    # unhinted form regardless of layout)
+    "dedup_aware_shards_bucketed",
+    # round-9: ingestion-time semantic dedup — flat argmax + bucket join,
+    # and the stored-index two-level twin
+    "incremental_semdedup_new_docs",
+    "incremental_semdedup_indexed",
     # round-7 scale fix: UnboundedFollowing frames rewritten to reversed
     # running frames (O(rows) not O(rows²)) — values must be unchanged
     "interpolate_daily",

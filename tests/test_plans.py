@@ -1476,3 +1476,46 @@ def test_incremental_minhash_no_text_shuffle(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m.group(1), m.group(0)
+
+
+def test_incremental_semdedup_indexed_reads_stored_index(spark, sf_dir):
+    """The stored-index SemDeDup twin's per-batch plan must (a) read the
+    coarse/fine-map/corpus-assignment tables — never re-run the corpus
+    embedding pipeline (every embeddings-scan modulo filter is the batch
+    predicate, the index builder's corpus-complement filter is absent);
+    (b) scan the corpus assignment through its BUCKETED layout; (c) not
+    hint-broadcast the k-row fine map (k ∝ n): with auto-broadcast
+    disabled the coarse_id join must fall back to a shuffle join —
+    only the √k-row coarse table is legitimately hint-broadcast."""
+    import re
+
+    from stockmarket_bigdata_project_spark.llmdata.similarity import (
+        incremental_semdedup_indexed,
+    )
+
+    plan = _plan(incremental_semdedup_indexed(spark, sf_dir))
+    assert "sem_coarse_" in plan, plan
+    assert "sem_fmap_" in plan, plan
+    assert "sem_corpus_" in plan, plan
+    mods = re.findall(r"Condition : [^\n]*% 10\)[^\n]*", plan)
+    assert mods and all("= 7" in c for c in mods), mods
+    assert all("NOT" not in c for c in mods), mods
+    assert "partial_max" in plan, plan  # argmaxes collapse map-side
+
+    # at toy SF the tiny batch side broadcasts, so the planner rightly
+    # disables the bucketed scan; the 100 TB shape — bucketed corpus scan
+    # feeding a sort-merge join with the exchange on the BATCH side only —
+    # must appear once size-based broadcast is off
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fmt = _plan(incremental_semdedup_indexed(spark, sf_dir))
+        simple = _plan_simple(incremental_semdedup_indexed(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Bucketed: true" in fmt, fmt
+    assert not re.search(r"BroadcastHashJoin \[coarse_id", simple), simple
+    assert re.search(
+        r"(SortMergeJoin|ShuffledHashJoin) \[coarse_id", simple
+    ), simple
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin) \[bucket", simple), simple
