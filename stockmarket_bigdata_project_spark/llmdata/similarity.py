@@ -1252,7 +1252,9 @@ def _two_level_assign(
     )
 
 
-def incremental_semdedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def incremental_semdedup_indexed(
+    spark: SparkSession, sf_dir: str, batch_cap: int | None = None
+) -> DataFrame:
     """Stored-index incremental SemDeDup: the per-batch production form.
     The corpus structure (coarse centroids, fine map, bucketed corpus
     assignment with norms) is PRE-MATERIALIZED by _ensure_semdedup_index;
@@ -1266,9 +1268,17 @@ def incremental_semdedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (plan-pinned). Assignment is ANN-approximate exactly as in
     semdedup_survivors_ann — boundary vectors may land in a neighboring
     near-equal-cosine cell — and the oracle mirrors the two-level route
-    stage-for-stage, so the query stays value-level checked. [extension]"""
+    stage-for-stage, so the query stays value-level checked.
+
+    ``batch_cap`` (tooling only, not registered): additionally bounds the
+    batch to vec_id < batch_cap so tools_scale_study can grow the corpus
+    x1→x8 at FIXED batch size — the flat-runtime proof behind the
+    per-batch cost claim (same hook as incremental_minhash_indexed).
+    [extension]"""
     gt, ft, at = _ensure_semdedup_index(spark, sf_dir)
     _, batch = _sem_incr_sides(spark, sf_dir)
+    if batch_cap is not None:
+        batch = batch.filter(F.col("vec_id") < batch_cap)
     ba = _two_level_assign(
         batch, spark.table(gt), spark.table(ft)
     ).withColumn("nrm", _norm(F.col("mvec")))

@@ -117,6 +117,14 @@ QUERIES = [
     "dedup_aware_shards",  # staged upstream (dup components): cold = signal
     "decontam_fuzzy_pairs",
     "source_shingle_overlap",  # fan-out bounded by |sources|² (fixed dims)
+    # round-9 additions: ingestion-time semantic dedup (same batch-grows-
+    # with-corpus caveat as the minhash incremental pair; the fixed-batch
+    # variant is the per-batch claim's proof) and the co-bucketed shard
+    # layout (cold = layout job + staged components, steady = memo read)
+    "incremental_semdedup_new_docs",
+    "incremental_semdedup_indexed",
+    "incremental_semdedup_indexed_fixed_batch",
+    "dedup_aware_shards_bucketed",
 ]
 
 
@@ -126,12 +134,20 @@ def _special_queries():
     from stockmarket_bigdata_project_spark.llmdata.dedup import (
         incremental_minhash_indexed,
     )
+    from stockmarket_bigdata_project_spark.llmdata.similarity import (
+        incremental_semdedup_indexed,
+    )
 
     return {
         # corpus grows x1→x8, batch pinned to the x1 slice: the flat-steady
         # proof behind the stored-index per-batch cost claim
         "incremental_minhash_indexed_fixed_batch": (
             lambda spark, d: incremental_minhash_indexed(
+                spark, d, batch_cap=KEY_OFFSET
+            )
+        ),
+        "incremental_semdedup_indexed_fixed_batch": (
+            lambda spark, d: incremental_semdedup_indexed(
                 spark, d, batch_cap=KEY_OFFSET
             )
         ),
