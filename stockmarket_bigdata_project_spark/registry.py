@@ -158,6 +158,7 @@ _INTRODUCED_R9: frozenset[str] = frozenset({
     "dedup_aware_shards_bucketed",
     "incremental_semdedup_new_docs",
     "incremental_semdedup_indexed",
+    "incremental_decontam_indexed",
 })
 
 # Round-8 re-proof priority (r7 verdict task 8): with every query proven,

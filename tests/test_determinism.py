@@ -171,6 +171,8 @@ _SENSITIVE = [
     # and the stored-index two-level twin
     "incremental_semdedup_new_docs",
     "incremental_semdedup_indexed",
+    # round-9: per-batch decontamination against the stored bench index
+    "incremental_decontam_indexed",
     # round-7 scale fix: UnboundedFollowing frames rewritten to reversed
     # running frames (O(rows) not O(rows²)) — values must be unchanged
     "interpolate_daily",

@@ -1519,3 +1519,27 @@ def test_incremental_semdedup_indexed_reads_stored_index(spark, sf_dir):
         r"(SortMergeJoin|ShuffledHashJoin) \[coarse_id", simple
     ), simple
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin) \[bucket", simple), simple
+
+
+def test_incremental_decontam_indexed_reads_stored_index(spark, sf_dir):
+    """Per-batch decontamination must read the STORED benchmark gram
+    index — the benchmark n-gram pipeline must not run in the per-batch
+    plan: the index table is scanned, every bench-modulo condition in the
+    plan is the NEGATED batch-side exclusion (NOT % 13 = 0), and the
+    batch slice filter is the family's % 10 = 7 predicate. The broadcast
+    of the gram index is sound at any corpus size (payload ∝ the fixed
+    benchmark suite) — asserted present so a future edit doesn't silently
+    turn it into a corpus shuffle."""
+    import re
+
+    from stockmarket_bigdata_project_spark.llmdata.decontam import (
+        incremental_decontam_indexed,
+    )
+
+    plan = _plan(incremental_decontam_indexed(spark, sf_dir))
+    assert "bench_grams_" in plan, plan
+    mods10 = re.findall(r"% 10\)[^\n]*", plan)
+    assert mods10 and all("= 7" in c for c in mods10), mods10
+    for m in re.finditer(r"[^\n]*% 13\)[^\n]*", plan):
+        assert "NOT" in m.group(0), m.group(0)
+    assert "BroadcastHashJoin" in plan, plan

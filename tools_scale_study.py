@@ -125,6 +125,8 @@ QUERIES = [
     "incremental_semdedup_indexed",
     "incremental_semdedup_indexed_fixed_batch",
     "dedup_aware_shards_bucketed",
+    "incremental_decontam_indexed",
+    "incremental_decontam_indexed_fixed_batch",
 ]
 
 
@@ -133,6 +135,9 @@ def _special_queries():
     fixed parameter is the point of the measurement)."""
     from stockmarket_bigdata_project_spark.llmdata.dedup import (
         incremental_minhash_indexed,
+    )
+    from stockmarket_bigdata_project_spark.llmdata.decontam import (
+        incremental_decontam_indexed,
     )
     from stockmarket_bigdata_project_spark.llmdata.similarity import (
         incremental_semdedup_indexed,
@@ -148,6 +153,11 @@ def _special_queries():
         ),
         "incremental_semdedup_indexed_fixed_batch": (
             lambda spark, d: incremental_semdedup_indexed(
+                spark, d, batch_cap=KEY_OFFSET
+            )
+        ),
+        "incremental_decontam_indexed_fixed_batch": (
+            lambda spark, d: incremental_decontam_indexed(
                 spark, d, batch_cap=KEY_OFFSET
             )
         ),
