@@ -477,6 +477,72 @@ def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# stored-index twin of the exact incremental path (r9): the docstring above
+# has always declared "at 100 TB the corpus hash set is a pre-materialized
+# index" — this is that form, completing the stored-index family (exact,
+# MinHash, semantic, decontamination all have one now).
+_EXACT_INDEX_LOCK = threading.Lock()
+_EXACT_INDEX_PREPARED: dict[str, str] = {}
+
+
+def _ensure_exact_hash_index(spark: SparkSession, sf_dir: str) -> str:
+    """Write the corpus' distinct normalized-text hash set as a bucketed,
+    sorted table on text_hash, once per sf_dir (the nightly index job)."""
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    t = f"exact_hash_idx_{tag}"
+    with _EXACT_INDEX_LOCK:
+        if sf_dir not in _EXACT_INDEX_PREPARED:
+            import os
+            import shutil
+            from urllib.parse import urlparse
+
+            wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            if wh:
+                shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+            docs = load_table(spark, sf_dir, "documents")
+            is_new = F.col("doc_id") % INCR_MOD == INCR_REM
+            (
+                docs.filter(~is_new)
+                .select(F.md5(_normalized()).alias("text_hash"))
+                .distinct()
+                .write.mode("overwrite")
+                .bucketBy(8, "text_hash")
+                .sortBy("text_hash")
+                .saveAsTable(t)
+            )
+            _EXACT_INDEX_PREPARED[sf_dir] = t
+    return _EXACT_INDEX_PREPARED[sf_dir]
+
+
+def incremental_dedup_indexed(
+    spark: SparkSession, sf_dir: str, batch_cap: int | None = None
+) -> DataFrame:
+    """incremental_dedup_new_docs against the PRE-MATERIALIZED corpus hash
+    index (same output, same oracle): the per-batch plan hashes the batch
+    slice only (the filter pushes to the documents scan) and left-joins
+    the bucketed hash index — no exchange and no sort on the index side,
+    no corpus text read at all. Per-batch cost ∝ |batch|; the index is a
+    compact single-column table maintained by appending each accepted
+    batch's new hashes. ``batch_cap`` is the tools_scale_study fixed-batch
+    hook (not registered). [extension]"""
+    t = _ensure_exact_hash_index(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % INCR_MOD == INCR_REM
+    if batch_cap is not None:
+        is_new = is_new & (F.col("doc_id") < batch_cap)
+    batch = docs.filter(is_new).select(
+        "doc_id", "lang", "source", F.md5(_normalized()).alias("text_hash")
+    )
+    idx = spark.table(t).withColumn("seen", F.lit(1))
+    return batch.join(idx, "text_hash", "left").select(
+        "doc_id",
+        "lang",
+        "source",
+        (F.col("seen").isNotNull()).alias("is_duplicate"),
+    )
+
+
 def incremental_minhash_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingestion-time NEAR-dedup: the incoming batch (the same deterministic
     id-slice incremental_dedup_new_docs uses) LSH-matched against the
@@ -1025,6 +1091,7 @@ QUERIES = {
     "incremental_dedup_new_docs": incremental_dedup_new_docs,
     "incremental_minhash_new_docs": incremental_minhash_new_docs,
     "incremental_minhash_indexed": incremental_minhash_indexed,
+    "incremental_dedup_indexed": incremental_dedup_indexed,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
@@ -1376,6 +1443,10 @@ SELECT b.doc_id, b.lang, b.source,
 FROM hashed b LEFT JOIN corpus c USING (text_hash)
 WHERE b.doc_id % {INCR_MOD} = {INCR_REM}
 """
+
+# same values as the rebuild-per-call form: the index IS the corpus'
+# distinct hash set, with no cap asymmetry in the exact path
+ORACLE["incremental_dedup_indexed"] = ORACLE["incremental_dedup_new_docs"]
 
 ORACLE["duplicate_spans"] = f"""
 WITH base AS (

@@ -159,6 +159,7 @@ _INTRODUCED_R9: frozenset[str] = frozenset({
     "incremental_semdedup_new_docs",
     "incremental_semdedup_indexed",
     "incremental_decontam_indexed",
+    "incremental_dedup_indexed",
 })
 
 # Round-8 re-proof priority (r7 verdict task 8): with every query proven,

@@ -173,6 +173,8 @@ _SENSITIVE = [
     "incremental_semdedup_indexed",
     # round-9: per-batch decontamination against the stored bench index
     "incremental_decontam_indexed",
+    # round-9: exact dedup against the stored bucketed hash index
+    "incremental_dedup_indexed",
     # round-7 scale fix: UnboundedFollowing frames rewritten to reversed
     # running frames (O(rows) not O(rows²)) — values must be unchanged
     "interpolate_daily",

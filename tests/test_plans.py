@@ -1543,3 +1543,34 @@ def test_incremental_decontam_indexed_reads_stored_index(spark, sf_dir):
     for m in re.finditer(r"[^\n]*% 13\)[^\n]*", plan):
         assert "NOT" in m.group(0), m.group(0)
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_incremental_dedup_indexed_reads_stored_index(spark, sf_dir):
+    """The exact-dedup stored-index twin's per-batch plan must read the
+    bucketed corpus hash index — never re-hash the corpus: the index
+    table is scanned, every modulo filter is the batch predicate (= 7,
+    no corpus-complement NOT), and with size-based broadcast off the
+    text_hash join is a sort-merge join over the BUCKETED index scan
+    with no exchange on the index side."""
+    import re
+
+    from stockmarket_bigdata_project_spark.llmdata.dedup import (
+        incremental_dedup_indexed,
+    )
+
+    plan = _plan(incremental_dedup_indexed(spark, sf_dir))
+    assert "exact_hash_idx_" in plan, plan
+    mods = re.findall(r"Condition : [^\n]*% 10\)[^\n]*", plan)
+    assert mods and all("= 7" in c for c in mods), mods
+    assert all("NOT" not in c for c in mods), mods
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fmt = _plan(incremental_dedup_indexed(spark, sf_dir))
+        simple = _plan_simple(incremental_dedup_indexed(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Bucketed: true" in fmt, fmt
+    assert "BroadcastHashJoin" not in simple, simple
+    assert re.search(r"SortMergeJoin \[text_hash", simple), simple

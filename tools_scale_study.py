@@ -127,6 +127,8 @@ QUERIES = [
     "dedup_aware_shards_bucketed",
     "incremental_decontam_indexed",
     "incremental_decontam_indexed_fixed_batch",
+    "incremental_dedup_indexed",
+    "incremental_dedup_indexed_fixed_batch",
 ]
 
 
@@ -134,6 +136,7 @@ def _special_queries():
     """Study-only variants not in the registry (parameterized forms whose
     fixed parameter is the point of the measurement)."""
     from stockmarket_bigdata_project_spark.llmdata.dedup import (
+        incremental_dedup_indexed,
         incremental_minhash_indexed,
     )
     from stockmarket_bigdata_project_spark.llmdata.decontam import (
@@ -158,6 +161,11 @@ def _special_queries():
         ),
         "incremental_decontam_indexed_fixed_batch": (
             lambda spark, d: incremental_decontam_indexed(
+                spark, d, batch_cap=KEY_OFFSET
+            )
+        ),
+        "incremental_dedup_indexed_fixed_batch": (
+            lambda spark, d: incremental_dedup_indexed(
                 spark, d, batch_cap=KEY_OFFSET
             )
         ),
