@@ -28,6 +28,8 @@ hygiene to content-level leakage.
 
 from __future__ import annotations
 
+import threading
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -298,7 +300,7 @@ def decontam_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # becomes the periodic audit rather than the per-crawl gate. There is no
 # recompute-per-call twin here: the index is BENCHMARK-sized (eval suites
 # are fixed, corpus-independent), so storing it is the only sensible form.
-_DCT_INDEX_LOCK = None
+_DCT_INDEX_LOCK = threading.Lock()
 _DCT_INDEX_PREPARED: dict[str, str] = {}
 
 
@@ -306,11 +308,6 @@ def _ensure_bench_gram_index(spark: SparkSession, sf_dir: str) -> str:
     """Write the distinct benchmark NGRAM_N-gram set as a stored table,
     once per sf_dir — built when a benchmark suite is registered, not per
     batch."""
-    global _DCT_INDEX_LOCK
-    import threading
-
-    if _DCT_INDEX_LOCK is None:
-        _DCT_INDEX_LOCK = threading.Lock()
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
     t = f"bench_grams_{tag}"
     with _DCT_INDEX_LOCK:

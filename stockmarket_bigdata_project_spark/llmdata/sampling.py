@@ -18,6 +18,8 @@ in Spark and DuckDB with zero numeric conversion.
 
 from __future__ import annotations
 
+import threading
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -651,7 +653,7 @@ FROM dkeyed
 # budget, no corpus shuffle, regardless of how large the near-dup
 # component fraction grows. Plan-pinned in tests/test_bucketing.py.
 _SHARD_BUCKETS = 8
-_shard_tables_lock = None  # initialized lazily to avoid import-time threading
+_shard_tables_lock = threading.Lock()
 _shard_tables_prepared: dict[str, tuple[str, str]] = {}
 
 
@@ -661,11 +663,6 @@ def _ensure_shard_bucketed_tables(
     """Write the doc-id projection and the resolved near-dup component
     relation as co-bucketed, sorted tables (once per sf_dir) — the
     nightly layout job; the per-epoch query below joins them shuffle-free."""
-    global _shard_tables_lock
-    import threading
-
-    if _shard_tables_lock is None:
-        _shard_tables_lock = threading.Lock()
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
     dt, ct = f"docs_shard_b_{tag}", f"comp_shard_b_{tag}"
     with _shard_tables_lock:

@@ -23,6 +23,8 @@ All in built-in higher-order functions — no Python UDF in the hot path.
 
 from __future__ import annotations
 
+import threading
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -1091,7 +1093,7 @@ def incremental_semdedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-_SEM_INDEX_LOCK = None
+_SEM_INDEX_LOCK = threading.Lock()
 _SEM_INDEX_PREPARED: dict[str, tuple[str, str, str]] = {}
 _SEM_BUCKETS = 8
 
@@ -1107,11 +1109,6 @@ def _ensure_semdedup_index(
     exchange on the corpus side. Corpus assignment itself uses the
     two-level ANN route (the semdedup_survivors_ann path), which is what
     a 100 TB deployment stores."""
-    global _SEM_INDEX_LOCK
-    import threading
-
-    if _SEM_INDEX_LOCK is None:
-        _SEM_INDEX_LOCK = threading.Lock()
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
     gt, ft, at = (
         f"sem_coarse_{tag}",
