@@ -225,3 +225,78 @@ def test_stream_stream_join_state_bounded_by_watermark(spark, tmp_path):
     # the proof must bite: at least one batch's bound was strictly below
     # the full stream volume (i.e., eviction was actually required)
     assert checked_informative >= 1, "watermark never advanced; bound vacuous"
+
+
+def test_streaming_dedup_state_bounded_by_watermark(spark, tmp_path):
+    """Third stateful-operator state-bound proof (after the windowed agg
+    and the stream-stream join): dropDuplicatesWithinWatermark keeps an
+    event_id's state entry only until the watermark passes its event time
+    plus the dedup delay — so at the end of every micro-batch,
+
+        numRowsTotal ≤ |{events: ts + delay ≥ wm}|
+
+    with the previous batch's watermark as the lag-safe bound. Without
+    this eviction the dedup state grows with the stream (every id ever
+    seen) and a 100 TB replay OOMs the state store; with it, state is
+    bounded by the event rate × delay window regardless of stream
+    length."""
+    import bisect
+    import datetime as dtm
+
+    from stockmarket_bigdata_project_spark.catalog import load_table
+    from stockmarket_bigdata_project_spark.streaming.pipelines import (
+        WATERMARK, _events_stream,
+    )
+    from tests.conftest import SF_DIR_CORRECTNESS as SF
+
+    assert WATERMARK == "10 minutes"
+    delay = dtm.timedelta(minutes=10)
+    ev = load_table(spark, SF, "events")
+    expiry = sorted(r[0] + delay for r in ev.select("ts").collect())
+    total = len(expiry)
+
+    dedup = (
+        _events_stream(spark, SF)
+        .withWatermark("ts", WATERMARK)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id")
+    )
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_state_bound_test")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    def parse_wm(p):
+        w = (p["eventTime"] or {}).get("watermark")
+        if not w:
+            return None
+        return dtm.datetime.fromisoformat(w.replace("Z", "+00:00")).replace(
+            tzinfo=None
+        )
+
+    progresses = q.recentProgress
+    assert progresses, "no progress recorded"
+    checked_informative = 0
+    for i, p in enumerate(progresses):
+        ops = p["stateOperators"] or []
+        if not ops:
+            continue
+        state_rows = sum(op["numRowsTotal"] for op in ops)
+        wm_prev = parse_wm(progresses[i - 1]) if i > 0 else None
+        if wm_prev is None or wm_prev.year <= 1970:
+            bound = total
+        else:
+            bound = total - bisect.bisect_left(expiry, wm_prev)
+            if bound < total:
+                checked_informative += 1
+        assert state_rows <= bound, (
+            f"batch {i}: dedup state {state_rows} rows exceeds the "
+            f"watermark-derived bound {bound} (wm at batch start "
+            f"{wm_prev}) — ids outlive their dedup window"
+        )
+    assert checked_informative >= 1, "watermark never advanced; bound vacuous"
