@@ -1574,3 +1574,22 @@ def test_incremental_dedup_indexed_reads_stored_index(spark, sf_dir):
     assert "Bucketed: true" in fmt, fmt
     assert "BroadcastHashJoin" not in simple, simple
     assert re.search(r"SortMergeJoin \[text_hash", simple), simple
+
+
+def test_incremental_semdedup_new_docs_plan_shape(spark, sf_dir):
+    """The flat shape-proof form: centroid argmaxes must collapse
+    map-side (partial max(struct), never a window over the n·k fan-out),
+    the only cross joins are the documented broadcast ones (k-row
+    centroids + 1-row count), and the batch/corpus modulo split reaches
+    the embeddings scan."""
+    import re
+
+    from stockmarket_bigdata_project_spark.llmdata.similarity import (
+        incremental_semdedup_new_docs,
+    )
+
+    plan = _plan(incremental_semdedup_new_docs(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_max" in plan, plan
+    assert re.search(r"% 10\)[^\n]*= 7", plan), plan  # batch side
+    assert re.search(r"NOT [^\n]*% 10\)[^\n]*= 7", plan), plan  # corpus side
