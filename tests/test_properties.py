@@ -873,3 +873,27 @@ def test_incremental_minhash_matches_batch_boundary(spark, sf_dir):
             batch.add((new, old, r.jaccard))
     assert inc == batch
     assert inc, "no batch-boundary near-dups in testdata — vacuous check"
+
+
+def test_incremental_minhash_indexed_contains_rebuild_pairs(spark, sf_dir):
+    """The stored-index twin must find EVERY pair the rebuild form finds:
+    its hot-bucket set is computed from CORPUS occupancy alone, which is
+    a subset of the full-table occupancy the rebuild form caps on
+    (corpus ⊆ corpus+batch per bucket) — so the indexed candidate set,
+    and hence the verified pair set, is a superset. A missing pair would
+    mean the index drops candidates the nightly rebuild would catch —
+    the one regression an incremental deployment must never have. Any
+    extra indexed pairs must themselves verify at the same τ (they ride
+    buckets the batch pushed over the cap), which the shared exact
+    verification guarantees and the oracle already value-checks."""
+    rebuild = {
+        (r.doc_id, r.dup_of_doc_id)
+        for r in D.incremental_minhash_new_docs(spark, sf_dir).collect()
+    }
+    indexed = {
+        (r.doc_id, r.dup_of_doc_id)
+        for r in D.incremental_minhash_indexed(spark, sf_dir).collect()
+    }
+    missing = rebuild - indexed
+    assert not missing, f"stored index drops rebuild-form pairs: {missing}"
+    assert rebuild, "no batch-boundary near-dups in testdata — vacuous check"
