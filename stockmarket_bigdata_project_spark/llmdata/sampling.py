@@ -18,7 +18,6 @@ in Spark and DuckDB with zero numeric conversion.
 
 from __future__ import annotations
 
-import threading
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -653,41 +652,37 @@ FROM dkeyed
 # budget, no corpus shuffle, regardless of how large the near-dup
 # component fraction grows. Plan-pinned in tests/test_bucketing.py.
 _SHARD_BUCKETS = 8
-_shard_tables_lock = threading.Lock()
-_shard_tables_prepared: dict[str, tuple[str, str]] = {}
 
 
 def _ensure_shard_bucketed_tables(
     spark: SparkSession, sf_dir: str
 ) -> tuple[str, str]:
     """Write the doc-id projection and the resolved near-dup component
-    relation as co-bucketed, sorted tables (once per sf_dir) — the
-    nightly layout job; the per-epoch query below joins them shuffle-free."""
-    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    relation as co-bucketed, sorted tables (once per (session, corpus)) —
+    the nightly layout job; the per-epoch query below joins them
+    shuffle-free. Cache keying / table-tag hygiene: indexcache
+    (r9-ADVICE fix)."""
+    from .indexcache import drop_table, get_or_build, table_tag
+
+    tag = table_tag(sf_dir)
     dt, ct = f"docs_shard_b_{tag}", f"comp_shard_b_{tag}"
-    with _shard_tables_lock:
-        if sf_dir not in _shard_tables_prepared:
-            import os
-            import shutil
-            from urllib.parse import urlparse
 
-            from .dedup import minhash_dup_components
+    def build() -> tuple[str, str]:
+        from .dedup import minhash_dup_components
 
-            wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
-            for t in (dt, ct):
-                spark.sql(f"DROP TABLE IF EXISTS {t}")
-                if wh:
-                    shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
-            load_table(spark, sf_dir, "documents").select(
-                "doc_id"
-            ).write.mode("overwrite").bucketBy(_SHARD_BUCKETS, "doc_id").sortBy(
-                "doc_id"
-            ).saveAsTable(dt)
-            minhash_dup_components(spark, sf_dir).write.mode(
-                "overwrite"
-            ).bucketBy(_SHARD_BUCKETS, "doc_id").sortBy("doc_id").saveAsTable(ct)
-            _shard_tables_prepared[sf_dir] = (dt, ct)
-    return _shard_tables_prepared[sf_dir]
+        for t in (dt, ct):
+            drop_table(spark, t)
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id"
+        ).write.mode("overwrite").bucketBy(_SHARD_BUCKETS, "doc_id").sortBy(
+            "doc_id"
+        ).saveAsTable(dt)
+        minhash_dup_components(spark, sf_dir).write.mode(
+            "overwrite"
+        ).bucketBy(_SHARD_BUCKETS, "doc_id").sortBy("doc_id").saveAsTable(ct)
+        return dt, ct
+
+    return get_or_build(spark, "docs_shard_b", sf_dir, build)
 
 
 def dedup_aware_shards_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -779,9 +774,13 @@ def split_leakage_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     not leaks). Output: every document with its split and an `evicted`
     flag — the downstream manifest filters on NOT evicted.
 
-    Shape: the leaked-pair relation is tiny (∝ verified near-dups); the
-    loser set distincts it and LEFT-joins back to the map-side split
-    assignment as a broadcast — the corpus never shuffles. [extension]"""
+    Shape: the loser set is ∝ |val∪test ∩ near-dup docs| — with
+    fractional hash splits that is a corpus FRACTION on leak-heavy data,
+    not a constant, so the LEFT-join back onto the map-side split
+    assignment is UNHINTED (the r9-verdict broadcast class): AQE
+    broadcasts it at runtime when leakage is light, otherwise the join
+    shuffles doc_id+split rows only — the corpus text never moves.
+    [extension]"""
     audit = split_leakage_audit(spark, sf_dir).filter(F.col("leaked"))
 
     def rank(c: str) -> F.Column:
@@ -806,7 +805,7 @@ def split_leakage_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(b < VAL_CUT, "val").when(b < TEST_CUT, "test").otherwise("train")
     )
     assign = docs.select("doc_id", split.alias("split"))
-    return assign.join(F.broadcast(losers), "doc_id", "left").select(
+    return assign.join(losers, "doc_id", "left").select(
         "doc_id",
         "split",
         F.col("lose").isNotNull().alias("evicted"),

@@ -23,7 +23,6 @@ All in built-in higher-order functions — no Python UDF in the hot path.
 
 from __future__ import annotations
 
-import threading
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1093,101 +1092,96 @@ def incremental_semdedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-_SEM_INDEX_LOCK = threading.Lock()
-_SEM_INDEX_PREPARED: dict[str, tuple[str, str, str]] = {}
 _SEM_BUCKETS = 8
 
 
 def _ensure_semdedup_index(
     spark: SparkSession, sf_dir: str
 ) -> tuple[str, str, str]:
-    """Write the corpus-side SemDeDup structure once per sf_dir (the
-    nightly index build): the √k-row coarse-centroid table, the k-row
+    """Write the corpus-side SemDeDup structure once per (session, corpus)
+    (the nightly index build): the √k-row coarse-centroid table, the k-row
     fine-centroid→coarse-cell map, and the corpus assignment — every
     corpus vector with its fine bucket, micros vector, and norm —
     BUCKETED on the bucket key, so the per-batch join below needs no
     exchange on the corpus side. Corpus assignment itself uses the
     two-level ANN route (the semdedup_survivors_ann path), which is what
-    a 100 TB deployment stores."""
-    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    a 100 TB deployment stores. Cache keying / table-tag hygiene:
+    indexcache (r9-ADVICE fix)."""
+    from .indexcache import drop_table, get_or_build, table_tag
+
+    tag = table_tag(sf_dir)
     gt, ft, at = (
         f"sem_coarse_{tag}",
         f"sem_fmap_{tag}",
         f"sem_corpus_{tag}",
     )
-    with _SEM_INDEX_LOCK:
-        if sf_dir not in _SEM_INDEX_PREPARED:
-            import os
-            import shutil
-            from urllib.parse import urlparse
 
-            wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
-            for t in (gt, ft, at):
-                spark.sql(f"DROP TABLE IF EXISTS {t}")
-                if wh:
-                    shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
-            corpus, _ = _sem_incr_sides(spark, sf_dir)
-            kg = corpus.agg(
-                F.expr(
-                    f"greatest(CAST({N_CENTROIDS} AS BIGINT),"
-                    f" count(*) DIV {SEMDEDUP_VECS_PER_CLUSTER})"
-                ).alias("k")
-            ).select(
-                "k",
-                F.expr(
-                    "greatest(CAST(2 AS BIGINT),"
-                    " CAST(floor(sqrt(CAST(k AS DOUBLE))) AS BIGINT))"
-                ).alias("g"),
+    def build() -> tuple[str, str, str]:
+        for t in (gt, ft, at):
+            drop_table(spark, t)
+        corpus, _ = _sem_incr_sides(spark, sf_dir)
+        kg = corpus.agg(
+            F.expr(
+                f"greatest(CAST({N_CENTROIDS} AS BIGINT),"
+                f" count(*) DIV {SEMDEDUP_VECS_PER_CLUSTER})"
+            ).alias("k")
+        ).select(
+            "k",
+            F.expr(
+                "greatest(CAST(2 AS BIGINT),"
+                " CAST(floor(sqrt(CAST(k AS DOUBLE))) AS BIGINT))"
+            ).alias("g"),
+        )
+        cent = (
+            corpus.crossJoin(F.broadcast(kg))
+            .filter(F.col("vec_id") < F.col("k"))
+            .select(
+                F.col("vec_id").alias("centroid_id"),
+                F.col("mvec").alias("cvec"),
             )
-            cent = (
-                corpus.crossJoin(F.broadcast(kg))
-                .filter(F.col("vec_id") < F.col("k"))
-                .select(
-                    F.col("vec_id").alias("centroid_id"),
-                    F.col("mvec").alias("cvec"),
-                )
+        )
+        coarse = (
+            corpus.crossJoin(F.broadcast(kg))
+            .filter(F.col("vec_id") < F.col("g"))
+            .select(
+                F.col("vec_id").alias("coarse_id"),
+                F.col("mvec").alias("gvec"),
             )
-            coarse = (
-                corpus.crossJoin(F.broadcast(kg))
-                .filter(F.col("vec_id") < F.col("g"))
-                .select(
-                    F.col("vec_id").alias("coarse_id"),
-                    F.col("mvec").alias("gvec"),
-                )
+        )
+        coarse.write.mode("overwrite").saveAsTable(gt)
+        fmap = (
+            cent.crossJoin(F.broadcast(spark.table(gt)))
+            .select(
+                "centroid_id",
+                "cvec",
+                "coarse_id",
+                _cosine(F.col("cvec"), F.col("gvec")).alias("gcos"),
             )
-            coarse.write.mode("overwrite").saveAsTable(gt)
-            fmap = (
-                cent.crossJoin(F.broadcast(spark.table(gt)))
-                .select(
-                    "centroid_id",
-                    "cvec",
-                    "coarse_id",
-                    _cosine(F.col("cvec"), F.col("gvec")).alias("gcos"),
-                )
-                .groupBy("centroid_id")
-                .agg(
-                    F.max(
-                        F.struct(
-                            F.col("gcos"),
-                            (-F.col("coarse_id")).alias("neg_id"),
-                            F.col("coarse_id"),
-                            F.col("cvec"),
-                        )
-                    ).alias("best")
-                )
-                .select(
-                    "centroid_id",
-                    F.col("best.cvec").alias("cvec"),
-                    F.col("best.coarse_id").alias("coarse_id"),
-                )
+            .groupBy("centroid_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("gcos"),
+                        (-F.col("coarse_id")).alias("neg_id"),
+                        F.col("coarse_id"),
+                        F.col("cvec"),
+                    )
+                ).alias("best")
             )
-            fmap.write.mode("overwrite").saveAsTable(ft)
-            vcoarse = _two_level_assign(corpus, spark.table(gt), spark.table(ft))
-            vcoarse.withColumn("nrm", _norm(F.col("mvec"))).write.mode(
-                "overwrite"
-            ).bucketBy(_SEM_BUCKETS, "bucket").sortBy("bucket").saveAsTable(at)
-            _SEM_INDEX_PREPARED[sf_dir] = (gt, ft, at)
-    return _SEM_INDEX_PREPARED[sf_dir]
+            .select(
+                "centroid_id",
+                F.col("best.cvec").alias("cvec"),
+                F.col("best.coarse_id").alias("coarse_id"),
+            )
+        )
+        fmap.write.mode("overwrite").saveAsTable(ft)
+        vcoarse = _two_level_assign(corpus, spark.table(gt), spark.table(ft))
+        vcoarse.withColumn("nrm", _norm(F.col("mvec"))).write.mode(
+            "overwrite"
+        ).bucketBy(_SEM_BUCKETS, "bucket").sortBy("bucket").saveAsTable(at)
+        return gt, ft, at
+
+    return get_or_build(spark, "sem_index", sf_dir, build)
 
 
 def _two_level_assign(

@@ -1593,3 +1593,122 @@ def test_incremental_semdedup_new_docs_plan_shape(spark, sf_dir):
     assert "partial_max" in plan, plan
     assert re.search(r"% 10\)[^\n]*= 7", plan), plan  # batch side
     assert re.search(r"NOT [^\n]*% 10\)[^\n]*= 7", plan), plan  # corpus side
+
+
+# --- round-10 additions: the r9-verdict corpus-fraction broadcast class ------
+def _no_hint_broadcast(spark, df_fn, key: str, join_type: str) -> None:
+    """Shared pin for the r9-verdict class: with auto-broadcast disabled a
+    hint-forced broadcast would STILL plan BroadcastHashJoin, so the
+    unhinted site must fall back to a shuffle join on ``key`` — AQE may
+    re-choose broadcast at runtime from actual sizes, which is the
+    intended behavior for payloads that are only SOMETIMES small.
+
+    The staged memo is cleared first: if an earlier test materialized a
+    staged relation, Spark's CacheManager substitutes the cached
+    InMemoryRelation into the fresh plan, and the cached entry's FROZEN
+    final plan can embed a runtime-AQE-chosen BroadcastHashJoin from a
+    broadcast-enabled run — a legitimate size-based decision this pin
+    must not read as a hint."""
+    import re
+
+    from stockmarket_bigdata_project_spark.llmdata.dedup import (
+        clear_staged_memo,
+    )
+
+    clear_staged_memo()
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan_simple(df_fn())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    bad = re.search(
+        rf"BroadcastHashJoin \[{key}[^\n]*{join_type}", plan
+    )
+    assert not bad, plan
+    assert re.search(
+        rf"(SortMergeJoin|ShuffledHashJoin) \[{key}[^\n]*{join_type}", plan
+    ), plan
+
+
+def test_shingle_verification_semi_join_not_hint_broadcast(spark, sf_dir):
+    """_shingles_df(doc_filter): the candidate-doc semi-filter feeding
+    every near-dedup verification stage is ∝ near-dup docs — a corpus
+    fraction on dup-heavy crawls — so it must not be hint-forced
+    broadcast (r9-verdict What's-wrong #6)."""
+    from stockmarket_bigdata_project_spark.llmdata.dedup import (
+        _build_candidate_overlap,
+    )
+
+    _no_hint_broadcast(
+        spark, lambda: _build_candidate_overlap(spark, sf_dir),
+        "doc_id", "LeftSemi",
+    )
+
+
+def test_substring_rewrite_covered_join_not_hint_broadcast(spark, sf_dir):
+    """substring_dedup_rewrite: the covered-position relation is
+    ∝ duplicated spans with integer-set payloads — the heaviest
+    corpus-fraction broadcast in the repo (r9-verdict #1)."""
+    from stockmarket_bigdata_project_spark.llmdata.dedup import (
+        substring_dedup_rewrite,
+    )
+
+    _no_hint_broadcast(
+        spark, lambda: substring_dedup_rewrite(spark, sf_dir),
+        "doc_id", "LeftOuter",
+    )
+
+
+def test_softdedup_membership_join_not_hint_broadcast(spark, sf_dir):
+    """softdedup_weights: near-dup membership is commonly 20-50 % of real
+    crawls — never hint-broadcast it (r9-verdict #2)."""
+    from stockmarket_bigdata_project_spark.llmdata.dedup import (
+        softdedup_weights,
+    )
+
+    _no_hint_broadcast(
+        spark, lambda: softdedup_weights(spark, sf_dir),
+        "doc_id", "LeftOuter",
+    )
+
+
+def test_leakage_repair_loser_join_not_hint_broadcast(spark, sf_dir):
+    """split_leakage_repair: the loser set is ∝ |val∪test ∩ near-dup
+    docs| — a corpus fraction under fractional hash splits (r9-verdict
+    #3)."""
+    from stockmarket_bigdata_project_spark.llmdata.sampling import (
+        split_leakage_repair,
+    )
+
+    _no_hint_broadcast(
+        spark, lambda: split_leakage_repair(spark, sf_dir),
+        "doc_id", "LeftOuter",
+    )
+
+
+def test_decontam_stats_join_not_hint_broadcast(spark, sf_dir):
+    """decontam_stats: contamination is the quantity being measured — on
+    leak-heavy corpora it is unbounded (r9-verdict #4)."""
+    from stockmarket_bigdata_project_spark.llmdata.decontam import (
+        decontam_stats,
+    )
+
+    _no_hint_broadcast(
+        spark, lambda: decontam_stats(spark, sf_dir),
+        "doc_id", "LeftOuter",
+    )
+
+
+def test_boilerplate_strip_covered_join_not_hint_broadcast(spark, sf_dir):
+    """boilerplate_strip: the K-gram cap bounds the strip LIST, not the
+    hit set — boilerplate grams hit a large doc fraction by definition
+    (r9-verdict #5)."""
+    from stockmarket_bigdata_project_spark.llmdata.decontam import (
+        boilerplate_strip,
+    )
+
+    _no_hint_broadcast(
+        spark, lambda: boilerplate_strip(spark, sf_dir),
+        "doc_id", "LeftOuter",
+    )
