@@ -153,8 +153,11 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q18 shape: orders whose total quantity exceeds 300, with the customer
     attached. The HAVING-IN subquery decorrelates to an aggregate + inner
     join back to orders; the big side aggregates BEFORE joining (46 rows out
-    of 60k orders at sf0.01), so the customer join is a broadcast of the
-    survivors, not a fact-to-fact shuffle."""
+    of 60k orders at sf0.01). The survivor set is UNHINTED (found by the
+    r10 broadcast-budget lint): it is a threshold-filtered FACT aggregate —
+    selective on TPC-H data but ∝ |orders| structurally — so the hint is
+    left to AQE, which broadcasts it at runtime exactly when it is as tiny
+    as Q18 selectivity makes it."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -164,7 +167,7 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_qty") > 300)
     )
     return (
-        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        o.join(big, o.o_orderkey == big.l_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
     )
@@ -346,15 +349,19 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users grouped by first-seen day (cohort),
     counted distinct per (cohort, day-offset) — the product-analytics
     primitive behind every retention curve. Decorrelated the same way as
-    the funnel: one per-user min-day aggregate (user-sized) joined back to
-    the fact by user_id, then a two-key distinct count. No fact×fact
-    anywhere; the cohort relation broadcasts. [extension]"""
+    the funnel: one per-user min-day aggregate joined back to the fact by
+    user_id, then a two-key distinct count. No fact×fact anywhere. The
+    cohort relation is USER-sized — it grows with the fact table, so the
+    join is UNHINTED (found by the r10 broadcast-budget lint, same class
+    as the r9-verdict de-hints): AQE broadcasts it at runtime when the
+    user universe is small, otherwise both sides shuffle on user_id.
+    [extension]"""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.to_date("ts").alias("day")
     )
     first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     return (
-        ev.join(F.broadcast(first), "user_id")
+        ev.join(first, "user_id")
         .groupBy(
             "cohort_day",
             F.datediff("day", "cohort_day").alias("day_offset"),

@@ -1,0 +1,262 @@
+"""Broadcast-budget lint library (r9 verdict task 2).
+
+Regime: autoBroadcastJoinThreshold=-1 + AQE disabled. In a STATIC physical
+plan compiled that way, Spark inserts a BroadcastExchange only for an
+explicit hint (or a hinted BroadcastNestedLoopJoin) — so every broadcast
+subtree found here is a *forced* one, and the lint's job is to prove its
+payload is bounded by CONSTRUCTION, not by luck. The r8/r9 verdicts found
+the same bug class three rounds running (corpus-fraction relations behind a
+forced hint: near-dup membership, covered positions, leak losers,
+contaminated docs, candidate ids); this is the structural gate that keeps
+it from recurring — the analog of test_oracle_portability, which killed the
+HUGEINT class in r4.
+
+A broadcast subtree is BOUNDED when the node tree satisfies `_bounded`:
+
+* **limit**   — GlobalLimit / CollectLimit / TakeOrderedAndProject / Limit:
+  K rows by definition (top-K strip lists, probe lists).
+* **one-row aggregate** — Aggregate(keys=[]): a global aggregate is ≤1 row
+  (count/sum scalars crossed back onto the corpus).
+* **calendar aggregate** — Aggregate keyed ONLY on calendar buckets
+  (trade_date/day/week/month): rows ∝ days of history, never ∝ corpus
+  rows (gold daily activity, market calendars, cohort days).
+* **enum aggregate** — Aggregate keyed ONLY on bounded-domain categorical
+  columns (event_type/lang/source/label/…, centroid id, PQ sub-space and
+  code, CMS (j, bucket) grid): output ≤ |domain| regardless of input size.
+* **mod-bucket aggregate** — Aggregate keyed on a `hash % LITERAL` bucket
+  column (DSIR's 64-bucket token space): ≤ LITERAL rows.
+* **literal leaf** — LocalTableScan / Range / OneRowRelation: driver-built
+  K-row relations (centroid seeds, query vectors, language tables).
+* **bounded table leaf** — FileScan over a dimension table (region/nation:
+  constant; customer/supplier/part: star-schema dims, orders of magnitude
+  smaller than the fact tables they decorate — the standard broadcast-dim
+  idiom; a deployment whose dims outgrow executor memory drops the hint
+  and AQE falls back) or over a stored index table whose size is
+  corpus-independent by construction (bench_grams_*: ∝ the fixed
+  benchmark suite).
+* **id-prefix filter / join** — Filter or join condition
+  `vec_id/doc_id/query_id < K` (literal, or the g/k scalars derived from
+  1-row aggregates): the deterministic K-row / √k-row prefix trick behind
+  centroid sets, PQ codebooks, and query sets.
+* **benchmark slice** — Filter `doc_id % BENCH_MOD = 0` (and its gram
+  explode): the held-out benchmark stand-in — ∝ the eval suite, which a
+  production deployment fixes independently of corpus size.
+* **capped hot set** — Filter `count > LSH_BUCKET_CAP` over a (band, sig)
+  aggregate: the LSH cap's over-limit bucket list, broadcast for the
+  anti-join. Bounded by the cap design (≈ empty on real data; at most
+  n_bands · |corpus|/cap keys of 2 small columns, and the cap exists
+  precisely to keep this relation degenerate).
+* **reused exchange** — ReusedExchange leaves point at an exchange audited
+  where it is defined; re-auditing the reference would double-count.
+
+Plus two per-query exceptions (QUERY_EXCEPTIONS) whose boundedness is
+data-structural rather than plan-structural:
+
+* band_join_order_tiers — `Scan ExistingRDD[tier, lo, hi]`: a driver-built
+  literal tier table (createDataFrame), K rows by construction.
+* skyline_two_phase_orders — the phase-1 local-skyline candidate set: the
+  broadcast IS the two-phase skyline design; its size is the union of 32
+  partition-local Pareto frontiers, O(polylog n) in expectation on
+  non-adversarial data (the classic distributed-skyline bound).
+
+Any other shape is UNCLASSIFIED and fails the lint — add a rule here (with
+the boundedness argument in this docstring) or de-hint the join.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+# --- plan-text tree parsing ---------------------------------------------------
+_MARKER = re.compile(r"[+:]-")
+
+# dimension tables (see the dim-table rule in the docstring); the FACT
+# tables (orders/lineitem/events/documents/embeddings) are deliberately
+# absent — a broadcast whose leaf scans a fact table can never pass
+BOUNDED_TABLE_FILES = (
+    "region.parquet",
+    "nation.parquet",
+    "customer.parquet",
+    "supplier.parquet",
+    "part.parquet",
+)
+# bench_grams_*: ∝ the fixed benchmark suite, corpus-independent.
+# sem_coarse_*: the stored √k coarse-centroid table — the r9-blessed ANN
+# broadcast budget (sub-linear: √k for k ∝ corpus), same bound as the
+# inline coarse set the id-prefix rule admits.
+BOUNDED_INDEX_TABLES = ("bench_grams_", "sem_coarse_")
+
+
+@dataclass
+class Node:
+    text: str
+    children: list["Node"] = field(default_factory=list)
+
+
+def _parse_forest(lines: list[str]) -> list[Node]:
+    """Parse simple-explain tree text into Node forest. Depth = column of
+    the `+-`/`:-` marker; a line without a marker is a root."""
+    roots: list[Node] = []
+    stack: list[tuple[int, Node]] = []  # (marker_pos, node)
+    for raw in lines:
+        if not raw.strip() or raw.startswith("=="):
+            continue
+        m = _MARKER.search(raw)
+        pos = m.start() if m else -1
+        text = raw[m.end():].strip() if m else raw.strip()
+        node = Node(text)
+        while stack and stack[-1][0] >= pos:
+            stack.pop()
+        if stack:
+            stack[-1][1].children.append(node)
+        else:
+            roots.append(node)
+        stack.append((pos, node))
+    return roots
+
+
+def _find_broadcasts(node: Node, out: list[Node]) -> None:
+    if node.text.startswith("BroadcastExchange"):
+        # audit the exchange INPUT (its single child subtree)
+        for c in node.children:
+            out.append(c)
+        return  # nested exchanges under it are audited via that subtree walk
+    for c in node.children:
+        _find_broadcasts(c, out)
+
+
+def _render(node: Node, depth: int = 0) -> str:
+    s = "  " * depth + node.text
+    for c in node.children:
+        s += "\n" + _render(c, depth + 1)
+    return s
+
+
+def extract_broadcast_nodes(plan: str) -> list[Node]:
+    """Every BroadcastExchange input subtree in simple-explain text."""
+    out: list[Node] = []
+    for root in _parse_forest(plan.split("\n")):
+        _find_broadcasts(root, out)
+    return out
+
+
+def extract_broadcast_subtrees(plan: str) -> list[str]:
+    return [_render(n) for n in extract_broadcast_nodes(plan)]
+
+
+# --- boundedness rules ---------------------------------------------------------
+_CODEGEN = re.compile(r"^\*\(\d+\) ")
+_AGG = re.compile(r"^(Hash|Sort|ObjectHash)Aggregate\(keys=\[(?P<keys>[^\]]*)\]")
+_CAL_KEY = re.compile(
+    r"^(trade_date|event_date|sale_date|order_week|order_month|week|month|"
+    r"trade_month|d_date|d|day|cohort_day)#"
+)
+_ENUM_KEY = re.compile(
+    r"^(event_type|from_type|to_type|lang|source|label|split|cid|dim|"
+    r"sub_id|code|j|bucket)#"
+)
+_ID_PREFIX = re.compile(r"\((vec_id|doc_id|query_id)#\d+L? < (\d+|[gk]#\d+L?)\)")
+_BENCH_SLICE = re.compile(r"% 13\) = 0")
+_HOT_CAP = re.compile(r"\(s#\d+L? > \d+\)")
+_MOD_BUCKET = re.compile(r"% \d+\) AS bucket#")
+
+# per-query exceptions: (query name, regex the unclassified subtree must
+# match) — boundedness argued in the module docstring
+QUERY_EXCEPTIONS = {
+    "band_join_order_tiers": re.compile(
+        r"Scan ExistingRDD\[tier#\d+,lo#\d+,hi#\d+\]"
+    ),
+    "skyline_two_phase_orders": re.compile(
+        r"Window \[max\(dmax#\d+\)"
+    ),
+}
+
+
+def _op(text: str) -> str:
+    return _CODEGEN.sub("", text)
+
+
+def _keys_match(keys: str, pat: re.Pattern[str]) -> bool:
+    names = [k.strip() for k in keys.split(",") if k.strip()]
+    return bool(names) and all(pat.match(k) for k in names)
+
+
+def _bounded(node: Node, why: set[str]) -> bool:
+    t = _op(node.text)
+    if re.match(r"(GlobalLimit|CollectLimit|TakeOrderedAndProject|Limit)\b", t):
+        why.add("limit")
+        return True
+    m = _AGG.match(t)
+    if m:
+        keys = m.group("keys").strip()
+        if not keys:
+            why.add("one_row_agg")
+            return True
+        if _keys_match(keys, _CAL_KEY):
+            why.add("calendar_agg")
+            return True
+        if _keys_match(keys, _ENUM_KEY):
+            # 'bucket' alone is ambiguous (LSH buckets are corpus-keyed):
+            # accept it only as part of the CMS (j, bucket) grid or with a
+            # literal-modulus derivation visible in the subtree
+            names = {k.strip().split("#")[0] for k in keys.split(",")}
+            if "bucket" not in names:
+                why.add("enum_agg")
+                return True
+            if names == {"j", "bucket"}:
+                why.add("cms_grid")
+                return True
+            if _MOD_BUCKET.search(_render(node)):
+                why.add("mod_bucket_agg")
+                return True
+    if "Join" in t and _ID_PREFIX.search(t):
+        why.add("id_prefix_join")
+        return True
+    if t.startswith("ReusedExchange"):
+        why.add("reused")
+        return True
+    if re.match(r"(LocalTableScan|Range\b|Scan OneRowRelation|LocalRelation)", t):
+        why.add("literal_leaf")
+        return True
+    if t.startswith("FileScan"):
+        if any(x in t for x in BOUNDED_TABLE_FILES) or any(
+            x in t for x in BOUNDED_INDEX_TABLES
+        ):
+            why.add("bounded_table")
+            return True
+        return False
+    if t.startswith("Filter"):
+        if _ID_PREFIX.search(t):
+            why.add("id_prefix_filter")
+            return True
+        if _BENCH_SLICE.search(t):
+            why.add("benchmark_slice")
+            return True
+        if _HOT_CAP.search(t):
+            # capped hot set: require the (band, sig) aggregate underneath
+            sub = _render(node)
+            if re.search(r"Aggregate\(keys=\[band#", sub):
+                why.add("capped_hot_set")
+                return True
+    if not node.children:
+        # unknown leaf (ExistingRDD, InMemoryTableScan without printed child,
+        # unrecognized scan): not provably bounded
+        return False
+    return all(_bounded(c, why) for c in node.children)
+
+
+def classify_plan(name: str, plan: str) -> list[tuple[str, str | None]]:
+    """[(rendered-subtree, verdict-or-None)] for every broadcast input in
+    the plan — verdict is a comma-joined rule list; None means
+    unclassified (lint failure)."""
+    out: list[tuple[str, str | None]] = []
+    exc = QUERY_EXCEPTIONS.get(name)
+    for node in extract_broadcast_nodes(plan):
+        why: set[str] = set()
+        ok = _bounded(node, why)
+        rendered = _render(node)
+        if not ok and exc is not None and exc.search(rendered):
+            ok, why = True, {"query_exception"}
+        out.append((rendered, ",".join(sorted(why)) if ok else None))
+    return out
