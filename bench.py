@@ -110,38 +110,55 @@ _R4_REFERENCE_CALIBRATION = 0.0959
 _R6_REFERENCE_SPARK_CALIBRATION = 0.0847
 
 
+def _median5(sample) -> float:
+    """Median of 5 runs (r9 verdict task 6: the two canaries disagreed in
+    magnitude two rounds running on single-shot/best-of-N readings; the
+    median of 5 bounds one-off scheduler/GC spikes in BOTH directions,
+    where best-of understates and single-shot can land on a spike)."""
+    import statistics
+
+    return round(statistics.median(sample() for _ in range(5)), 4)
+
+
 def _host_calibration() -> float:
     """Seconds for a fixed, deterministic, single-core CPU workload — a
     host-speed canary recorded beside the query timings so cross-round
     comparisons can separate engine changes from box changes (round 4: the
     identical test suite ran +33% slower than at the round-3 verdict on
-    unchanged code; absolute bench totals moved with it)."""
+    unchanged code; absolute bench totals moved with it). Median of 5
+    since r10."""
     import hashlib
 
-    start = time.perf_counter()
-    h = b"calib"
-    for _ in range(200_000):
-        h = hashlib.md5(h).digest()
-    assert h  # keep the loop un-eliminable
-    return round(time.perf_counter() - start, 4)
+    def one() -> float:
+        start = time.perf_counter()
+        h = b"calib"
+        for _ in range(200_000):
+            h = hashlib.md5(h).digest()
+        assert h  # keep the loop un-eliminable
+        return time.perf_counter() - start
+
+    return _median5(one)
 
 
 def _spark_calibration(spark) -> float:
-    """Second canary (r5 verdict task 5): a fixed Spark micro-query, timed
-    steady (best of 3 after one warm-up), so JVM-side host variance is
-    bounded separately from the Python-side md5 canary — r5's per-query
-    normalized ratios spread 0.83-1.28x around the single scalar, leaving
-    sub-second queries unjudgeable round-over-round."""
+    """Second canary (r5 verdict task 5): a fixed Spark micro-query, so
+    JVM-side host variance is bounded separately from the Python-side md5
+    canary — r5's per-query normalized ratios spread 0.83-1.28x around
+    the single scalar, leaving sub-second queries unjudgeable
+    round-over-round. Median of 5 after one warm-up since r10 (was
+    best-of-3: best-of systematically understates on a noisy box, which
+    is half of the r9 canary disagreement story)."""
     df = spark.range(0, 20_000_000, 1, 32).selectExpr(
         "sum(id % 7919) AS s", "count(*) AS n"
     )
     _force(df)  # warm-up: codegen + scheduler paths
-    best = float("inf")
-    for _ in range(3):
+
+    def one() -> float:
         start = time.perf_counter()
         _force(df)
-        best = min(best, time.perf_counter() - start)
-    return round(best, 4)
+        return time.perf_counter() - start
+
+    return _median5(one)
 
 
 def main() -> None:
@@ -227,7 +244,8 @@ def main() -> None:
                     "spark_calibration is PRIMARY (it measures the JVM "
                     "query path under test; reference 0.0847 = r6); the "
                     "host md5 canary and its r4-referenced normalization "
-                    "are kept for series continuity"
+                    "are kept for series continuity; both canaries are "
+                    "median-of-5 since r10 (r9 verdict task 6)"
                 ),
                 "headline_normalized_to_r4": round(total * norm, 3),
                 "curation_normalized_to_r4": round(curation_total * norm, 3),

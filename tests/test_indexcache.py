@@ -1,0 +1,72 @@
+"""Unit pins for llmdata.indexcache (r9 ADVICE items 1+2): identifier-safe
+table tags and (family, applicationId, sf_dir) cache keying with an
+explicit invalidation hook."""
+
+from __future__ import annotations
+
+from stockmarket_bigdata_project_spark.llmdata import indexcache
+
+
+class _FakeCtx:
+    def __init__(self, app_id: str):
+        self.applicationId = app_id
+
+
+class _FakeSpark:
+    def __init__(self, app_id: str):
+        self.sparkContext = _FakeCtx(app_id)
+
+
+def test_table_tag_sanitizes_every_non_word_character():
+    # the r9 ADVICE repro: a hyphenated sf_dir must not leak '-' into an
+    # unquoted identifier (DROP TABLE bench_grams_data_sf-0_1 is a parse
+    # error)
+    assert indexcache.table_tag("/data/sf-0.1") == "data_sf_0_1"
+    assert indexcache.table_tag("/root/testdata/sf0.001") == (
+        "root_testdata_sf0_001"
+    )
+    assert indexcache.table_tag("/a b/c+d/") == "a_b_c_d"
+
+
+def test_get_or_build_memoizes_per_application_id():
+    calls: list[str] = []
+
+    def build_for(tag: str):
+        def build() -> str:
+            calls.append(tag)
+            return f"table_{tag}"
+
+        return build
+
+    indexcache.clear_prepared_indexes()
+    try:
+        a, b = _FakeSpark("app-A"), _FakeSpark("app-B")
+        # same (family, app, sf): one build
+        assert indexcache.get_or_build(a, "fam", "/sf", build_for("a1")) == (
+            "table_a1"
+        )
+        assert indexcache.get_or_build(a, "fam", "/sf", build_for("a2")) == (
+            "table_a1"
+        )
+        # a SECOND SparkSession (fresh in-memory catalog) must REBUILD —
+        # the r9 ADVICE failure was an sf_dir-only key telling session B
+        # the table exists when B's catalog has never seen it
+        assert indexcache.get_or_build(b, "fam", "/sf", build_for("b1")) == (
+            "table_b1"
+        )
+        # distinct family / sf_dir: independent entries
+        assert indexcache.get_or_build(a, "fam2", "/sf", build_for("f2")) == (
+            "table_f2"
+        )
+        assert indexcache.get_or_build(a, "fam", "/sf2", build_for("s2")) == (
+            "table_s2"
+        )
+        assert calls == ["a1", "b1", "f2", "s2"]
+        # explicit invalidation: the next call rebuilds
+        indexcache.clear_prepared_indexes()
+        assert indexcache.get_or_build(a, "fam", "/sf", build_for("a3")) == (
+            "table_a3"
+        )
+        assert calls[-1] == "a3"
+    finally:
+        indexcache.clear_prepared_indexes()

@@ -133,6 +133,11 @@ QUERIES = [
     "incremental_decontam_indexed_fixed_batch",
     "incremental_dedup_indexed",
     "incremental_dedup_indexed_fixed_batch",
+    # sixth wave (round 10, r9 verdict tasks 1+3): the two heavy queries
+    # whose corpus-fraction broadcast hints were removed this round —
+    # substring_dedup_rewrite re-runs from wave 1 post-fix; softdedup_weights
+    # is newly measured (its membership join is now unhinted/AQE)
+    "softdedup_weights",
 ]
 
 
