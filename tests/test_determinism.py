@@ -218,3 +218,40 @@ def test_identical_across_shuffle_partitionings(name, spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", before)
         clear_staged_memo()
     assert a == b, f"{name}: result depends on shuffle partitioning"
+
+
+# round-10: the eight queries whose forced broadcast hints were removed
+# (r9 verdict sites 1-6 + the two the broadcast-budget lint found). The
+# oracle gate proves each against DuckDB; this pin proves the join-strategy
+# axis directly — identical rows whether the de-hinted joins run as
+# broadcast (AQE, default threshold) or as shuffle joins (threshold=-1),
+# i.e. the hint removal changed WHERE the join runs, never what it returns.
+_DEHINTED_R10 = [
+    "minhash_lsh_pairs",  # rides the _shingles_df verification semi-join
+    "substring_dedup_rewrite",
+    "softdedup_weights",
+    "split_leakage_repair",
+    "decontam_stats",
+    "boilerplate_strip",
+    "cohort_retention",
+    "large_volume_customers",
+]
+
+
+@pytest.mark.parametrize("name", _DEHINTED_R10)
+def test_identical_across_broadcast_thresholds(name, spark, sf_dir):
+    from stockmarket_bigdata_project_spark.llmdata.dedup import (
+        clear_staged_memo,
+    )
+
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        clear_staged_memo()
+        a = _rows(_QUERIES[name](spark, sf_dir))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        clear_staged_memo()
+        b = _rows(_QUERIES[name](spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+        clear_staged_memo()
+    assert a == b, f"{name}: result depends on join strategy"
