@@ -1712,3 +1712,44 @@ def test_boilerplate_strip_covered_join_not_hint_broadcast(spark, sf_dir):
         spark, lambda: boilerplate_strip(spark, sf_dir),
         "doc_id", "LeftOuter",
     )
+
+
+def test_incremental_dedup_joins_are_runtime_bloom_eligible(spark, sf_dir):
+    """At 100 TB Spark's runtime bloom-filter injection (on by default,
+    gated on spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold
+    = 10 GB) pre-filters the corpus-index scan with a bloom built from the
+    BATCH side's join keys — the classic bloom-gated incremental-dedup
+    shape, for free. The toy-SF scans never reach the gate, so this pin
+    lowers it to 0 and asserts the optimizer actually injects
+    bloom_filter_agg → might_contain into BOTH incremental exact-dedup
+    plans (rebuild form and stored-index form), and that the bloom's
+    creation side is the batch slice (the modulo-7 filter), not the
+    corpus. Values must be unchanged by the injection."""
+    from stockmarket_bigdata_project_spark.llmdata.dedup import (
+        incremental_dedup_indexed,
+        incremental_dedup_new_docs,
+    )
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        baseline = {
+            fn.__name__: sorted(map(tuple, fn(spark, sf_dir).collect()))
+            for fn in (incremental_dedup_new_docs, incremental_dedup_indexed)
+        }
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        for fn in (incremental_dedup_new_docs, incremental_dedup_indexed):
+            plan = _plan_simple(fn(spark, sf_dir))
+            assert "might_contain" in plan, plan
+            assert "bloom_filter_agg" in plan, plan
+            filtered = sorted(map(tuple, fn(spark, sf_dir).collect()))
+            assert filtered == baseline[fn.__name__], (
+                f"{fn.__name__}: runtime bloom filter changed values"
+            )
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
