@@ -60,7 +60,10 @@ def _normalized(col: str = "text") -> F.Column:
 
 
 def _shingles_df(
-    spark: SparkSession, sf_dir: str, doc_filter: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    doc_filter: DataFrame | None = None,
+    distinct: bool = True,
 ) -> DataFrame:
     """(doc_id, shingle) — distinct word 3-grams.
 
@@ -72,6 +75,12 @@ def _shingles_df(
     candidate set is ∝ near-dup docs, a corpus fraction on dup-heavy crawls,
     so a forced broadcast would be an OOM ceiling (the r9-verdict hint
     class); AQE picks broadcast at runtime when the filter really is small.
+
+    ``distinct=False`` skips the set semantics entirely (NO shuffle — the
+    relation stays in the scan stage): for multiset-insensitive consumers
+    (_minhash_df's per-doc MIN aggregates) the distinct's full
+    (doc_id, shingle) exchange is pure waste; set-based consumers
+    (Jaccard overlap counts) must keep the default.
 
     Shingle assembly is ``explode(arrays_zip(slice, slice, slice))`` over the
     split words: the zipped trigram array is built once per document inside
@@ -93,14 +102,11 @@ def _shingles_df(
     tri = F.arrays_zip(
         F.slice("ws", 1, n), F.slice("ws", 2, n), F.slice("ws", 3, n)
     )
-    return (
-        base.select("doc_id", F.explode(tri).alias("g"))
-        .select(
-            "doc_id",
-            F.concat_ws(" ", F.col("g.0"), F.col("g.1"), F.col("g.2")).alias("shingle"),
-        )
-        .distinct()
+    out = base.select("doc_id", F.explode(tri).alias("g")).select(
+        "doc_id",
+        F.concat_ws(" ", F.col("g.0"), F.col("g.1"), F.col("g.2")).alias("shingle"),
     )
+    return out.distinct() if distinct else out
 
 
 # --- exact dedup -------------------------------------------------------------
@@ -172,8 +178,16 @@ def _minhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.92 s → 0.7 s for the signature build at sf0.1, and band signatures
     shrink 4× (32 chars, not 128), cutting the self-join shuffle bytes.
     Hex-string min is engine-neutral (fixed-width lowercase hex sorts
-    identically in Spark and DuckDB)."""
-    sh = _shingles_df(spark, sf_dir)
+    identically in Spark and DuckDB).
+
+    The shingle relation is consumed WITHOUT the distinct (r10): MIN is
+    multiset-insensitive, so the set semantics buy nothing here while the
+    distinct costs a full (doc_id, shingle) exchange BEFORE the signature
+    groupBy — dropping it leaves ONE shuffle whose map-side partial mins
+    collapse each partition's rows to 16 hex values per doc. Identical
+    signatures (hash-proven against the distinct-based oracle); the
+    Jaccard verification paths keep distinct shingles."""
+    sh = _shingles_df(spark, sf_dir, distinct=False)
     proj = sh.select(
         "doc_id",
         *[
