@@ -45,22 +45,26 @@ BOILER_MIN_DOCS = 3  # gram must appear in ≥ this many distinct docs
 BENCH_MOD = 13  # doc_id % BENCH_MOD == 0 → "benchmark" holdout (~8%)
 
 
-def _word_ngrams(docs: DataFrame, n: int) -> DataFrame:
+def _word_ngrams(docs: DataFrame, n: int, distinct: bool = True) -> DataFrame:
     """(doc_id, gram): distinct word n-grams via arrays_zip of n shifted
     slices — built and exploded inside one codegen stage with the scan
     (same technique as dedup._shingles_df, which measured 2.5× faster than
-    lead() windows and 10× faster than HOF lambdas)."""
+    lead() windows and 10× faster than HOF lambdas).
+
+    ``distinct=False`` skips the per-doc set shuffle (the relation stays
+    in the scan stage): consumers that immediately re-aggregate to a
+    GLOBAL gram set (the benchmark gram index) would otherwise pay two
+    distinct exchanges for one set; per-doc counting consumers
+    (decontam_overlap's shared-gram counts, boilerplate document
+    frequency) must keep the default."""
     base = docs.select("doc_id", F.split("text", " ").alias("ws"))
     cnt = F.greatest(F.size("ws") - (n - 1), F.lit(0))
     zipped = F.arrays_zip(*[F.slice("ws", i + 1, cnt) for i in range(n)])
-    return (
-        base.select("doc_id", F.explode(zipped).alias("g"))
-        .select(
-            "doc_id",
-            F.concat_ws(" ", *[F.col(f"g.{i}") for i in range(n)]).alias("gram"),
-        )
-        .distinct()
+    out = base.select("doc_id", F.explode(zipped).alias("g")).select(
+        "doc_id",
+        F.concat_ws(" ", *[F.col(f"g.{i}") for i in range(n)]).alias("gram"),
     )
+    return out.distinct() if distinct else out
 
 
 def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -71,7 +75,9 @@ def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % BENCH_MOD == 0)
     train = docs.filter(F.col("doc_id") % BENCH_MOD != 0)
-    bench_grams = _word_ngrams(bench, NGRAM_N).select("gram").distinct()
+    bench_grams = (
+        _word_ngrams(bench, NGRAM_N, distinct=False).select("gram").distinct()
+    )
     train_grams = _word_ngrams(train, NGRAM_N)
     return (
         train_grams.join(F.broadcast(bench_grams), "gram", "inner")
@@ -321,9 +327,9 @@ def _ensure_bench_gram_index(spark: SparkSession, sf_dir: str) -> str:
         indexcache.drop_table(spark, t)
         docs = load_table(spark, sf_dir, "documents")
         bench = docs.filter(F.col("doc_id") % BENCH_MOD == 0)
-        _word_ngrams(bench, NGRAM_N).select("gram").distinct().write.mode(
-            "overwrite"
-        ).saveAsTable(t)
+        _word_ngrams(bench, NGRAM_N, distinct=False).select(
+            "gram"
+        ).distinct().write.mode("overwrite").saveAsTable(t)
         return t
 
     return indexcache.get_or_build(spark, "bench_grams", sf_dir, build)

@@ -1749,7 +1749,10 @@ def source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     thousands while shingles number in the trillions, so cost stays ∝
     postings); totals are a |sources|-row aggregate broadcast back onto
     ≤ |sources|² result rows. [extension]"""
-    sh = _shingles_df(spark, sf_dir)
+    # distinct=False: the (shingle, source) distinct below absorbs duplicate
+    # per-doc shingles, so the per-doc set shuffle would be a wasted exchange
+    # of the shingle multiset (same argument as _minhash_df, r10)
+    sh = _shingles_df(spark, sf_dir, distinct=False)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     ss = sh.join(docs, "doc_id").select("shingle", "source").distinct()
     counts = ss.groupBy("source").agg(F.count("*").alias("n_sh"))
