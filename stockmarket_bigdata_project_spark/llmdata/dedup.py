@@ -65,7 +65,8 @@ def _shingles_df(
     doc_filter: DataFrame | None = None,
     distinct: bool = True,
 ) -> DataFrame:
-    """(doc_id, shingle) — distinct word 3-grams.
+    """(doc_id, shingle) — word 3-grams (distinct per doc by default;
+    multiset when ``distinct=False``).
 
     ``doc_filter`` (a 1-column ``doc_id`` relation) semi-joins the documents
     scan BEFORE shingling, so downstream consumers that only need a subset

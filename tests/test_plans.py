@@ -1178,16 +1178,21 @@ def test_token_budget_curve_single_source_exchange(spark, sf_dir):
 def test_skyline_two_phase_global_pass_after_local_prune(spark, sf_dir):
     """The global single-partition window may exist (it runs over the
     pruned sliver), but the FACT table itself must never be globally
-    sorted or range-partitioned, and no nested-loop/cartesian join may
-    appear."""
+    sorted or range-partitioned — and since r11 the plan is join-free:
+    both frontier phases are shared-sort window functions, so no
+    broadcast/join node of any kind may appear (this deleted the
+    broadcast-budget lint's skyline exception)."""
     from stockmarket_bigdata_project_spark.operators.analytics import (
         skyline_two_phase_orders,
     )
 
     plan = _plan(skyline_two_phase_orders(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "BroadcastExchange" not in plan, plan
     assert "CartesianProduct" not in plan, plan
-    assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "rangepartitioning" not in plan.lower(), plan
+    # exactly two Window phases: local (pb-partitioned) then global
+    assert plan.count("Window") >= 2, plan
 
 
 # --- round-7 third batch -----------------------------------------------------
@@ -1712,6 +1717,112 @@ def test_boilerplate_strip_covered_join_not_hint_broadcast(spark, sf_dir):
         spark, lambda: boilerplate_strip(spark, sf_dir),
         "doc_id", "LeftOuter",
     )
+
+
+# --- round-11 additions: the r10-verdict SF-scaling dim-table hint class -----
+def test_q7_dim_joins_not_hint_broadcast(spark, sf_dir):
+    """nation_trade_balance_q7: customer and supplier scale linearly with
+    SF (≈150k/10k × SF — multi-billion-row at 100 TB), so neither may be
+    hint-forced broadcast; AQE re-chooses broadcast from actual sizes
+    (r10-verdict What's-wrong #1)."""
+    from stockmarket_bigdata_project_spark.operators.decision_support import (
+        nation_trade_balance_q7,
+    )
+
+    _no_hint_broadcast(
+        spark, lambda: nation_trade_balance_q7(spark, sf_dir),
+        "l_suppkey", "Inner",
+    )
+    _no_hint_broadcast(
+        spark, lambda: nation_trade_balance_q7(spark, sf_dir),
+        "o_custkey", "Inner",
+    )
+
+
+def test_q10_customer_join_not_hint_broadcast(spark, sf_dir):
+    """returned_item_losses_q10: the customer dim join must fall back to a
+    shuffle join when broadcast is disabled (r10-verdict #1)."""
+    from stockmarket_bigdata_project_spark.operators.decision_support import (
+        returned_item_losses_q10,
+    )
+
+    _no_hint_broadcast(
+        spark, lambda: returned_item_losses_q10(spark, sf_dir),
+        "o_custkey", "Inner",
+    )
+
+
+def test_star_probe_part_join_not_hint_broadcast(spark, sf_dir):
+    """revenue_by_brand / small_quantity_revenue: part is an SF-scaling dim
+    (≈200k × SF rows) — the star probe joins unhinted (r10-verdict #1)."""
+    from stockmarket_bigdata_project_spark.operators.analytics import (
+        small_quantity_revenue,
+    )
+    from stockmarket_bigdata_project_spark.operators.joins import (
+        revenue_by_brand,
+    )
+
+    _no_hint_broadcast(
+        spark, lambda: revenue_by_brand(spark, sf_dir), "l_partkey", "Inner"
+    )
+    _no_hint_broadcast(
+        spark, lambda: small_quantity_revenue(spark, sf_dir),
+        "l_partkey", "Inner",
+    )
+
+
+def test_q3_customer_join_not_hint_broadcast(spark, sf_dir):
+    from stockmarket_bigdata_project_spark.operators.analytics import (
+        shipping_priority,
+    )
+
+    _no_hint_broadcast(
+        spark, lambda: shipping_priority(spark, sf_dir), "o_custkey", "Inner"
+    )
+
+
+def test_decision_support_dim_dehint_join_strategy_invariance(spark, sf_dir):
+    """The two heaviest de-hinted decision-support queries must return
+    bit-identical rows whether AQE broadcasts the dims (default) or the
+    joins run as shuffle joins (broadcast disabled) — the de-hint changed
+    the physical strategy space only, never values (r10-verdict task 1
+    spot-check)."""
+    from stockmarket_bigdata_project_spark.operators.decision_support import (
+        nation_trade_balance_q7,
+        returned_item_losses_q10,
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    for fn in (nation_trade_balance_q7, returned_item_losses_q10):
+        base = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            shuffled = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert shuffled == base, f"{fn.__name__}: join strategy changed values"
+
+
+def test_streaming_static_join_strategy_invariance(spark, sf_dir):
+    """streaming_static_join lost its forced customer broadcast (r10-verdict
+    #1: customer ∝ SF). Micro-batch planning under disabled auto-broadcast
+    must produce the same joined rows — the stream-static join is
+    strategy-invariant, and at SFs where the dim fits AQE still broadcasts
+    it per batch without the hint."""
+    from stockmarket_bigdata_project_spark.streaming.pipelines import (
+        streaming_static_join,
+    )
+
+    base = sorted(map(tuple, streaming_static_join(spark, sf_dir).collect()))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        shuffled = sorted(
+            map(tuple, streaming_static_join(spark, sf_dir).collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert shuffled == base
 
 
 def test_incremental_dedup_joins_are_runtime_bloom_eligible(spark, sf_dir):
