@@ -1864,3 +1864,85 @@ def test_incremental_dedup_joins_are_runtime_bloom_eligible(spark, sf_dir):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_minhash_indexed_join_is_runtime_bloom_eligible(spark, sf_dir):
+    """r10-verdict task 3, minhash family: under the lowered scan gate the
+    stored-index batch join (batch band structs ⋈ bucketed corpus band
+    index on (band, sig)) must receive runtime bloom injection — at
+    production scan sizes the batch-built bloom pre-filters the
+    corpus-index scan before the join, so the per-batch index touch drops
+    from "scan the whole compact index" to "scan ∝ batch buckets".
+    Values must be unchanged by the injection."""
+    from stockmarket_bigdata_project_spark.llmdata.dedup import (
+        incremental_minhash_indexed,
+    )
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        baseline = sorted(
+            map(tuple, incremental_minhash_indexed(spark, sf_dir).collect())
+        )
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        plan = _plan_simple(incremental_minhash_indexed(spark, sf_dir))
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+        filtered = sorted(
+            map(tuple, incremental_minhash_indexed(spark, sf_dir).collect())
+        )
+        assert filtered == baseline, "runtime bloom filter changed values"
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
+def test_semdedup_and_decontam_indexed_bloom_ineligible_by_shape(spark, sf_dir):
+    """r10-verdict task 3, the two families whose stored-index joins do NOT
+    qualify for runtime bloom injection — pinned so the written cause
+    stays true if Spark's InjectRuntimeFilter ever widens:
+
+    * incremental_semdedup_indexed — the creation-side join key (bucket)
+      is COMPUTED by the two-level ANN argmax aggregate over the batch,
+      not a filtered scan attribute, and InjectRuntimeFilter only builds
+      blooms from simple selective-scan creation sides (verified: raising
+      creationSideThreshold to 100 GB still injects nothing, so the
+      rejection is structural, not a size estimate). The scale story
+      doesn't need the bloom: the corpus side is a bucketed table joined
+      with no exchange, and per-batch probe cost is |batch|·E[cluster]
+      by the k ∝ n rule.
+    * incremental_decontam_indexed — the application-side key (gram) is
+      produced by the n-gram EXPLODE over batch text, so there is no
+      scan column a bloom could prune; and the index side is the
+      corpus-independent bench-gram broadcast, which already filters
+      map-side at probe time — a bloom would be redundant with the
+      broadcast hash join itself."""
+    from stockmarket_bigdata_project_spark.llmdata.decontam import (
+        incremental_decontam_indexed,
+    )
+    from stockmarket_bigdata_project_spark.llmdata.similarity import (
+        incremental_semdedup_indexed,
+    )
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        for fn in (incremental_semdedup_indexed, incremental_decontam_indexed):
+            plan = _plan_simple(fn(spark, sf_dir))
+            assert "might_contain" not in plan, (
+                f"{fn.__name__}: InjectRuntimeFilter now fires on this shape "
+                "— delete this pin and add a positive bloom pin instead\n"
+                + plan
+            )
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
