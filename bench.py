@@ -106,8 +106,17 @@ _R4_REFERENCE_CALIBRATION = 0.0959
 # the fixed reference for the PRIMARY normalization series (r8 verdict task
 # 7: host_calibration and spark_calibration moved in opposite directions
 # r7→r8, so the JVM-side canary — which measures the thing under test — is
-# declared primary and both series are reported).
+# declared primary and both series are reported). PROTOCOL: the r6 anchor
+# is a BEST-OF-3 reading, so the r6-referenced normalization divides by the
+# best-of-3 reading each round (r10 ADVICE: median ≥ best, so dividing the
+# best-of-3 anchor by a median-of-5 measurement biased the series low from
+# r10 on).
 _R6_REFERENCE_SPARK_CALIBRATION = 0.0847
+
+# median-of-5 spark canary recorded in BENCH_r10.json (the first recording
+# under the median-of-5 protocol, driver box) — the anchor for the
+# protocol-consistent `headline_normalized_spark_r10m5` series from r11 on.
+_R10_REFERENCE_SPARK_CALIBRATION_MEDIAN5 = 0.0828
 
 
 def _median5(sample) -> float:
@@ -140,14 +149,16 @@ def _host_calibration() -> float:
     return _median5(one)
 
 
-def _spark_calibration(spark) -> float:
+def _spark_calibration(spark) -> tuple[float, float]:
     """Second canary (r5 verdict task 5): a fixed Spark micro-query, so
     JVM-side host variance is bounded separately from the Python-side md5
     canary — r5's per-query normalized ratios spread 0.83-1.28x around
     the single scalar, leaving sub-second queries unjudgeable
-    round-over-round. Median of 5 after one warm-up since r10 (was
-    best-of-3: best-of systematically understates on a noisy box, which
-    is half of the r9 canary disagreement story)."""
+    round-over-round. Returns (median-of-5, best-of-first-3) after one
+    warm-up: the median bounds spikes in both directions (the robust
+    reading, anchored at r11), the best-of-3 matches the protocol of the
+    r6 reference recording so the r6-referenced series stays
+    apples-to-apples (r10 ADVICE)."""
     df = spark.range(0, 20_000_000, 1, 32).selectExpr(
         "sum(id % 7919) AS s", "count(*) AS n"
     )
@@ -158,7 +169,73 @@ def _spark_calibration(spark) -> float:
         _force(df)
         return time.perf_counter() - start
 
-    return _median5(one)
+    import statistics
+
+    samples = [one() for _ in range(5)]
+    return (
+        round(statistics.median(samples), 4),
+        round(min(samples[:3]), 4),
+    )
+
+
+def _code_fingerprint() -> str:
+    """md5 over the engine + bench source bytes: identifies "same code"
+    across sessions regardless of commit state, so raw_band only pools
+    runs of identical code (r10 verdict task 7)."""
+    import hashlib
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    paths = [os.path.join(root, "bench.py"), os.path.join(root, "__spark_entry__.py")]
+    pkg = os.path.join(root, "stockmarket_bigdata_project_spark")
+    for dirpath, _dirnames, filenames in os.walk(pkg):
+        paths.extend(
+            os.path.join(dirpath, f) for f in filenames if f.endswith(".py")
+        )
+    h = hashlib.md5()
+    for p in sorted(paths):
+        h.update(p.encode())
+        with open(p, "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()[:12]
+
+
+def _raw_band(fingerprint: str, sf: float, total: float) -> dict:
+    """Append this session's raw headline total to .bench_history.json and
+    return the band over all recorded same-code same-SF sessions
+    (including this one). The r10 verdict asked for the cross-session raw
+    variance — which the canaries cannot normalize away — as a
+    first-class bench field instead of PERFORMANCE.md prose."""
+    hist_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_history.json"
+    )
+    try:
+        with open(hist_path) as fh:
+            hist = json.load(fh)
+    except (OSError, ValueError):
+        hist = []
+    hist.append({"code": fingerprint, "sf": sf, "raw_headline_total": total})
+    try:
+        with open(hist_path, "w") as fh:
+            json.dump(hist, fh, indent=1)
+    except OSError:
+        pass
+    same = [
+        e["raw_headline_total"]
+        for e in hist
+        if e.get("code") == fingerprint and e.get("sf") == sf
+    ]
+    return {
+        "sessions": len(same),
+        "min": min(same),
+        "max": max(same),
+        "policy": (
+            "raw cold-policy headline totals across bench sessions on "
+            "IDENTICAL code (md5 of engine+bench source) at this SF; judge "
+            "raw + this band over any single normalized scalar "
+            "(PERFORMANCE.md r10 finding: even median-of-5 canaries "
+            "disagree in direction across sessions on this box)"
+        ),
+    }
 
 
 def main() -> None:
@@ -209,7 +286,7 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     curation_total = round(sum(cur_timings.values()), 3)
     calibration = _host_calibration()
-    spark_cal = _spark_calibration(spark)
+    spark_cal, spark_cal_best3 = _spark_calibration(spark)
     # Two normalizations, both reported (r8 verdict task 7: the two canaries
     # moved in OPPOSITE directions r7→r8, so a single scalar is unreliable):
     #   * host (Python md5 loop), reference = the r4 recording — kept for
@@ -218,7 +295,21 @@ def main() -> None:
     #     recording (its first appearance) — PRIMARY, because it measures
     #     the JVM/scheduler path the benchmark itself exercises.
     norm = _R4_REFERENCE_CALIBRATION / calibration if calibration else 1.0
-    snorm = _R6_REFERENCE_SPARK_CALIBRATION / spark_cal if spark_cal else 1.0
+    # protocol-matched: the r6 anchor is best-of-3, so divide by best-of-3
+    snorm = (
+        _R6_REFERENCE_SPARK_CALIBRATION / spark_cal_best3
+        if spark_cal_best3
+        else 1.0
+    )
+    snorm_m5 = (
+        _R10_REFERENCE_SPARK_CALIBRATION_MEDIAN5 / spark_cal
+        if spark_cal
+        else 1.0
+    )
+    # raw totals for the cross-session band use the COLD policy uniformly
+    # (cold for every headline query), matching the verdict's raw series
+    raw_cold_total = round(sum(cold.values()), 3)
+    band = _raw_band(_code_fingerprint(), sf, raw_cold_total)
     print(
         json.dumps(
             {
@@ -240,12 +331,18 @@ def main() -> None:
                 "curation_queries_cold": cur_cold,
                 "host_calibration_sec": calibration,
                 "spark_calibration_sec": spark_cal,
+                "spark_calibration_best3_sec": spark_cal_best3,
                 "calibration_policy": (
                     "spark_calibration is PRIMARY (it measures the JVM "
-                    "query path under test; reference 0.0847 = r6); the "
-                    "host md5 canary and its r4-referenced normalization "
-                    "are kept for series continuity; both canaries are "
-                    "median-of-5 since r10 (r9 verdict task 6)"
+                    "query path under test). Two spark-referenced series: "
+                    "headline_normalized_spark_r6 divides the best-of-3 "
+                    "reading by the r6 best-of-3 anchor 0.0847 "
+                    "(protocol-matched since r11 — r10 ADVICE: r10 divided "
+                    "a median-of-5 reading by the best-of-3 anchor, biasing "
+                    "the series low); headline_normalized_spark_r10m5 "
+                    "divides the median-of-5 reading by the r10 median-of-5 "
+                    "anchor 0.0828. The host md5 canary and its "
+                    "r4-referenced normalization are kept for continuity."
                 ),
                 "headline_normalized_to_r4": round(total * norm, 3),
                 "curation_normalized_to_r4": round(curation_total * norm, 3),
@@ -253,6 +350,12 @@ def main() -> None:
                 "curation_normalized_spark_r6": round(
                     curation_total * snorm, 3
                 ),
+                "headline_normalized_spark_r10m5": round(total * snorm_m5, 3),
+                "curation_normalized_spark_r10m5": round(
+                    curation_total * snorm_m5, 3
+                ),
+                "raw_cold_headline_total": raw_cold_total,
+                "raw_band": band,
                 "sf": sf,
             }
         )

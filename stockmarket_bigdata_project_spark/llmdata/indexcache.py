@@ -29,7 +29,13 @@ from pyspark.sql import SparkSession
 
 T = TypeVar("T")
 
+# Global lock guards only the two dicts (microseconds); each key gets its
+# own lock for the build itself, so (r10 ADVICE) unrelated families/corpora
+# build concurrently and a build() that re-enters get_or_build for a
+# DIFFERENT key (sampling's shard layout builds on the dedup index) cannot
+# deadlock on a single non-reentrant global lock held across Spark jobs.
 _LOCK = threading.Lock()
+_KEY_LOCKS: dict[tuple[str, str, str], threading.Lock] = {}
 _PREPARED: dict[tuple[str, str, str], object] = {}
 
 
@@ -56,19 +62,27 @@ def get_or_build(
 ) -> T:
     """Memoized stored-index handle. ``build()`` runs at most once per
     (family, applicationId, sf_dir) — the nightly index job; every later
-    call is a dict read. The lock spans the build so concurrent callers
-    never race two writers onto one table name."""
+    call is a dict read. A PER-KEY lock spans the build, so two callers of
+    one key never race two writers onto one table name, while builds for
+    different keys run concurrently and nested get_or_build calls from
+    inside a build() (a different key) don't deadlock."""
     key = (family, spark.sparkContext.applicationId, sf_dir)
     with _LOCK:
+        klock = _KEY_LOCKS.setdefault(key, threading.Lock())
+    with klock:
         if key not in _PREPARED:
-            _PREPARED[key] = build()
-        return _PREPARED[key]  # type: ignore[return-value]
+            result = build()
+            with _LOCK:
+                _PREPARED[key] = result
+        with _LOCK:
+            return _PREPARED[key]  # type: ignore[return-value]
 
 
 def clear_prepared_indexes() -> None:
     """Forget every prepared-index handle (tables stay on disk; the next
     call drops and rebuilds them) — the stored-index analog of
     dedup.clear_staged_memo(), for data-changed invalidation and for
-    tooling that needs a true cold index build."""
+    tooling that needs a true cold index build. (Key locks are kept: a
+    clear racing an in-flight build still serializes per key.)"""
     with _LOCK:
         _PREPARED.clear()

@@ -70,3 +70,64 @@ def test_get_or_build_memoizes_per_application_id():
         assert calls[-1] == "a3"
     finally:
         indexcache.clear_prepared_indexes()
+
+
+def test_nested_build_for_different_key_does_not_deadlock():
+    """r10 ADVICE: the lock is per key, not one global lock across the
+    whole build() — a build that calls get_or_build for ANOTHER key
+    (sampling's shard layout builds on the dedup index) must complete
+    instead of deadlocking, and unrelated keys must build concurrently."""
+    import threading
+
+    indexcache.clear_prepared_indexes()
+    spark = _FakeSpark("app-N")
+    try:
+
+        def inner() -> str:
+            return "inner_table"
+
+        def outer() -> str:
+            # nested get_or_build for a DIFFERENT key from inside a build
+            return indexcache.get_or_build(spark, "inner_fam", "/sf", inner)
+
+        done: list[str] = []
+
+        def run() -> None:
+            done.append(indexcache.get_or_build(spark, "outer_fam", "/sf", outer))
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        t.join(timeout=10)
+        assert not t.is_alive(), "nested get_or_build deadlocked"
+        assert done == ["inner_table"]
+
+        # two different keys build concurrently: each build blocks on a
+        # barrier that only releases when BOTH builds are in flight — under
+        # one global build-spanning lock this times out
+        barrier = threading.Barrier(2, timeout=10)
+
+        def blocking_build(tag: str):
+            def build() -> str:
+                barrier.wait()
+                return tag
+
+            return build
+
+        results: dict[str, str] = {}
+        ts = [
+            threading.Thread(
+                target=lambda f=fam: results.__setitem__(
+                    f,
+                    indexcache.get_or_build(spark, f, "/sfc", blocking_build(f)),
+                ),
+                daemon=True,
+            )
+            for fam in ("fam_x", "fam_y")
+        ]
+        for th in ts:
+            th.start()
+        for th in ts:
+            th.join(timeout=15)
+        assert results == {"fam_x": "fam_x", "fam_y": "fam_y"}
+    finally:
+        indexcache.clear_prepared_indexes()

@@ -28,6 +28,11 @@ Usage:
     python tools_scale_study.py --build    # only build the data
     python tools_scale_study.py --only a,b # run only the named queries
     python tools_scale_study.py --scales 1,2,4,8  # 4-point fit
+    python tools_scale_study.py --index-builds    # wave 7: time the nightly
+        index BUILD itself per stored-index family (clear_prepared_indexes
+        before every measurement, so each number is a true cold build of the
+        catalog tables, ∝ corpus by design — the cost the fixed-batch rows
+        deliberately exclude)
 Prints one JSON line per query: {"query": ..., "secs": {1: s, 2: s, 4: s},
 "slope": b} where slope is the least-squares fit of log2(sec) on
 log2(scale).
@@ -181,6 +186,61 @@ def _special_queries():
     }
 
 
+def run_index_builds() -> None:
+    """Wave 7 (r10 verdict task 4): the stored-index families' per-batch
+    query rows (fixed-batch, slopes ≈ 0) deliberately read an
+    already-built index; this mode measures the OTHER half of the design —
+    the nightly index build — as recorded x1→x8 rows. Each measurement
+    clears the indexcache memo first, so build() really drops and rewrites
+    the catalog tables; expected slope ≈ 1 (the build scans the corpus
+    once)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from stockmarket_bigdata_project_spark.llmdata import (
+        decontam,
+        dedup,
+        indexcache,
+        similarity,
+    )
+    from stockmarket_bigdata_project_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-study-index-builds")
+    builders = {
+        "exact_hash_index_build": dedup._ensure_exact_hash_index,
+        "lsh_band_index_build": dedup._ensure_lsh_index,
+        "semdedup_index_build": similarity._ensure_semdedup_index,
+        "bench_gram_index_build": decontam._ensure_bench_gram_index,
+    }
+
+    def fit(secs):
+        xs = [math.log2(k) for k in SCALES]
+        ys = [math.log2(secs[k]) for k in SCALES]
+        n = len(xs)
+        mx, my = sum(xs) / n, sum(ys) / n
+        return round(
+            sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+            / sum((x - mx) ** 2 for x in xs),
+            2,
+        )
+
+    results = []
+    for name, fn in builders.items():
+        secs = {}
+        for k in SCALES:
+            d = os.path.join(ROOT, f"x{k}")
+            indexcache.clear_prepared_indexes()
+            start = time.perf_counter()
+            fn(spark, d)
+            secs[k] = round(time.perf_counter() - start, 3)
+        row = {"index_build": name, "cold_build": secs, "slope": fit(secs)}
+        results.append(row)
+        print(json.dumps(row), flush=True)
+    print(
+        json.dumps(
+            {"summary": {r["index_build"]: r["slope"] for r in results}}
+        )
+    )
+
+
 def build() -> None:
     import duckdb
 
@@ -326,5 +386,7 @@ def run() -> None:
 
 if __name__ == "__main__":
     build()
-    if "--build" not in sys.argv:
+    if "--index-builds" in sys.argv:
+        run_index_builds()
+    elif "--build" not in sys.argv:
         run()
