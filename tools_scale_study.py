@@ -204,6 +204,11 @@ def run_index_builds() -> None:
     from stockmarket_bigdata_project_spark.session import get_spark
 
     spark = get_spark(app_name="scale-study-index-builds")
+    # warm the JVM/codegen/catalog-write paths once so the first family's
+    # x1 row isn't session startup (every wave's documented caveat)
+    warm = spark.read.parquet(os.path.join(ROOT, "x1", "documents.parquet"))
+    warm.limit(100).write.mode("overwrite").saveAsTable("warmup_idx_tbl")
+    spark.sql("DROP TABLE IF EXISTS warmup_idx_tbl")
     builders = {
         "exact_hash_index_build": dedup._ensure_exact_hash_index,
         "lsh_band_index_build": dedup._ensure_lsh_index,
