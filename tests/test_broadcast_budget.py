@@ -4,13 +4,15 @@ Walks EVERY registered query's static physical plan under
 autoBroadcastJoinThreshold=-1 + AQE disabled — the regime where every
 BroadcastExchange is hint-forced — and asserts each broadcast input
 subtree classifies as a bounded relation under tests/broadcast_budget.py's
-structural rules (1-row/calendar/enum aggregates, limits, dimension and
-corpus-independent index tables, id-prefix sets, the capped hot set, two
-documented per-query exceptions). The forced-hint-on-corpus-fraction bug
-class was found three rounds running (r8: 2 sites, r9: 6 sites, r10 lint
-bring-up: 2 more — cohort_retention, large_volume_customers); this is the
-structural gate that keeps it from recurring, the analog of
-test_oracle_portability for the HUGEINT class.
+structural rules (1-row/calendar/enum aggregates, limits, constant-size
+dimension and corpus-independent index tables, id-prefix sets, the capped
+hot set, one documented per-query exception — band_join_order_tiers'
+literal tier table). The forced-hint-on-growing-relation bug class was
+found four rounds running (r8: 2 sites, r9: 6 sites, r10 lint bring-up:
+2 more — cohort_retention, large_volume_customers; r10 verdict: the ~21
+SF-scaling dim-table hints r11 removed); this is the structural gate that
+keeps it from recurring, the analog of test_oracle_portability for the
+HUGEINT class.
 """
 
 from __future__ import annotations
