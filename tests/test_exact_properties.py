@@ -80,6 +80,69 @@ def test_word_ngrams_matches_python_reference(spark, ws, n):
     assert got == expect, (text, n, got, expect)
 
 
+# tiny domains on BOTH axes force the edge cases the strict-domination rule
+# exists for: price-level ties, date ties, full (price, date) duplicates
+# across different orderkeys, and anticorrelated sets where the frontier is
+# most of the input — the case the r11 join-free window rewrite must get
+# right without the old broadcast semi-join's level table
+_skyline_pts = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),  # price level (cents)
+        st.integers(min_value=0, max_value=9),  # day offset
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(_skyline_pts)
+@_SETTINGS
+def test_skyline_window_frontier_matches_bruteforce(spark, pts):
+    """The r11 window-only skyline (RANGE peer frame for the level max +
+    RANGE 1-PRECEDING-under-DESC frame for the running higher-level max,
+    two phases) vs brute-force O(n²) domination on adversarial tiny-domain
+    inputs. Complements test_independent_oracles' fixed-data third opinion
+    with hypothesis-driven tie/duplicate/anticorrelated shapes."""
+    import datetime
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from stockmarket_bigdata_project_spark.operators.analytics import (
+        skyline_two_phase_orders,
+    )
+
+    base = datetime.datetime(1996, 1, 1)
+    rows = [
+        (i + 1, 10.0 + c / 100.0, base + datetime.timedelta(days=d))
+        for i, (c, d) in enumerate(pts)
+    ]
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_totalprice": pa.array([r[1] for r in rows], pa.float64()),
+            "o_orderdate": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        }
+    )
+    d = tempfile.mkdtemp(prefix="skyline_prop_")
+    pq_.write_table(tbl, os.path.join(d, "orders.parquet"))
+    got = {
+        (r.o_orderkey, r.cents, r.order_date)
+        for r in skyline_two_phase_orders(spark, d).collect()
+    }
+    cds = [(k, round(p * 100), dt.date()) for k, p, dt in rows]
+    expected = {
+        (k, c, dd)
+        for k, c, dd in cds
+        if not any(
+            c2 >= c and d2 >= dd and (c2 > c or d2 > dd) for _, c2, d2 in cds
+        )
+    }
+    assert got == expected, (pts, got, expected)
+
+
 def test_duplicate_spans_matches_independent_python(spark, sf_dir):
     """duplicate_spans vs a from-scratch Python implementation (not the
     mirrored SQL): position-indexed L-grams, occurrence counts, islands.
