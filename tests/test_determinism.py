@@ -238,7 +238,31 @@ _DEHINTED_R10 = [
 ]
 
 
-@pytest.mark.parametrize("name", _DEHINTED_R10)
+# round-11: the SF-scaling dim-table hint class (r10 verdict What's-wrong
+# #1) — every decision-support/star-probe query whose customer/supplier/
+# part hints were removed. Same contract as _DEHINTED_R10: identical rows
+# whether AQE broadcasts the dims or the joins shuffle. (The streaming
+# stream-static twin has its own invariance test in test_plans.py.)
+_DEHINTED_R11 = [
+    "nation_trade_balance_q7",
+    "returned_item_losses_q10",
+    "promo_revenue_share_q14",
+    "top_revenue_suppliers_q15",
+    "big_quantity_orders_q18",
+    "brand_size_or_revenue_q19",
+    "cheapest_supplier_q2",
+    "national_market_share_q8",
+    "product_profit_q9",
+    "parts_supplier_counts_q16",
+    "excess_share_suppliers_q20",
+    "blamed_suppliers_q21",
+    "revenue_by_brand",
+    "shipping_priority",
+    "small_quantity_revenue",
+]
+
+
+@pytest.mark.parametrize("name", _DEHINTED_R10 + _DEHINTED_R11)
 def test_identical_across_broadcast_thresholds(name, spark, sf_dir):
     from stockmarket_bigdata_project_spark.llmdata.dedup import (
         clear_staged_memo,
