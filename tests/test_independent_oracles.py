@@ -815,3 +815,97 @@ def test_candlestick_patterns_pure_python(spark, sf_dir):
         for r in candlestick_patterns(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_minhash_lsh_pairs_pure_python(spark, sf_dir):
+    """The flagship near-dedup operator, third opinion: the DuckDB oracle
+    mirrors the Spark pipeline stage-for-stage (same md5-window minhash,
+    same banding, same cap), so a bug in the ALGORITHM would drift both
+    engines together and the pairwise compare would stay green. This
+    recomputes the whole path — word-3-gram shingles, 16 minhashes as
+    8-hex-char windows of four seeded md5s, band signatures, the
+    LSH_BUCKET_CAP hot-bucket exclusion, candidate pairs, and exact
+    distinct-shingle Jaccard ≥ τ — from the parquet bytes in pure Python
+    (hashlib's md5 vs Spark's JVM md5 is the independent third
+    implementation), and requires the Spark result to match exactly,
+    floats included (both sides compute the same int/int binary64
+    division)."""
+    import hashlib
+    from itertools import combinations
+
+    from stockmarket_bigdata_project_spark.llmdata.dedup import (
+        BAND_SIZE,
+        JACCARD_THRESHOLD,
+        LSH_BUCKET_CAP,
+        N_HASHES,
+        _MINHASH_SEEDS,
+        clear_staged_memo,
+        minhash_lsh_pairs,
+    )
+
+    t = pq.read_table(table_path(sf_dir, "documents"),
+                      columns=["doc_id", "text"])
+    docs = list(zip(t.column("doc_id").to_pylist(),
+                    t.column("text").to_pylist()))
+
+    # shingles: F.split(text, " ") is regex-split on a single space —
+    # identical to Python's str.split(" ") including empty tokens from
+    # consecutive spaces
+    shingle_sets: dict[int, set[str]] = {}
+    sigs: dict[int, list[str]] = {}
+    for doc_id, text in docs:
+        ws = text.split(" ")
+        grams = [" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)]
+        if not grams:
+            continue  # no shingle rows → the doc never enters the pipeline
+        shingle_sets[doc_id] = set(grams)
+        # minhash over the MULTISET (r10: MIN is multiset-insensitive, so
+        # set(grams) would give the same mins — use the set for speed)
+        h = [None] * N_HASHES
+        for g in shingle_sets[doc_id]:
+            for a, seed in enumerate(_MINHASH_SEEDS):
+                hx = hashlib.md5(f"{seed}|{g}".encode()).hexdigest()
+                for j in range(4):
+                    w = hx[8 * j : 8 * j + 8]
+                    k = 4 * a + j
+                    if h[k] is None or w < h[k]:
+                        h[k] = w
+        sigs[doc_id] = h
+
+    # band signatures + hot-bucket cap
+    buckets: dict[tuple[int, str], list[int]] = defaultdict(list)
+    for doc_id, h in sigs.items():
+        for band in range(N_HASHES // BAND_SIZE):
+            sig = "".join(h[band * BAND_SIZE + j] for j in range(BAND_SIZE))
+            buckets[(band, sig)].append(doc_id)
+    cands: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        if len(members) > LSH_BUCKET_CAP:
+            continue  # hot bucket: never enters the self-join
+        for a, b in combinations(sorted(members), 2):
+            cands.add((a, b))
+
+    # exact verification over distinct shingles
+    expected = {}
+    for a, b in cands:
+        sa, sb = shingle_sets[a], shingle_sets[b]
+        n_inter = len(sa & sb)
+        if n_inter == 0:
+            continue  # the inner shingle join emits no row for this pair
+        jac = n_inter / (len(sa) + len(sb) - n_inter)
+        if jac >= JACCARD_THRESHOLD:
+            expected[(a, b)] = jac
+
+    clear_staged_memo()  # a memo from an earlier test must not mask a diff
+    try:
+        got = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in minhash_lsh_pairs(spark, sf_dir).collect()
+        }
+    finally:
+        clear_staged_memo()
+    assert got == expected, (
+        f"pairs: spark {len(got)} vs python {len(expected)}; "
+        f"spark-only {set(got) - set(expected)}, "
+        f"python-only {set(expected) - set(got)}"
+    )
