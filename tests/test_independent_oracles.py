@@ -909,3 +909,91 @@ def test_minhash_lsh_pairs_pure_python(spark, sf_dir):
         f"spark-only {set(got) - set(expected)}, "
         f"python-only {set(expected) - set(got)}"
     )
+
+
+def test_winnowing_pure_python(spark, sf_dir):
+    """Winnowing (MOSS) fingerprint selection + the candidate match step,
+    third opinion: the DuckDB oracle mirrors the packed-min selection rule
+    stage-for-stage, so this recomputes the whole scheme from the parquet
+    bytes — polynomial rolling hash over WIN_K-token grams, WIN_W sliding
+    window, min with ties→rightmost via the h·RADIX+(RADIX−pos) packing,
+    full-window rule, distinct prints, the WIN_DF_CAP stop-print rule and
+    the ≥ WIN_MIN_SHARED pair cut — in pure Python and requires both Spark
+    results to match exactly."""
+    from itertools import combinations
+
+    from stockmarket_bigdata_project_spark.llmdata.textstats import (
+        FP_BASE,
+        FP_MOD,
+        WIN_DF_CAP,
+        WIN_K,
+        WIN_MIN_SHARED,
+        WIN_W,
+        _WIN_PACK,
+        winnowing_dup_candidates,
+        winnowing_fingerprints,
+    )
+
+    t = pq.read_table(table_path(sf_dir, "documents"),
+                      columns=["doc_id", "text"])
+    docs = list(zip(t.column("doc_id").to_pylist(),
+                    t.column("text").to_pylist()))
+
+    def tok_val(tok: str) -> int:
+        # F.ascii = codepoint of the first character (0 for empty string)
+        return (ord(tok[0]) if tok else 0) + len(tok) * 7
+
+    prints: dict[int, set[tuple[int, int]]] = {}
+    for doc_id, text in docs:
+        ws = text.split(" ")
+        n = len(ws)
+        if n < WIN_K:
+            continue
+        hs = []
+        for i in range(n - WIN_K + 1):  # pos = i + 1 (1-based)
+            acc = 0
+            for tok in ws[i : i + WIN_K]:
+                acc = (acc * FP_BASE + tok_val(tok)) % FP_MOD
+            hs.append((i + 1, acc))
+        sel = set()
+        for w0 in range(len(hs) - WIN_W + 1):  # full windows only
+            packed = min(
+                h * _WIN_PACK + (_WIN_PACK - pos)
+                for pos, h in hs[w0 : w0 + WIN_W]
+            )
+            sel.add((_WIN_PACK - packed % _WIN_PACK, packed // _WIN_PACK))
+        if sel:
+            prints[doc_id] = sel
+
+    got_fp = {
+        (r.doc_id, r.sel_pos, r.fp_hash)
+        for r in winnowing_fingerprints(spark, sf_dir).collect()
+    }
+    exp_fp = {(d, p, h) for d, sel in prints.items() for p, h in sel}
+    assert got_fp == exp_fp, (
+        f"prints: spark {len(got_fp)} vs python {len(exp_fp)}"
+    )
+
+    # match step: distinct (doc, hash) postings, stop-print cap, pair cut
+    df_count = Counter(
+        h for sel in prints.values() for h in {h for _, h in sel}
+    )
+    postings = defaultdict(set)
+    for d, sel in prints.items():
+        for h in {h for _, h in sel}:
+            if df_count[h] <= WIN_DF_CAP:
+                postings[h].add(d)
+    shared = Counter()
+    for h, ds in postings.items():
+        for a, b in combinations(sorted(ds), 2):
+            shared[(a, b)] += 1
+    exp_pairs = {
+        pair: c for pair, c in shared.items() if c >= WIN_MIN_SHARED
+    }
+    got_pairs = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in winnowing_dup_candidates(spark, sf_dir).collect()
+    }
+    assert got_pairs == exp_pairs, (
+        f"pairs: spark {len(got_pairs)} vs python {len(exp_pairs)}"
+    )
