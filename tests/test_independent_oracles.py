@@ -997,3 +997,53 @@ def test_winnowing_pure_python(spark, sf_dir):
     assert got_pairs == exp_pairs, (
         f"pairs: spark {len(got_pairs)} vs python {len(exp_pairs)}"
     )
+
+
+def test_simhash_pure_python(spark, sf_dir):
+    """16-bit SimHash signatures + Hamming-0 groups, third opinion: md5
+    prefix → 16-bit int per DISTINCT shingle, strict-majority vote per bit
+    — recomputed with hashlib from the parquet bytes; both Spark queries
+    must match exactly."""
+    import hashlib
+
+    from stockmarket_bigdata_project_spark.llmdata.dedup import (
+        simhash_dup_groups,
+        simhash_signatures,
+    )
+
+    t = pq.read_table(table_path(sf_dir, "documents"),
+                      columns=["doc_id", "text"])
+    expected = {}
+    for doc_id, text in zip(t.column("doc_id").to_pylist(),
+                            t.column("text").to_pylist()):
+        ws = text.split(" ")
+        grams = {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+        if not grams:
+            continue
+        bits = [0] * 16
+        for g in grams:
+            h = int(hashlib.md5(g.encode()).hexdigest()[:4], 16)
+            for b in range(16):
+                bits[b] += (h >> b) & 1
+        n = len(grams)
+        expected[doc_id] = sum(
+            (1 << b) for b in range(16) if bits[b] * 2 > n
+        )
+
+    got = {
+        r.doc_id: r.simhash
+        for r in simhash_signatures(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+    groups = defaultdict(list)
+    for d, s in expected.items():
+        groups[s].append(d)
+    exp_groups = {
+        s: (len(ds), min(ds)) for s, ds in groups.items() if len(ds) > 1
+    }
+    got_groups = {
+        r.simhash: (r.n_docs, r.canonical_doc_id)
+        for r in simhash_dup_groups(spark, sf_dir).collect()
+    }
+    assert got_groups == exp_groups
