@@ -1047,3 +1047,55 @@ def test_simhash_pure_python(spark, sf_dir):
         for r in simhash_dup_groups(spark, sf_dir).collect()
     }
     assert got_groups == exp_groups
+
+
+def test_lang_id_and_doc_fingerprints_pure_python(spark, sf_dir):
+    """Language-ID marker scores (argmax with the de≥en≥es precedence) and
+    the order-sensitive polynomial rolling fingerprint, third opinion from
+    the parquet bytes."""
+    from stockmarket_bigdata_project_spark.llmdata.textstats import (
+        FP_BASE,
+        FP_MOD,
+        LANG_MARKERS,
+        doc_fingerprints,
+        lang_id_scores,
+    )
+
+    t = pq.read_table(table_path(sf_dir, "documents"),
+                      columns=["doc_id", "lang", "text"])
+    rows = list(zip(t.column("doc_id").to_pylist(),
+                    t.column("lang").to_pylist(),
+                    t.column("text").to_pylist()))
+
+    exp_lang = {}
+    exp_fp = {}
+    for doc_id, lang, text in rows:
+        ws = text.split(" ")
+        s = {
+            lng: sum(1 for w in ws if w in set(markers))
+            for lng, markers in LANG_MARKERS.items()
+        }
+        if s["de"] >= s["en"] and s["de"] >= s["es"]:
+            det = "de"
+        elif s["en"] >= s["es"]:
+            det = "en"
+        else:
+            det = "es"
+        exp_lang[doc_id] = (lang, s["en"], s["es"], s["de"], det)
+        acc = 0
+        for tok in ws:
+            acc = (acc * FP_BASE + (ord(tok[0]) if tok else 0)
+                   + len(tok) * 7) % FP_MOD
+        exp_fp[doc_id] = acc
+
+    got_lang = {
+        r.doc_id: (r.lang, r.score_en, r.score_es, r.score_de,
+                   r.detected_lang)
+        for r in lang_id_scores(spark, sf_dir).collect()
+    }
+    assert got_lang == exp_lang
+    got_fp = {
+        r.doc_id: r.fingerprint
+        for r in doc_fingerprints(spark, sf_dir).collect()
+    }
+    assert got_fp == exp_fp
