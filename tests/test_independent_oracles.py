@@ -1099,3 +1099,59 @@ def test_lang_id_and_doc_fingerprints_pure_python(spark, sf_dir):
         for r in doc_fingerprints(spark, sf_dir).collect()
     }
     assert got_fp == exp_fp
+
+
+def test_dsir_importance_bits_pure_python(spark, sf_dir):
+    """DSIR (hashed-unigram importance resampling in exact Shannon-code
+    bits), third opinion: hashing-trick buckets (md5 16-bit prefix mod B),
+    Laplace-smoothed integer code lengths ilog2((total+B) div (cnt+1)),
+    per-occurrence bit gain summed per doc — recomputed with hashlib from
+    the parquet bytes."""
+    import hashlib
+
+    from stockmarket_bigdata_project_spark.llmdata.textstats import (
+        DSIR_TARGET_LANG,
+        N_FEATURE_BUCKETS,
+        dsir_importance_bits,
+    )
+
+    t = pq.read_table(table_path(sf_dir, "documents"),
+                      columns=["doc_id", "lang", "text"])
+    rows = list(zip(t.column("doc_id").to_pylist(),
+                    t.column("lang").to_pylist(),
+                    t.column("text").to_pylist()))
+
+    B = N_FEATURE_BUCKETS
+    doc_buckets: dict[int, list[int]] = {}
+    cnt_r = Counter()
+    cnt_t = Counter()
+    for doc_id, lang, text in rows:
+        bks = [
+            int(hashlib.md5(tok.encode()).hexdigest()[:4], 16) % B
+            for tok in text.split(" ")
+        ]
+        doc_buckets[doc_id] = bks
+        cnt_r.update(bks)
+        if lang == DSIR_TARGET_LANG:
+            cnt_t.update(bks)
+    total_r, total_t = sum(cnt_r.values()), sum(cnt_t.values())
+
+    def bits(total: int, cnt: int) -> int:
+        return ((total + B) // (cnt + 1)).bit_length() - 1
+
+    gain = {
+        b: bits(total_r, cnt_r[b]) - bits(total_t, cnt_t.get(b, 0))
+        for b in cnt_r  # buckets never seen in raw have no stats row
+    }
+    expected = {}
+    for doc_id, bks in doc_buckets.items():
+        if not bks:
+            continue
+        g = sum(gain[b] for b in bks)
+        expected[doc_id] = (len(bks), g, int(g >= 0))
+
+    got = {
+        r.doc_id: (r.n_tokens, r.dsir_bits, r.target_like)
+        for r in dsir_importance_bits(spark, sf_dir).collect()
+    }
+    assert got == expected
