@@ -1155,3 +1155,50 @@ def test_dsir_importance_bits_pure_python(spark, sf_dir):
         for r in dsir_importance_bits(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_quality_scores_pure_python(spark, sf_dir):
+    """The curation tier's quality formula (feeds corpus_clean /
+    training_manifest / quality_weighted_sample), third opinion: the exact
+    integer micro-unit rational — t1+t2+t3 over common denominator 8n,
+    round-half-up, the n<10 zero rule, and the 6dp-quantized ratio columns
+    — recomputed in pure Python integers."""
+    from stockmarket_bigdata_project_spark.llmdata.textstats import (
+        STOPWORDS,
+        quality_scores,
+    )
+
+    t = pq.read_table(table_path(sf_dir, "documents"),
+                      columns=["doc_id", "text"])
+
+    def rdm(num: int, den: int) -> int:  # round-half-up(num/den)
+        return (2 * num + den) // (2 * den)
+
+    stops = set(STOPWORDS)
+    expected = {}
+    for doc_id, text in zip(t.column("doc_id").to_pylist(),
+                            t.column("text").to_pylist()):
+        ws = text.split(" ")
+        n = len(ws)
+        n_chars = len(text)
+        c = n_chars - (n - 1)
+        stop = sum(1 for w in ws if w in stops)
+        t1 = min(500000, 2500 * n) * (8 * n)
+        t2 = 2400000 * (n - stop)
+        t3 = min(1600000 * n, 200000 * c)
+        micro = rdm(t1 + t2 + t3, 8 * n)
+        score = 0.0 if n < 10 else micro / 1000000.0
+        expected[doc_id] = (
+            n,
+            n_chars,
+            rdm(1000000 * c, n) / 1000000.0,
+            rdm(1000000 * stop, n) / 1000000.0,
+            score,
+        )
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_chars_actual, r.avg_token_len,
+                   r.stopword_ratio, r.quality_score)
+        for r in quality_scores(spark, sf_dir).collect()
+    }
+    assert got == expected
