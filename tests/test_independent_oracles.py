@@ -1202,3 +1202,54 @@ def test_quality_scores_pure_python(spark, sf_dir):
         for r in quality_scores(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_lm_perplexity_and_oov_pure_python(spark, sf_dir):
+    """The CCNet-style unigram Shannon-bit perplexity filter and the
+    vocab-coverage OOV audit, third opinion: corpus term frequencies,
+    bits(tok) = ilog2(total div freq), per-doc micro-quantized mean, and
+    the top-VOCAB_SIZE (freq desc, tok asc) OOV counts — recomputed in
+    pure Python integers."""
+    from stockmarket_bigdata_project_spark.llmdata.textstats import (
+        VOCAB_SIZE,
+        lm_perplexity_bits,
+        vocab_oov_rate,
+    )
+
+    t = pq.read_table(table_path(sf_dir, "documents"),
+                      columns=["doc_id", "text"])
+    docs = list(zip(t.column("doc_id").to_pylist(),
+                    t.column("text").to_pylist()))
+    freq = Counter()
+    for _, text in docs:
+        freq.update(text.split(" "))
+    total = sum(freq.values())
+
+    bits = {tok: (total // f).bit_length() - 1 for tok, f in freq.items()}
+    exp_ppl = {}
+    exp_oov = {}
+    vocab = {
+        tok
+        for tok, _ in sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :VOCAB_SIZE
+        ]
+    }
+    for doc_id, text in docs:
+        ws = text.split(" ")
+        n = len(ws)
+        sb = sum(bits[w] for w in ws)
+        mean_bits = ((2 * sb * 1_000_000 + n) // (2 * n)) / 1_000_000.0
+        exp_ppl[doc_id] = (n, sb, mean_bits)
+        n_oov = sum(1 for w in ws if w not in vocab)
+        exp_oov[doc_id] = (n, n_oov, n_oov / n)
+
+    got_ppl = {
+        r.doc_id: (r.n_tokens, r.sum_bits, r.mean_bits)
+        for r in lm_perplexity_bits(spark, sf_dir).collect()
+    }
+    assert got_ppl == exp_ppl
+    got_oov = {
+        r.doc_id: (r.n_tokens, r.n_oov, r.oov_rate)
+        for r in vocab_oov_rate(spark, sf_dir).collect()
+    }
+    assert got_oov == exp_oov
