@@ -1253,3 +1253,67 @@ def test_lm_perplexity_and_oov_pure_python(spark, sf_dir):
         for r in vocab_oov_rate(spark, sf_dir).collect()
     }
     assert got_oov == exp_oov
+
+
+def test_gopher_flags_and_dedup_exact_pure_python(spark, sf_dir):
+    """Gopher rule flags (integer cross-multiplications, third regex
+    engine: Python re vs Java) and exact-dedup groups (md5 of the
+    whitespace-normalized lowercased text), both recomputed from the
+    parquet bytes."""
+    import hashlib
+
+    from stockmarket_bigdata_project_spark.llmdata.dedup import dedup_exact
+    from stockmarket_bigdata_project_spark.llmdata.textstats import (
+        GOPHER_MAX_MEAN_TOK,
+        GOPHER_MAX_TOKENS,
+        GOPHER_MIN_MEAN_TOK,
+        GOPHER_MIN_TOKENS,
+        STOPWORDS,
+        gopher_quality_flags,
+    )
+
+    t = pq.read_table(table_path(sf_dir, "documents"),
+                      columns=["doc_id", "text"])
+    docs = list(zip(t.column("doc_id").to_pylist(),
+                    t.column("text").to_pylist()))
+    stops = set(STOPWORDS)
+
+    exp_flags = {}
+    groups = defaultdict(list)
+    for doc_id, text in docs:
+        ws = text.split(" ")
+        n = len(ws)
+        n_chars = len(text)
+        c = n_chars - (n - 1)
+        n_sym = len(re.sub(r"[a-z0-9 ]", "", text))
+        n_digit = n_chars - len(re.sub(r"[0-9]", "", text))
+        n_stop = sum(1 for w in ws if w in stops)
+        too_short = int(n < GOPHER_MIN_TOKENS)
+        too_long = int(n > GOPHER_MAX_TOKENS)
+        bad_mean = int(
+            c < GOPHER_MIN_MEAN_TOK * n or c > GOPHER_MAX_MEAN_TOK * n
+        )
+        sym = int(10 * n_sym > n_chars)
+        dig = int(5 * n_digit > n_chars)
+        nostop = int(n_stop == 0)
+        keep = int(
+            too_short + too_long + bad_mean + sym + dig + nostop == 0
+        )
+        exp_flags[doc_id] = (n, too_short, too_long, bad_mean, sym, dig,
+                             nostop, keep)
+        norm = re.sub(r"\s+", " ", text.lower().strip())
+        groups[hashlib.md5(norm.encode()).hexdigest()].append(doc_id)
+
+    got_flags = {
+        r.doc_id: (r.n_tokens, r.too_short, r.too_long, r.bad_mean_tok_len,
+                   r.symbol_heavy, r.digit_heavy, r.no_stopword, r.keep)
+        for r in gopher_quality_flags(spark, sf_dir).collect()
+    }
+    assert got_flags == exp_flags
+
+    exp_groups = {h: (min(ds), len(ds)) for h, ds in groups.items()}
+    got_groups = {
+        r.text_hash: (r.canonical_doc_id, r.n_copies)
+        for r in dedup_exact(spark, sf_dir).collect()
+    }
+    assert got_groups == exp_groups
