@@ -1317,3 +1317,50 @@ def test_gopher_flags_and_dedup_exact_pure_python(spark, sf_dir):
         for r in dedup_exact(spark, sf_dir).collect()
     }
     assert got_groups == exp_groups
+
+
+def test_hash_split_and_token_shards_pure_python(spark, sf_dir):
+    """The sampling family's two deterministic assignments, third opinion:
+    train/val/test from the md5 hex bucket of the doc id, and the
+    fixed-token-budget shard id from the per-source cumulative token sum
+    in doc_id order — recomputed from the parquet bytes with hashlib."""
+    import hashlib
+
+    from stockmarket_bigdata_project_spark.llmdata.sampling import (
+        SHARD_TOKEN_BUDGET,
+        TEST_CUT,
+        VAL_CUT,
+        hash_split_docs,
+        token_budget_shards,
+    )
+
+    t = pq.read_table(table_path(sf_dir, "documents"),
+                      columns=["doc_id", "lang", "source", "text"])
+    rows = list(zip(*[t.column(c).to_pylist()
+                      for c in ("doc_id", "lang", "source", "text")]))
+
+    exp_split = {}
+    per_source = defaultdict(list)
+    for doc_id, lang, source, text in rows:
+        b = hashlib.md5(str(doc_id).encode()).hexdigest()[:4]
+        split = "val" if b < VAL_CUT else ("test" if b < TEST_CUT else "train")
+        exp_split[doc_id] = (lang, split)
+        per_source[source].append((doc_id, len(text.split(" "))))
+
+    got_split = {
+        r.doc_id: (r.lang, r.split)
+        for r in hash_split_docs(spark, sf_dir).collect()
+    }
+    assert got_split == exp_split
+
+    exp_shards = {}
+    for source, ds in per_source.items():
+        cum = 0
+        for doc_id, n in sorted(ds):
+            cum += n
+            exp_shards[doc_id] = (source, n, (cum - 1) // SHARD_TOKEN_BUDGET)
+    got_shards = {
+        r.doc_id: (r.source, r.n_tokens, r.shard)
+        for r in token_budget_shards(spark, sf_dir).collect()
+    }
+    assert got_shards == exp_shards
