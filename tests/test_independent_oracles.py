@@ -817,19 +817,13 @@ def test_candlestick_patterns_pure_python(spark, sf_dir):
     assert got == expected
 
 
-def test_minhash_lsh_pairs_pure_python(spark, sf_dir):
-    """The flagship near-dedup operator, third opinion: the DuckDB oracle
-    mirrors the Spark pipeline stage-for-stage (same md5-window minhash,
-    same banding, same cap), so a bug in the ALGORITHM would drift both
-    engines together and the pairwise compare would stay green. This
-    recomputes the whole path — word-3-gram shingles, 16 minhashes as
-    8-hex-char windows of four seeded md5s, band signatures, the
-    LSH_BUCKET_CAP hot-bucket exclusion, candidate pairs, and exact
-    distinct-shingle Jaccard ≥ τ — from the parquet bytes in pure Python
-    (hashlib's md5 vs Spark's JVM md5 is the independent third
-    implementation), and requires the Spark result to match exactly,
-    floats included (both sides compute the same int/int binary64
-    division)."""
+def _py_verified_pairs(sf_dir):
+    """Pure-Python recompute of the minhash-LSH verified pair set —
+    word-3-gram shingles, 16 minhashes as 8-hex-char windows of four
+    seeded md5s, band signatures, the LSH_BUCKET_CAP hot-bucket
+    exclusion, candidate pairs, exact distinct-shingle Jaccard ≥ τ.
+    Shared by the pair-level and the end-to-end corpus-curation third
+    opinions. Returns {(doc_a, doc_b): jaccard}."""
     import hashlib
     from itertools import combinations
 
@@ -839,8 +833,6 @@ def test_minhash_lsh_pairs_pure_python(spark, sf_dir):
         LSH_BUCKET_CAP,
         N_HASHES,
         _MINHASH_SEEDS,
-        clear_staged_memo,
-        minhash_lsh_pairs,
     )
 
     t = pq.read_table(table_path(sf_dir, "documents"),
@@ -895,6 +887,24 @@ def test_minhash_lsh_pairs_pure_python(spark, sf_dir):
         jac = n_inter / (len(sa) + len(sb) - n_inter)
         if jac >= JACCARD_THRESHOLD:
             expected[(a, b)] = jac
+    return expected
+
+
+def test_minhash_lsh_pairs_pure_python(spark, sf_dir):
+    """The flagship near-dedup operator, third opinion: the DuckDB oracle
+    mirrors the Spark pipeline stage-for-stage (same md5-window minhash,
+    same banding, same cap), so a bug in the ALGORITHM would drift both
+    engines together and the pairwise compare would stay green. The full
+    path is recomputed from the parquet bytes in pure Python (hashlib's
+    md5 vs Spark's JVM md5 is the independent third implementation), and
+    the Spark result must match exactly, floats included (both sides
+    compute the same int/int binary64 division)."""
+    from stockmarket_bigdata_project_spark.llmdata.dedup import (
+        clear_staged_memo,
+        minhash_lsh_pairs,
+    )
+
+    expected = _py_verified_pairs(sf_dir)
 
     clear_staged_memo()  # a memo from an earlier test must not mask a diff
     try:
@@ -1364,3 +1374,141 @@ def test_hash_split_and_token_shards_pure_python(spark, sf_dir):
         for r in token_budget_shards(spark, sf_dir).collect()
     }
     assert got_shards == exp_shards
+
+
+def test_corpus_curation_end_to_end_pure_python(spark, sf_dir):
+    """The flagship curation COMPOSITION (corpus_clean → corpus_clean_stats
+    → training_manifest), third opinion end-to-end: quality floor (exact
+    micro-unit formula), exact-dedup survivorship (min doc_id per
+    normalized-text md5 group), near-dedup survivorship (union-find
+    connected components over the pure-Python verified LSH pairs — an
+    independent CC algorithm vs Spark's iterative min-label propagation
+    and DuckDB's recursive CTE), then the per-source stats and the
+    salted-md5 epoch-shard manifest. Every terminal artifact the pipeline
+    ships is recomputed from the parquet bytes with no Spark and no
+    DuckDB."""
+    import hashlib
+
+    from stockmarket_bigdata_project_spark.llmdata.corpus import (
+        QUALITY_MIN,
+        corpus_clean,
+        corpus_clean_stats,
+        training_manifest,
+    )
+    from stockmarket_bigdata_project_spark.llmdata.dedup import (
+        clear_staged_memo,
+    )
+    from stockmarket_bigdata_project_spark.llmdata.sampling import (
+        EPOCH_SEED,
+        N_EPOCH_SHARDS,
+    )
+    from stockmarket_bigdata_project_spark.llmdata.textstats import STOPWORDS
+
+    t = pq.read_table(
+        table_path(sf_dir, "documents"),
+        columns=["doc_id", "lang", "source", "text"],
+    )
+    rows = list(zip(*[t.column(c).to_pylist()
+                      for c in ("doc_id", "lang", "source", "text")]))
+
+    # near-dedup losers: union-find over the Python-verified pair graph
+    pairs = _py_verified_pairs(sf_dir)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict[int, int] = {}
+    for d in {x for p in pairs for x in p}:
+        comp[d] = find(d)
+    near_losers = {d for d, c in comp.items() if d != c}
+
+    stops = set(STOPWORDS)
+
+    def rdm(num: int, den: int) -> int:
+        return (2 * num + den) // (2 * den)
+
+    exact_min: dict[str, int] = {}
+    quality: dict[int, tuple] = {}
+    for doc_id, lang, source, text in rows:
+        ws = text.split(" ")
+        n = len(ws)
+        c = len(text) - (n - 1)
+        stop = sum(1 for w in ws if w in stops)
+        t1 = min(500000, 2500 * n) * (8 * n)
+        t2 = 2400000 * (n - stop)
+        t3 = min(1600000 * n, 200000 * c)
+        micro = rdm(t1 + t2 + t3, 8 * n)
+        score = 0.0 if n < 10 else micro / 1000000.0
+        micro_l = 0 if n < 10 else micro
+        quality[doc_id] = (lang, source, n, score, micro_l)
+        norm_h = hashlib.md5(
+            re.sub(r"\s+", " ", text.lower().strip()).encode()
+        ).hexdigest()
+        if norm_h not in exact_min or doc_id < exact_min[norm_h]:
+            exact_min[norm_h] = doc_id
+    exact_keep = set(exact_min.values())
+
+    exp_clean = {
+        doc_id: (lang, source, n, score)
+        for doc_id, (lang, source, n, score, _) in quality.items()
+        if score >= QUALITY_MIN
+        and doc_id in exact_keep
+        and doc_id not in near_losers
+    }
+
+    clear_staged_memo()
+    try:
+        got_clean = {
+            r.doc_id: (r.lang, r.source, r.n_tokens, r.quality_score)
+            for r in corpus_clean(spark, sf_dir).collect()
+        }
+        got_stats = {
+            r.source: (r.n_docs, r.total_tokens, r.sum_quality_micro)
+            for r in corpus_clean_stats(spark, sf_dir).collect()
+        }
+        got_manifest = {
+            (r.shard, r.source): (r.n_docs, r.total_tokens,
+                                  r.sum_quality_micro)
+            for r in training_manifest(spark, sf_dir).collect()
+        }
+    finally:
+        clear_staged_memo()
+
+    assert got_clean == exp_clean, (
+        f"clean: spark {len(got_clean)} vs python {len(exp_clean)}"
+    )
+
+    exp_stats = defaultdict(lambda: [0, 0, 0])
+    exp_manifest = defaultdict(lambda: [0, 0, 0])
+    for doc_id in exp_clean:
+        _, source, n, _ = exp_clean[doc_id]
+        micro_l = quality[doc_id][4]
+        for agg, key in (
+            (exp_stats, source),
+            (
+                exp_manifest,
+                (
+                    int(
+                        hashlib.md5(
+                            f"{EPOCH_SEED}:{doc_id}".encode()
+                        ).hexdigest()[:4],
+                        16,
+                    )
+                    % N_EPOCH_SHARDS,
+                    source,
+                ),
+            ),
+        ):
+            agg[key][0] += 1
+            agg[key][1] += n
+            agg[key][2] += micro_l
+    assert got_stats == {k: tuple(v) for k, v in exp_stats.items()}
+    assert got_manifest == {k: tuple(v) for k, v in exp_manifest.items()}
