@@ -1512,3 +1512,54 @@ def test_corpus_curation_end_to_end_pure_python(spark, sf_dir):
             agg[key][2] += micro_l
     assert got_stats == {k: tuple(v) for k, v in exp_stats.items()}
     assert got_manifest == {k: tuple(v) for k, v in exp_manifest.items()}
+
+
+def test_gold_daily_features_pure_python(spark, sf_dir):
+    """The flagship medallion gold build (the driver's entry() smoke
+    query), third opinion: deterministic OHLCV via the packed total-order
+    key (reusing _ohlcv_py), the exact-decimal daily activity rollup, the
+    date-fanout left join and the null→0 fill — recomputed from the
+    parquet bytes. avg_order_price is float(Decimal(sum_cents)/100)/count:
+    the same correctly-rounded decimal→binary64 conversion and division
+    both engines perform."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from stockmarket_bigdata_project_spark.operators.gold import (
+        gold_daily_features,
+    )
+
+    bars = _ohlcv_py(sf_dir)
+
+    t = pq.read_table(table_path(sf_dir, "orders"),
+                      columns=["o_orderdate", "o_totalprice"])
+    act = defaultdict(lambda: [0, 0, 0.0])  # count, sum_cents, max_px
+    for od, px in zip(t.column("o_orderdate").to_pylist(),
+                      t.column("o_totalprice").to_pylist()):
+        day = od.date() if isinstance(od, dt.datetime) else od
+        a = act[day]
+        a[0] += 1
+        a[1] += int(round(Decimal(str(px)), 2).scaleb(2))
+        a[2] = max(a[2], px)
+
+    expected = {}
+    for (sk, day), b in bars.items():
+        if day in act:
+            n, cents, mx = act[day]
+            total = float(Decimal(cents).scaleb(-2))
+            row = (b["open"], b["high"], b["low"], b["close"], b["volume"],
+                   n, total / n, total, mx)
+        else:
+            row = (b["open"], b["high"], b["low"], b["close"], b["volume"],
+                   0, 0.0, 0.0, 0.0)
+        expected[(sk, day)] = row
+
+    got = {
+        (r.l_suppkey, r.trade_date): (
+            r.open_px, r.high_px, r.low_px, r.close_px, r.volume,
+            r.order_count, r.avg_order_price, r.total_order_price,
+            r.max_order_price,
+        )
+        for r in gold_daily_features(spark, sf_dir).collect()
+    }
+    assert got == expected
