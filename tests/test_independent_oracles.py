@@ -1563,3 +1563,36 @@ def test_gold_daily_features_pure_python(spark, sf_dir):
         for r in gold_daily_features(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_sequence_assembly_pure_python(spark, sf_dir):
+    """The headline W6 sequence builder (5-preceding close window over the
+    OHLCV bars), third opinion: per-supplier date-ordered sliding window
+    over _ohlcv_py's bars, integer-cents rendering and the folded cents
+    sum — recomputed with no Spark and no DuckDB."""
+    from stockmarket_bigdata_project_spark.operators.timeseries import (
+        sequence_assembly,
+    )
+
+    bars = _ohlcv_py(sf_dir)
+    by_supp = defaultdict(list)
+    for (sk, day), b in bars.items():
+        by_supp[sk].append((day, int(b["close"] * 100 + 0.5)))
+
+    expected = {}
+    for sk, rows in by_supp.items():
+        rows.sort()
+        for i in range(5, len(rows)):
+            day = rows[i][0]
+            prev5 = [c for _, c in rows[i - 5 : i]]
+            expected[(sk, day)] = (
+                "|".join(str(c) for c in prev5),
+                5,
+                sum(prev5) / 100.0,
+            )
+
+    got = {
+        (r.l_suppkey, r.trade_date): (r.seq_cents, r.seq_len, r.seq_sum)
+        for r in sequence_assembly(spark, sf_dir).collect()
+    }
+    assert got == expected
