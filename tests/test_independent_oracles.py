@@ -1596,3 +1596,62 @@ def test_sequence_assembly_pure_python(spark, sf_dir):
         for r in sequence_assembly(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_sessionize_events_pure_python(spark, sf_dir):
+    """Gap-based sessionization (lag + boolean cumsum), third opinion:
+    per-user (ts, event_id)-ordered scan with the microsecond-exact
+    30-minute gap rule, session aggregates with the exact 2-decimal value
+    sum rendered to binary64 via Fraction — recomputed from the parquet
+    bytes."""
+    from decimal import Decimal
+    from fractions import Fraction
+
+    from stockmarket_bigdata_project_spark.operators.timeseries import (
+        sessionize_events,
+    )
+
+    t = pq.read_table(table_path(sf_dir, "events"),
+                      columns=["event_id", "user_id", "ts", "value"])
+    by_user = defaultdict(list)
+    for eid, uid, ts, val in zip(*[t.column(c).to_pylist()
+                                   for c in ("event_id", "user_id", "ts",
+                                             "value")]):
+        by_user[uid].append((ts, eid, val))
+
+    expected = {}
+    for uid, evs in by_user.items():
+        evs.sort(key=lambda e: (e[0], e[1]))
+        sess = 0
+        prev_ts = None
+        cur = None  # [n, start, end, cents]
+        for ts, _eid, val in evs:
+            gap_us = (
+                None if prev_ts is None
+                else int((ts - prev_ts).total_seconds() * 1_000_000)
+                if not isinstance(ts, int) else ts - prev_ts
+            )
+            if gap_us is None or gap_us > 1800 * 1_000_000:
+                if cur is not None:
+                    expected[(uid, sess)] = (
+                        cur[0], cur[1], cur[2],
+                        float(Fraction(cur[3], 100)),
+                    )
+                sess += 1
+                cur = [0, ts, ts, 0]
+            cur[0] += 1
+            cur[2] = ts
+            cur[3] += int(round(Decimal(str(val)), 2).scaleb(2))
+            prev_ts = ts
+        if cur is not None:
+            expected[(uid, sess)] = (
+                cur[0], cur[1], cur[2], float(Fraction(cur[3], 100))
+            )
+
+    got = {
+        (r.user_id, r.session_id): (
+            r.n_events, r.session_start, r.session_end, r.session_value
+        )
+        for r in sessionize_events(spark, sf_dir).collect()
+    }
+    assert got == expected
