@@ -319,17 +319,25 @@ def _build_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Hot-bucket cap: buckets above LSH_BUCKET_CAP never enter the self-join
     # (see the constant's rationale). Shape: one (band, sig)-keyed count
     # aggregate over the materialized band table — map-side combined, its
-    # output is |buckets over the cap| rows, i.e. approximately empty — then
-    # a broadcast ANTI join, so the big side never reshuffles for the cap.
-    # This is strictly cheaper than the window-count alternative (which
-    # would sort the whole band table inside the (band, sig) exchange).
+    # output is |buckets over the cap| rows — then an ANTI join, strategy
+    # left to AQE (r12, de-hinted): on a duplicate-light corpus the hot set
+    # is ≈ empty and AQE broadcasts it at runtime; on a dedup-heavy crawl
+    # every cluster > cap mints a hot bucket per band, so the relation's
+    # worst case is n_bands·|corpus|/cap keys — corpus-LINEAR — and a
+    # forced broadcast is a driver OOM at the 100 TB design point (the
+    # same class as the corpus-fraction hints r9/r10 removed and the dim
+    # hints r11 removed). Unhinted, the fallback is a shuffle anti-join on
+    # (band, sig) — the band table re-partitions on exactly the keys the
+    # candidate self-join needs next, so the exchange is not wasted.
+    # This beats the window-count alternative either way (that form sorts
+    # the whole band table inside the (band, sig) exchange).
     hot = (
         all_bands.groupBy("band", "sig")
         .agg(F.count("*").alias("s"))
         .filter(F.col("s") > LSH_BUCKET_CAP)
         .select("band", "sig")
     )
-    capped = all_bands.join(F.broadcast(hot), ["band", "sig"], "left_anti")
+    capped = all_bands.join(hot, ["band", "sig"], "left_anti")
     l = capped.alias("l")
     r = capped.alias("r")
     # The band table is materialized above (localCheckpoint — the runtime
@@ -584,7 +592,9 @@ def incremental_minhash_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("s") > LSH_BUCKET_CAP)
         .select("band", "sig")
     )
-    capped = bands.join(F.broadcast(hot), ["band", "sig"], "left_anti")
+    # unhinted (r12): the hot set is corpus-linear in the worst case —
+    # AQE broadcasts it where it fits, shuffle anti-join where it doesn't
+    capped = bands.join(hot, ["band", "sig"], "left_anti")
     is_new = F.col("doc_id") % INCR_MOD == INCR_REM
     batch = capped.filter(is_new).select(
         F.col("doc_id").alias("new_id"), "band", "sig"
@@ -699,7 +709,9 @@ def _indexed_candidates(
         )
     )
     hot = spark.table(ht)
-    batch_capped = batch_bands.join(F.broadcast(hot), ["band", "sig"], "left_anti")
+    # unhinted (r12): the stored hot set scales with corpus duplication —
+    # AQE picks broadcast wherever it fits; never force it from the driver
+    batch_capped = batch_bands.join(hot, ["band", "sig"], "left_anti")
     corpus_bands = spark.table(bt)
     return (
         batch_capped.select(F.col("doc_id").alias("new_id"), "band", "sig")

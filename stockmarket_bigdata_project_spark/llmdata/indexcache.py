@@ -70,19 +70,31 @@ def get_or_build(
     with _LOCK:
         klock = _KEY_LOCKS.setdefault(key, threading.Lock())
     with klock:
-        if key not in _PREPARED:
-            result = build()
-            with _LOCK:
-                _PREPARED[key] = result
+        # one _LOCK acquisition for check + read (r11 ADVICE): a
+        # clear_prepared_indexes() landing between a separate membership
+        # check and a later read would drop the key and raise KeyError
         with _LOCK:
-            return _PREPARED[key]  # type: ignore[return-value]
+            if key in _PREPARED:
+                return _PREPARED[key]  # type: ignore[return-value]
+        result = build()
+        with _LOCK:
+            _PREPARED[key] = result
+        # return the local build result directly — never re-read the dict,
+        # which a concurrent clear may have emptied again
+        return result
 
 
 def clear_prepared_indexes() -> None:
     """Forget every prepared-index handle (tables stay on disk; the next
     call drops and rebuilds them) — the stored-index analog of
     dedup.clear_staged_memo(), for data-changed invalidation and for
-    tooling that needs a true cold index build. (Key locks are kept: a
-    clear racing an in-flight build still serializes per key.)"""
+    tooling that needs a true cold index build. Scope (r11 ADVICE): the
+    clear affects COMPLETED builds only — it takes _LOCK, not the key
+    locks, so an in-flight build writes its handle after the clear and
+    that key resurrects warm; a caller needing a guaranteed cold rebuild
+    must quiesce its own builders first (every in-repo caller —
+    tests/tools — is single-threaded at clear time, where this holds
+    trivially). Key locks are kept so later builds of the same key still
+    serialize."""
     with _LOCK:
         _PREPARED.clear()

@@ -42,12 +42,21 @@ A broadcast subtree is BOUNDED when the node tree satisfies `_bounded`:
   centroid sets, PQ codebooks, and query sets.
 * **benchmark slice** — Filter `doc_id % BENCH_MOD = 0` (and its gram
   explode): the held-out benchmark stand-in — ∝ the eval suite, which a
-  production deployment fixes independently of corpus size.
-* **capped hot set** — Filter `count > LSH_BUCKET_CAP` over a (band, sig)
-  aggregate: the LSH cap's over-limit bucket list, broadcast for the
-  anti-join. Bounded by the cap design (≈ empty on real data; at most
-  n_bands · |corpus|/cap keys of 2 small columns, and the cap exists
-  precisely to keep this relation degenerate).
+  production deployment fixes independently of corpus size. The modulus
+  slice is a *modeling* stand-in for that fixed-size suite: unlike the
+  retired capped-hot-set rule (below), the bound is the modeled
+  semantics (a production benchmark is a fixed artifact you curate, not
+  a function of the corpus), so the synthetic `doc_id % BENCH_MOD`
+  fraction at bench SFs does not generalize to a growing relation in
+  deployment — the data-dependent hot set had no such fixed-artifact
+  reading and was therefore de-hinted.
+
+(r12: the former **capped hot set** rule is deleted — its own bound was
+n_bands · |corpus|/cap keys, i.e. corpus-LINEAR on a dedup-heavy crawl
+(every duplicate cluster larger than the cap mints a hot bucket per
+band), the exact data-structural class the r9–r11 de-hints removed. All
+three `F.broadcast(hot)` sites in llmdata/dedup.py are now unhinted; AQE
+broadcasts the hot set at runtime wherever it actually fits.)
 * **reused exchange** — ReusedExchange leaves point at an exchange audited
   where it is defined; re-auditing the reference would double-count.
 
@@ -164,7 +173,6 @@ _ID_PREFIX = re.compile(r"\((vec_id|doc_id|query_id)#\d+L? < (\d+|[gk]#\d+L?)\)"
 from stockmarket_bigdata_project_spark.llmdata.decontam import BENCH_MOD as _BENCH_MOD
 
 _BENCH_SLICE = re.compile(rf"% {_BENCH_MOD}\) = 0")
-_HOT_CAP = re.compile(r"\(s#\d+L? > \d+\)")
 _MOD_BUCKET = re.compile(r"% \d+\) AS bucket#")
 
 # per-query exceptions: (query name, regex the unclassified subtree must
@@ -236,12 +244,6 @@ def _bounded(node: Node, why: set[str]) -> bool:
         if _BENCH_SLICE.search(t):
             why.add("benchmark_slice")
             return True
-        if _HOT_CAP.search(t):
-            # capped hot set: require the (band, sig) aggregate underneath
-            sub = _render(node)
-            if re.search(r"Aggregate\(keys=\[band#", sub):
-                why.add("capped_hot_set")
-                return True
     if not node.children:
         # unknown leaf (ExistingRDD, InMemoryTableScan without printed child,
         # unrecognized scan): not provably bounded

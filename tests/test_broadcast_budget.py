@@ -5,14 +5,15 @@ autoBroadcastJoinThreshold=-1 + AQE disabled — the regime where every
 BroadcastExchange is hint-forced — and asserts each broadcast input
 subtree classifies as a bounded relation under tests/broadcast_budget.py's
 structural rules (1-row/calendar/enum aggregates, limits, constant-size
-dimension and corpus-independent index tables, id-prefix sets, the capped
-hot set, one documented per-query exception — band_join_order_tiers'
-literal tier table). The forced-hint-on-growing-relation bug class was
-found four rounds running (r8: 2 sites, r9: 6 sites, r10 lint bring-up:
-2 more — cohort_retention, large_volume_customers; r10 verdict: the ~21
-SF-scaling dim-table hints r11 removed); this is the structural gate that
-keeps it from recurring, the analog of test_oracle_portability for the
-HUGEINT class.
+dimension and corpus-independent index tables, id-prefix sets, one
+documented per-query exception — band_join_order_tiers' literal tier
+table). The forced-hint-on-growing-relation bug class was found five
+rounds running (r8: 2 sites, r9: 6 sites, r10 lint bring-up: 2 more —
+cohort_retention, large_volume_customers; r10 verdict: the ~21 SF-scaling
+dim-table hints r11 removed; r11 verdict: the 3 LSH hot-set hints r12
+removed, retiring the lint's own capped_hot_set rule); this is the
+structural gate that keeps it from recurring, the analog of
+test_oracle_portability for the HUGEINT class.
 """
 
 from __future__ import annotations

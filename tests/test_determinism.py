@@ -262,7 +262,19 @@ _DEHINTED_R11 = [
 ]
 
 
-@pytest.mark.parametrize("name", _DEHINTED_R10 + _DEHINTED_R11)
+# round-12: the LSH hot-set hint class (r11 verdict What's-wrong #1) —
+# the three F.broadcast(hot) sites in llmdata/dedup.py are de-hinted;
+# same contract: identical pairs whether AQE broadcasts the hot-bucket
+# set or the anti-join shuffles on (band, sig).
+_DEHINTED_R12 = [
+    # minhash_lsh_pairs already runs via _DEHINTED_R10 (its r10 semi-join
+    # de-hint) — the same sweep now also covers its r12 hot-set de-hint
+    "incremental_minhash_new_docs",
+    "incremental_minhash_indexed",
+]
+
+
+@pytest.mark.parametrize("name", _DEHINTED_R10 + _DEHINTED_R11 + _DEHINTED_R12)
 def test_identical_across_broadcast_thresholds(name, spark, sf_dir):
     from stockmarket_bigdata_project_spark.llmdata.dedup import (
         clear_staged_memo,

@@ -143,6 +143,31 @@ def test_skyline_window_frontier_matches_bruteforce(spark, pts):
     assert got == expected, (pts, got, expected)
 
 
+def test_skyline_bucket_count_invariance(spark, sf_dir):
+    """The phase-1 bucket count (r12: derived from defaultParallelism,
+    no longer the fixed 32) must not change the frontier — local
+    domination implies global domination for ANY deterministic
+    bucketing, so 1 bucket (phase 1 IS the global pass), a prime
+    bucket count, and the derived default all yield the same set."""
+    from stockmarket_bigdata_project_spark.operators.analytics import (
+        skyline_two_phase_orders,
+    )
+
+    def rows(nb):
+        return {
+            (r.o_orderkey, r.cents, r.order_date)
+            for r in skyline_two_phase_orders(spark, sf_dir, n_buckets=nb).collect()
+        }
+
+    default = {
+        (r.o_orderkey, r.cents, r.order_date)
+        for r in skyline_two_phase_orders(spark, sf_dir).collect()
+    }
+    assert default, "empty frontier on non-empty orders"
+    assert rows(1) == default
+    assert rows(7) == default
+
+
 def test_duplicate_spans_matches_independent_python(spark, sf_dir):
     """duplicate_spans vs a from-scratch Python implementation (not the
     mirrored SQL): position-indexed L-grams, occurrence counts, islands.

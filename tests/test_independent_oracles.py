@@ -1655,3 +1655,178 @@ def test_sessionize_events_pure_python(spark, sf_dir):
         for r in sessionize_events(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+# --- r12: float-heavy similarity / finance families (r11 verdict task 4) --
+# The integer-micros / integer-units designs claim BIT-exact binary64
+# results; these third opinions recompute the full pipelines — quantization,
+# exact integer statistics, and the closing IEEE-754 algebra in the same
+# expression order — in pure Python, so a shared Spark↔DuckDB idiom (HOF
+# fold semantics, window-sum association, long→double cast rounding) can't
+# hide a drift.
+
+
+def _mvecs(sf_dir):
+    """vec_id -> list[int] integer-micros components, quantized exactly as
+    similarity._emb: double(x) · 1e6 (one binary64 product), then scale-0
+    HALF_UP on the shortest decimal representation — Spark's round(double)
+    is BigDecimal.valueOf(d).setScale(0, HALF_UP), and Python's repr() is
+    the same shortest-roundtrip string."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    t = pq.read_table(table_path(sf_dir, "embeddings"),
+                      columns=["vec_id", "embedding"])
+    out = {}
+    for vid, emb in zip(t.column("vec_id").to_pylist(),
+                        t.column("embedding").to_pylist()):
+        out[vid] = [
+            int(Decimal(repr(float(x) * 1000000.0)).quantize(
+                Decimal(1), rounding=ROUND_HALF_UP))
+            for x in emb
+        ]
+    return out
+
+
+def _cos_py(a, b):
+    """similarity._cosine in pure Python: exact integer dot/norm folds
+    (≤ 64·10¹² « 2^53, so the double fold is the integer), IEEE sqrt, one
+    product, one division — the same three binary64 ops in the same
+    order."""
+    import math
+
+    dab = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(float(sum(x * x for x in a)))
+    nb = math.sqrt(float(sum(y * y for y in b)))
+    return float(dab) / (na * nb)
+
+
+def test_knn_bruteforce_pure_python(spark, sf_dir):
+    """Third opinion for exact top-k cosine retrieval: micros quantization,
+    cosine, and the (cos DESC, cand_id ASC) ranking recomputed from the
+    parquet bytes — ranks AND raw cosines must match Spark bit-for-bit."""
+    from stockmarket_bigdata_project_spark.llmdata.similarity import (
+        N_QUERIES,
+        TOP_K,
+        knn_bruteforce,
+    )
+
+    vecs = _mvecs(sf_dir)
+    expected = {}
+    for qid, qv in vecs.items():
+        if qid >= N_QUERIES:
+            continue
+        scored = sorted(
+            ((-_cos_py(qv, cv), cid) for cid, cv in vecs.items() if cid != qid)
+        )
+        for rank, (neg, cid) in enumerate(scored[:TOP_K], start=1):
+            expected[(qid, cid)] = (-neg, rank)
+    got = {
+        (r.query_id, r.cand_id): (r.cosine, r.rank)
+        for r in knn_bruteforce(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_semdedup_survivors_pure_python(spark, sf_dir):
+    """Third opinion for SemDeDup: k ∝ n centroid count, argmax-cosine
+    assignment with (ccos DESC, centroid_id ASC) tie-break, and the
+    within-bucket τ-prune with the engine's exact fold order
+    (dot / (norm_a · norm_b)) — kept/removed and bucket ids recomputed in
+    pure Python."""
+    import math
+
+    from stockmarket_bigdata_project_spark.llmdata.similarity import (
+        N_CENTROIDS,
+        SEMDEDUP_TAU,
+        SEMDEDUP_VECS_PER_CLUSTER,
+        semdedup_survivors,
+    )
+
+    vecs = _mvecs(sf_dir)
+    k = max(N_CENTROIDS, len(vecs) // SEMDEDUP_VECS_PER_CLUSTER)
+    cents = {cid: cv for cid, cv in vecs.items() if cid < k}
+    bucket = {}
+    for vid, v in vecs.items():
+        best = min(
+            ((-_cos_py(v, cv), cid) for cid, cv in cents.items())
+        )
+        bucket[vid] = best[1]
+    norms = {
+        vid: math.sqrt(float(sum(x * x for x in v))) for vid, v in vecs.items()
+    }
+    by_bucket = defaultdict(list)
+    for vid in sorted(vecs):
+        by_bucket[bucket[vid]].append(vid)
+    removed = set()
+    for _b, members in by_bucket.items():
+        for i, a in enumerate(members):
+            for b in members[i + 1:]:
+                dot = sum(x * y for x, y in zip(vecs[a], vecs[b]))
+                if float(dot) / (norms[a] * norms[b]) >= SEMDEDUP_TAU:
+                    removed.add(b)
+    expected = {
+        vid: (bucket[vid], 0 if vid in removed else 1) for vid in vecs
+    }
+    got = {
+        r.vec_id: (r.bucket, r.kept)
+        for r in semdedup_survivors(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_rolling_beta_pure_python(spark, sf_dir):
+    """Third opinion for the trailing 10-day beta: OHLCV close bars,
+    1e-5-unit integer return quantization (stock AND re-quantized market
+    mean), exact integer window sums, and the closing
+    (avg(xm) − avg(x)avg(m)) / (avg(m²) − avg(m)²) binary64 algebra in
+    the engine's expression order — betas must match bit-for-bit,
+    including the NULL var(m)=0 rows."""
+    from stockmarket_bigdata_project_spark.operators.finance import (
+        rolling_beta,
+    )
+
+    bars = _daily_bars(sf_dir)
+    by_supp = defaultdict(list)
+    for (sk, day), (_o, _h, _l, c) in bars.items():
+        by_supp[sk].append((day, c))
+    x_units = {}
+    for sk, rows in by_supp.items():
+        rows.sort()
+        for (_d0, c0), (d1, c1) in zip(rows, rows[1:]):
+            num = abs(c1 - c0) * 200_000 + c0
+            den = 2 * c0
+            s = 1 if c1 > c0 else (-1 if c1 < c0 else 0)
+            x_units[(sk, d1)] = s * ((num - num % den) // den)
+    per_date = defaultdict(list)
+    for (_sk, d), x in x_units.items():
+        per_date[d].append(x)
+    m_units = {}
+    for d, xs in per_date.items():
+        ms, n = sum(xs), len(xs)
+        mnum, mden = 2 * abs(ms) + n, 2 * n
+        s = 1 if ms > 0 else (-1 if ms < 0 else 0)
+        m_units[d] = s * ((mnum - mnum % mden) // mden)
+    expected = {}
+    series = defaultdict(list)
+    for (sk, d), x in sorted(x_units.items()):
+        series[sk].append((d, x, m_units[d]))
+    for sk, rows in series.items():
+        for i, (d, _x, _m) in enumerate(rows):
+            frame = rows[max(0, i - 9): i + 1]
+            n = len(frame)
+            sx = sum(x for _, x, _m2 in frame)
+            sm = sum(m for _, _x2, m in frame)
+            sxm = sum(x * m for _, x, m in frame)
+            smm = sum(m * m for _, _x2, m in frame)
+            ax, am = float(sx) / n, float(sm) / n
+            cov = float(sxm) / n - ax * am
+            var = float(smm) / n - am * am
+            expected[(sk, d)] = None if var == 0.0 else cov / var
+    got = {
+        (r.l_suppkey, r.trade_date): r.beta_10d
+        for r in rolling_beta(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for key, b in expected.items():
+        a = got[key]
+        assert (a is None and b is None) or a == b, (key, a, b)

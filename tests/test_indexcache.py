@@ -131,3 +131,77 @@ def test_nested_build_for_different_key_does_not_deadlock():
         assert results == {"fam_x": "fam_x", "fam_y": "fam_y"}
     finally:
         indexcache.clear_prepared_indexes()
+
+
+def test_clear_racing_reads_never_raises(monkeypatch):
+    """r11 ADVICE: the old fast path re-acquired _LOCK to read
+    _PREPARED[key] AFTER the membership check — a clear_prepared_indexes()
+    interleaving between the two critical sections dropped the key and the
+    read raised KeyError. Stress the exact interleaving: one thread spams
+    clear while another calls get_or_build in a tight loop; every call
+    must return a valid handle (memoized or freshly built), never raise."""
+    import threading
+
+    indexcache.clear_prepared_indexes()
+    spark = _FakeSpark("app-race")
+    stop = threading.Event()
+    errors: list[BaseException] = []
+
+    def spam_clear() -> None:
+        while not stop.is_set():
+            indexcache.clear_prepared_indexes()
+
+    t = threading.Thread(target=spam_clear, daemon=True)
+    t.start()
+    try:
+        for _ in range(3000):
+            got = indexcache.get_or_build(spark, "fam", "/sf", lambda: "t")
+            assert got == "t"
+    except BaseException as e:  # pragma: no cover - the regression signal
+        errors.append(e)
+    finally:
+        stop.set()
+        t.join(timeout=10)
+        indexcache.clear_prepared_indexes()
+    assert not errors, errors
+
+
+def test_clear_scope_documented_completed_builds_only():
+    """The r12 docstring contract: a clear landing while a build is in
+    flight does NOT force a cold rebuild — the in-flight build's handle is
+    written after the clear and resurrects warm. Pin that behavior so the
+    docstring stays honest (callers needing guaranteed-cold must quiesce
+    builders first, as tools_scale_study does)."""
+    import threading
+
+    indexcache.clear_prepared_indexes()
+    spark = _FakeSpark("app-scope")
+    in_build = threading.Event()
+    release = threading.Event()
+    calls: list[str] = []
+
+    def slow_build() -> str:
+        calls.append("built")
+        in_build.set()
+        assert release.wait(timeout=10)
+        return "handle-1"
+
+    got: list[str] = []
+
+    def run() -> None:
+        got.append(indexcache.get_or_build(spark, "fam", "/sf", slow_build))
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    assert in_build.wait(timeout=10)
+    indexcache.clear_prepared_indexes()  # lands mid-build
+    release.set()
+    t.join(timeout=10)
+    assert got == ["handle-1"]
+    # the mid-build clear did not evict the in-flight handle: next call is warm
+    assert (
+        indexcache.get_or_build(spark, "fam", "/sf", lambda: "handle-2")
+        == "handle-1"
+    )
+    assert calls == ["built"]
+    indexcache.clear_prepared_indexes()

@@ -207,8 +207,12 @@ def run_index_builds() -> None:
     # warm the JVM/codegen/catalog-write paths once so the first family's
     # x1 row isn't session startup (every wave's documented caveat)
     warm = spark.read.parquet(os.path.join(ROOT, "x1", "documents.parquet"))
+    # drop_table (not bare DROP TABLE) on both sides: a bare DROP can leave
+    # the managed-table warehouse dir behind, which makes the next run's
+    # saveAsTable fail in the same warehouse (r11 ADVICE)
+    indexcache.drop_table(spark, "warmup_idx_tbl")
     warm.limit(100).write.mode("overwrite").saveAsTable("warmup_idx_tbl")
-    spark.sql("DROP TABLE IF EXISTS warmup_idx_tbl")
+    indexcache.drop_table(spark, "warmup_idx_tbl")
     builders = {
         "exact_hash_index_build": dedup._ensure_exact_hash_index,
         "lsh_band_index_build": dedup._ensure_lsh_index,
