@@ -1830,3 +1830,209 @@ def test_rolling_beta_pure_python(spark, sf_dir):
     for key, b in expected.items():
         a = got[key]
         assert (a is None and b is None) or a == b, (key, a, b)
+
+
+def test_embedding_pairs_and_range_query_pure_python(spark, sf_dir):
+    """Third opinion for the two threshold-set similarity queries: the
+    all-pairs near-dup baseline (cos ≥ 0.40, vec_a < vec_b) and the
+    query-anchored range query (cos ≥ RANGE_TAU) — result SETS and raw
+    cosines recomputed from the parquet bytes."""
+    from stockmarket_bigdata_project_spark.llmdata.similarity import (
+        N_QUERIES,
+        RANGE_TAU,
+        embedding_near_dup_pairs,
+        embedding_range_query,
+    )
+
+    vecs = _mvecs(sf_dir)
+    ids = sorted(vecs)
+    exp_pairs = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            c = _cos_py(vecs[a], vecs[b])
+            if c >= 0.40:
+                exp_pairs[(a, b)] = c
+    got_pairs = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in embedding_near_dup_pairs(spark, sf_dir).collect()
+    }
+    assert got_pairs == exp_pairs
+
+    exp_range = {}
+    for q in ids:
+        if q >= N_QUERIES:
+            continue
+        for cand in ids:
+            if cand == q:
+                continue
+            c = _cos_py(vecs[q], vecs[cand])
+            if c >= RANGE_TAU:
+                exp_range[(q, cand)] = c
+    got_range = {
+        (r.query_id, r.cand_id): r.cosine
+        for r in embedding_range_query(spark, sf_dir).collect()
+    }
+    assert got_range == exp_range
+
+
+def test_knn_ivf_pure_python(spark, sf_dir):
+    """Third opinion for the IVF ANN path: fixed-centroid bucket
+    assignment (argmax cosine, id tie-break), NPROBE bucket probing per
+    query, candidate scan restricted to probed buckets, and the final
+    (cos DESC, cand_id ASC) top-k — ranks and cosines bit-exact."""
+    from stockmarket_bigdata_project_spark.llmdata.similarity import (
+        N_CENTROIDS,
+        N_QUERIES,
+        NPROBE,
+        TOP_K,
+        knn_ivf,
+    )
+
+    vecs = _mvecs(sf_dir)
+    cents = {cid: v for cid, v in vecs.items() if cid < N_CENTROIDS}
+    bucket = {
+        vid: min(((-_cos_py(v, cv), cid) for cid, cv in cents.items()))[1]
+        for vid, v in vecs.items()
+    }
+    by_bucket = defaultdict(set)
+    for vid, b in bucket.items():
+        by_bucket[b].add(vid)
+    expected = {}
+    for qid, qv in vecs.items():
+        if qid >= N_QUERIES:
+            continue
+        probed = [
+            cid
+            for _neg, cid in sorted(
+                (-_cos_py(qv, cv), cid) for cid, cv in cents.items()
+            )[:NPROBE]
+        ]
+        cand_ids = set().union(*(by_bucket[b] for b in probed)) - {qid}
+        scored = sorted((-_cos_py(qv, vecs[c]), c) for c in cand_ids)
+        for rank, (neg, cid) in enumerate(scored[:TOP_K], start=1):
+            expected[(qid, cid)] = (-neg, rank)
+    got = {
+        (r.query_id, r.cand_id): (r.cosine, r.rank)
+        for r in knn_ivf(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_rolling_volatility_pure_python(spark, sf_dir):
+    """Third opinion for the trailing 5-day stddev: 7dp integer-rational
+    return quantization, exact BIGINT frame sums S1/S2 (including the
+    null-skipping count over frames that straddle a supplier's first
+    row), and the closing sqrt((S2 − S1²/n)/(n−1))/10⁷ binary64 algebra
+    in the engine's expression order."""
+    import math
+
+    from stockmarket_bigdata_project_spark.operators.finance import (
+        rolling_volatility,
+    )
+
+    bars = _daily_bars(sf_dir)
+    by_supp = defaultdict(list)
+    for (sk, day), (_o, _h, _l, c) in bars.items():
+        by_supp[sk].append((day, c))
+    expected = {}
+    for sk, rows in by_supp.items():
+        rows.sort()
+        q7 = [None]
+        for (_d0, c0), (_d1, c1) in zip(rows, rows[1:]):
+            num = abs(c1 - c0) * 20_000_000 + c0
+            den = 2 * c0
+            s = 1 if c1 > c0 else (-1 if c1 < c0 else 0)
+            q7.append(s * ((num - num % den) // den))
+        for i, (d, _c) in enumerate(rows):
+            frame = [q for q in q7[max(0, i - 4): i + 1] if q is not None]
+            n = len(frame)
+            if n <= 1:
+                expected[(sk, d)] = None
+                continue
+            s1 = float(sum(frame))
+            s2 = float(sum(q * q for q in frame))
+            nf = float(n)
+            arg = (s2 - s1 * s1 / nf) / (nf - 1.0)
+            expected[(sk, d)] = (
+                float("nan") if arg < 0.0 else math.sqrt(arg) / 1.0e7
+            )
+    got = {
+        (r.l_suppkey, r.trade_date): r.vol_5d
+        for r in rolling_volatility(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for k, b in expected.items():
+        a = got[k]
+        if b is None or a is None:
+            assert a is None and b is None, (k, a, b)
+        elif isinstance(b, float) and b != b:
+            assert a != a, (k, a, b)
+        else:
+            assert a == b, (k, a, b)
+
+
+def test_ewma_dyadic_close_pure_python(spark, sf_dir):
+    """Third opinion for the α=1/2 truncated EWMA: every weight is a
+    power of two, so the weighted fold is an exact dyadic rational in
+    binary64 under any order — recompute the frame fold, the truncated
+    mass renormalization, and the /100 descale with plain Python floats."""
+    from stockmarket_bigdata_project_spark.operators.timeseries import (
+        EWMA_SPAN,
+        ewma_dyadic_close,
+    )
+
+    bars = _daily_bars(sf_dir)
+    by_supp = defaultdict(list)
+    for (sk, day), (_o, _h, _l, c) in bars.items():
+        by_supp[sk].append((day, c))
+    expected = {}
+    for sk, rows in by_supp.items():
+        rows.sort()
+        for i, (d, _c) in enumerate(rows):
+            cs = [c for _d, c in rows[max(0, i - (EWMA_SPAN - 1)): i + 1]]
+            n = len(cs)
+            weighted = 0.0
+            for j, c in enumerate(cs, start=1):
+                weighted += float(c) * 2.0 ** (j - n - 1)
+            mass = 1.0 - 2.0 ** (-n)
+            expected[(sk, d)] = (n, weighted / mass / 100.0)
+    got = {
+        (r.l_suppkey, r.trade_date): (r.n_obs, r.ewma_close)
+        for r in ewma_dyadic_close(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_correlation_matrix_pure_python(spark, sf_dir):
+    """Third opinion for the exact-power-sum correlation: integer
+    cents/quantities summed exactly, float(int) conversion (the digit-
+    string route both engines share), and the closing
+    (n·Sxy − Sx·Sy)/√((n·Sxx − Sx²)(n·Syy − Sy²)) binary64 algebra."""
+    import math
+
+    from stockmarket_bigdata_project_spark.operators.aggregates import (
+        correlation_matrix,
+    )
+
+    t = pq.read_table(
+        table_path(sf_dir, "lineitem"),
+        columns=["l_quantity", "l_extendedprice", "l_discount"],
+    )
+    q = [int(v) for v in t.column("l_quantity").to_pylist()]
+    p = [round(v * 100) for v in t.column("l_extendedprice").to_pylist()]
+    d = [round(v * 100) for v in t.column("l_discount").to_pylist()]
+
+    def corr(xs, ys):
+        n = float(len(xs))
+        sx, sy = float(sum(xs)), float(sum(ys))
+        sxy = float(sum(a * b for a, b in zip(xs, ys)))
+        sxx = float(sum(a * a for a in xs))
+        syy = float(sum(b * b for b in ys))
+        return (n * sxy - sx * sy) / math.sqrt(
+            (n * sxx - sx * sx) * (n * syy - sy * sy)
+        )
+
+    row = correlation_matrix(spark, sf_dir).collect()[0]
+    assert row.corr_qty_price == corr(q, p)
+    assert row.corr_qty_disc == corr(q, d)
+    assert row.corr_price_disc == corr(p, d)
