@@ -202,7 +202,9 @@ def _code_fingerprint() -> str:
     return h.hexdigest()[:12]
 
 
-def _raw_band(fingerprint: str, sf: float, total: float) -> dict:
+def _raw_band(
+    fingerprint: str, sf: float, total: float, queries_cold: dict | None = None
+) -> dict:
     """Append this session's raw headline total to .bench_history.json and
     return the band over all recorded same-code same-SF sessions
     (including this one). The r10 verdict asked for the cross-session raw
@@ -216,7 +218,12 @@ def _raw_band(fingerprint: str, sf: float, total: float) -> dict:
             hist = json.load(fh)
     except (OSError, ValueError):
         hist = []
-    hist.append({"code": fingerprint, "sf": sf, "raw_headline_total": total})
+    entry = {"code": fingerprint, "sf": sf, "raw_headline_total": total}
+    if queries_cold:
+        # per-query colds (r12): the cross-round baseline source for the
+        # auto-envelope once the driver artifact's tail truncates
+        entry["queries_cold"] = queries_cold
+    hist.append(entry)
     try:
         with open(hist_path, "w") as fh:
             json.dump(hist, fh, indent=1)
@@ -245,9 +252,21 @@ ENVELOPE_TRIGGER_PCT = 15.0  # cold delta vs previous round that triggers n=5
 ENVELOPE_RUNS = 5
 
 
-def _prev_round_cold(sf: float) -> dict[str, float]:
-    """Per-query cold timings from the highest-numbered BENCH_r{N}.json at
-    the same SF — the baseline the auto-envelope compares against."""
+def _prev_round_cold(sf: float, fingerprint: str) -> dict[str, float]:
+    """Per-query cold timings the auto-envelope compares against: the
+    previous round's record. Three sources, in order:
+
+    1. the highest-numbered BENCH_r{N}.json's `parsed` dict (the driver
+       wraps the bench JSON line; `parsed` is complete only while the
+       line fit the driver's 2000-char tail — true through r7);
+    2. `queries_cold`/`curation_queries_cold` fragments regex-extracted
+       from that record's truncated `tail` (r8+: the headline block is
+       usually cut off, the curation block usually survives — a partial
+       baseline just means fewer auto-envelopes);
+    3. the most recent .bench_history.json entry with a DIFFERENT code
+       fingerprint at this SF (per-query colds recorded there since r12)
+       — "different code" approximates "previous round" without needing
+       the driver artifact at all."""
     import glob
     import re as _re
 
@@ -257,18 +276,43 @@ def _prev_round_cold(sf: float) -> dict[str, float]:
         m = _re.search(r"BENCH_r(\d+)\.json$", p)
         if m and int(m.group(1)) > best_n:
             best, best_n = p, int(m.group(1))
-    if best is None:
-        return {}
+    out: dict[str, float] = {}
+    if best is not None:
+        try:
+            with open(best) as fh:
+                rec = json.load(fh)
+        except (OSError, ValueError):
+            rec = {}
+        if rec.get("sf") == sf:
+            parsed = rec.get("parsed")
+            if isinstance(parsed, dict) and parsed.get("queries_cold"):
+                out.update(parsed.get("queries_cold") or {})
+                out.update(parsed.get("curation_queries_cold") or {})
+            else:
+                tail = rec.get("tail") or ""
+                for key in ("queries_cold", "curation_queries_cold"):
+                    m = _re.search(rf'"{key}": (\{{[^{{}}]*\}})', tail)
+                    if m:
+                        try:
+                            out.update(json.loads(m.group(1)))
+                        except ValueError:
+                            pass
+    if out:
+        return out
+    hist_path = os.path.join(root, ".bench_history.json")
     try:
-        with open(best) as fh:
-            rec = json.load(fh)
+        with open(hist_path) as fh:
+            hist = json.load(fh)
     except (OSError, ValueError):
         return {}
-    if rec.get("sf") != sf:
-        return {}
-    out = dict(rec.get("queries_cold") or {})
-    out.update(rec.get("curation_queries_cold") or {})
-    return out
+    for e in reversed(hist):
+        if (
+            e.get("sf") == sf
+            and e.get("code") != fingerprint
+            and e.get("queries_cold")
+        ):
+            return dict(e["queries_cold"])
+    return {}
 
 
 def main() -> None:
@@ -319,7 +363,8 @@ def main() -> None:
     for i, a in enumerate(sys.argv):
         if a == "--envelope" and i + 1 < len(sys.argv):
             forced.update(x for x in sys.argv[i + 1].split(",") if x)
-    prev_cold = _prev_round_cold(sf)
+    fingerprint = _code_fingerprint()
+    prev_cold = _prev_round_cold(sf, fingerprint)
     all_cold = dict(cold)
     all_cold.update(cur_cold)
     envelopes: dict[str, dict] = {}
@@ -395,7 +440,7 @@ def main() -> None:
     # raw totals for the cross-session band use the COLD policy uniformly
     # (cold for every headline query), matching the verdict's raw series
     raw_cold_total = round(sum(cold.values()), 3)
-    band = _raw_band(_code_fingerprint(), sf, raw_cold_total)
+    band = _raw_band(fingerprint, sf, raw_cold_total, all_cold)
     print(
         json.dumps(
             {
