@@ -817,54 +817,50 @@ def test_candlestick_patterns_pure_python(spark, sf_dir):
     assert got == expected
 
 
-def _py_verified_pairs(sf_dir):
-    """Pure-Python recompute of the minhash-LSH verified pair set —
-    word-3-gram shingles, 16 minhashes as 8-hex-char windows of four
-    seeded md5s, band signatures, the LSH_BUCKET_CAP hot-bucket
-    exclusion, candidate pairs, exact distinct-shingle Jaccard ≥ τ.
-    Shared by the pair-level and the end-to-end corpus-curation third
-    opinions. Returns {(doc_a, doc_b): jaccard}."""
+def _py_shingle_sets(sf_dir):
+    """doc_id -> set of word-3-gram shingles (docs with no shingle rows
+    are absent, exactly like the explode)."""
+    t = pq.read_table(table_path(sf_dir, "documents"),
+                      columns=["doc_id", "text"])
+    out = {}
+    for doc_id, text in zip(t.column("doc_id").to_pylist(),
+                            t.column("text").to_pylist()):
+        ws = text.split(" ")
+        grams = [" ".join(ws[i: i + 3]) for i in range(len(ws) - 2)]
+        if grams:
+            out[doc_id] = set(grams)
+    return out
+
+
+def _py_lsh_candidates(sf_dir, shingle_sets):
+    """Pure-Python recompute of the capped LSH candidate pair set —
+    16 minhashes as 8-hex-char windows of four seeded md5s, band
+    signatures, the LSH_BUCKET_CAP hot-bucket exclusion. Returns the
+    set of (doc_a, doc_b) with doc_a < doc_b."""
     import hashlib
     from itertools import combinations
 
     from stockmarket_bigdata_project_spark.llmdata.dedup import (
         BAND_SIZE,
-        JACCARD_THRESHOLD,
         LSH_BUCKET_CAP,
         N_HASHES,
         _MINHASH_SEEDS,
     )
 
-    t = pq.read_table(table_path(sf_dir, "documents"),
-                      columns=["doc_id", "text"])
-    docs = list(zip(t.column("doc_id").to_pylist(),
-                    t.column("text").to_pylist()))
-
-    # shingles: F.split(text, " ") is regex-split on a single space —
-    # identical to Python's str.split(" ") including empty tokens from
-    # consecutive spaces
-    shingle_sets: dict[int, set[str]] = {}
     sigs: dict[int, list[str]] = {}
-    for doc_id, text in docs:
-        ws = text.split(" ")
-        grams = [" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)]
-        if not grams:
-            continue  # no shingle rows → the doc never enters the pipeline
-        shingle_sets[doc_id] = set(grams)
+    for doc_id, grams in shingle_sets.items():
         # minhash over the MULTISET (r10: MIN is multiset-insensitive, so
-        # set(grams) would give the same mins — use the set for speed)
+        # the set gives the same mins — used for speed)
         h = [None] * N_HASHES
-        for g in shingle_sets[doc_id]:
+        for g in grams:
             for a, seed in enumerate(_MINHASH_SEEDS):
                 hx = hashlib.md5(f"{seed}|{g}".encode()).hexdigest()
                 for j in range(4):
-                    w = hx[8 * j : 8 * j + 8]
+                    w = hx[8 * j: 8 * j + 8]
                     k = 4 * a + j
                     if h[k] is None or w < h[k]:
                         h[k] = w
         sigs[doc_id] = h
-
-    # band signatures + hot-bucket cap
     buckets: dict[tuple[int, str], list[int]] = defaultdict(list)
     for doc_id, h in sigs.items():
         for band in range(N_HASHES // BAND_SIZE):
@@ -876,15 +872,42 @@ def _py_verified_pairs(sf_dir):
             continue  # hot bucket: never enters the self-join
         for a, b in combinations(sorted(members), 2):
             cands.add((a, b))
+    return cands
 
-    # exact verification over distinct shingles
-    expected = {}
-    for a, b in cands:
+
+def _py_candidate_overlap(sf_dir):
+    """{(doc_a, doc_b): (n_inter, na, nb)} over the capped LSH candidates
+    with ≥1 shared distinct shingle (the inner shingle join emits no row
+    for disjoint pairs)."""
+    shingle_sets = _py_shingle_sets(sf_dir)
+    out = {}
+    for a, b in _py_lsh_candidates(sf_dir, shingle_sets):
         sa, sb = shingle_sets[a], shingle_sets[b]
         n_inter = len(sa & sb)
-        if n_inter == 0:
-            continue  # the inner shingle join emits no row for this pair
-        jac = n_inter / (len(sa) + len(sb) - n_inter)
+        if n_inter:
+            out[(a, b)] = (n_inter, len(sa), len(sb))
+    return out
+
+
+def _py_verified_pairs(sf_dir):
+    """Pure-Python recompute of the minhash-LSH verified pair set —
+    word-3-gram shingles, 16 minhashes as 8-hex-char windows of four
+    seeded md5s, band signatures, the LSH_BUCKET_CAP hot-bucket
+    exclusion, candidate pairs, exact distinct-shingle Jaccard ≥ τ.
+    Shared by the pair-level and the end-to-end corpus-curation third
+    opinions. Returns {(doc_a, doc_b): jaccard}. (r12: the shingle/
+    minhash/band/cap stages moved to _py_shingle_sets/_py_lsh_candidates/
+    _py_candidate_overlap so the containment/edit-distance/ngram pair
+    verifiers share one recompute. Note on shingles: F.split(text, " ")
+    is regex-split on a single space — identical to Python's
+    str.split(" ") including empty tokens from consecutive spaces.)"""
+    from stockmarket_bigdata_project_spark.llmdata.dedup import (
+        JACCARD_THRESHOLD,
+    )
+
+    expected = {}
+    for (a, b), (n_inter, na, nb) in _py_candidate_overlap(sf_dir).items():
+        jac = n_inter / (na + nb - n_inter)
         if jac >= JACCARD_THRESHOLD:
             expected[(a, b)] = jac
     return expected
@@ -2036,3 +2059,305 @@ def test_correlation_matrix_pure_python(spark, sf_dir):
     assert row.corr_qty_price == corr(q, p)
     assert row.corr_qty_disc == corr(q, d)
     assert row.corr_price_disc == corr(p, d)
+
+
+def test_retrieval_eval_recall_pure_python(spark, sf_dir):
+    """Third opinion for the ANN recall evaluation: exact and IVF top-k
+    sets both recomputed in pure Python (the two rankings have their own
+    third opinions above), intersected per query, and the recall emitted
+    with the integer half-up micro-units idiom — no doubles anywhere."""
+    from stockmarket_bigdata_project_spark.llmdata.similarity import (
+        N_CENTROIDS,
+        N_QUERIES,
+        NPROBE,
+        TOP_K,
+        retrieval_eval_recall,
+    )
+
+    vecs = _mvecs(sf_dir)
+    cents = {cid: v for cid, v in vecs.items() if cid < N_CENTROIDS}
+    bucket = {
+        vid: min(((-_cos_py(v, cv), cid) for cid, cv in cents.items()))[1]
+        for vid, v in vecs.items()
+    }
+    by_bucket = defaultdict(set)
+    for vid, b in bucket.items():
+        by_bucket[b].add(vid)
+    expected = {}
+    for qid, qv in vecs.items():
+        if qid >= N_QUERIES:
+            continue
+        exact = {
+            cid
+            for _neg, cid in sorted(
+                (-_cos_py(qv, cv), cid)
+                for cid, cv in vecs.items()
+                if cid != qid
+            )[:TOP_K]
+        }
+        probed = [
+            cid
+            for _neg, cid in sorted(
+                (-_cos_py(qv, cv), cid) for cid, cv in cents.items()
+            )[:NPROBE]
+        ]
+        cand_ids = set().union(*(by_bucket[b] for b in probed)) - {qid}
+        approx = {
+            cid
+            for _neg, cid in sorted(
+                (-_cos_py(qv, vecs[c]), c) for c in cand_ids
+            )[:TOP_K]
+        }
+        n_exact, n_hit = len(exact), len(exact & approx)
+        expected[qid] = (
+            n_exact,
+            n_hit,
+            (2 * n_hit * 1_000_000 + n_exact) // (2 * n_exact),
+        )
+    got = {
+        r.query_id: (r.n_exact, r.n_hit, r.recall_micro)
+        for r in retrieval_eval_recall(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_label_centroid_similarity_pure_python(spark, sf_dir):
+    """Third opinion for the cluster-cohesion diagnostic: per-label exact
+    integer component sums, the rational round-half-away re-quantization
+    to an integer-micros centroid, and each vector's bit-exact cosine to
+    its own label centroid."""
+    from stockmarket_bigdata_project_spark.llmdata.similarity import (
+        label_centroid_similarity,
+    )
+
+    t = pq.read_table(table_path(sf_dir, "embeddings"),
+                      columns=["vec_id", "label"])
+    labels = dict(zip(t.column("vec_id").to_pylist(),
+                      t.column("label").to_pylist()))
+    vecs = _mvecs(sf_dir)
+    sums = defaultdict(lambda: None)
+    counts = Counter()
+    for vid, v in vecs.items():
+        lab = labels[vid]
+        counts[lab] += 1
+        if sums[lab] is None:
+            sums[lab] = list(v)
+        else:
+            sums[lab] = [a + b for a, b in zip(sums[lab], v)]
+    centroids = {}
+    for lab, s in sums.items():
+        n = counts[lab]
+        cm = []
+        for comp in s:
+            num = abs(comp) * 2 + n
+            den = 2 * n
+            sign = -1 if comp < 0 else 1
+            cm.append(sign * ((num - num % den) // den))
+        centroids[lab] = cm
+    expected = {
+        vid: (labels[vid], _cos_py(v, centroids[labels[vid]]))
+        for vid, v in vecs.items()
+    }
+    got = {
+        r.vec_id: (r.label, r.cos_to_centroid)
+        for r in label_centroid_similarity(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_minhash_containment_pairs_pure_python(spark, sf_dir):
+    """Third opinion for Broder containment verification: the shared
+    capped-LSH candidate overlap recompute plus the two integer÷integer
+    binary64 containment divisions — both directions bit-exact."""
+    from stockmarket_bigdata_project_spark.llmdata.dedup import (
+        minhash_containment_pairs,
+    )
+
+    expected = {
+        (a, b): (ni, na, nb, ni / na, ni / nb)
+        for (a, b), (ni, na, nb) in _py_candidate_overlap(sf_dir).items()
+    }
+    got = {
+        (r.doc_a, r.doc_b): (
+            r.n_inter, r.na, r.nb, r.containment_a, r.containment_b
+        )
+        for r in minhash_containment_pairs(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_ngram_jaccard_pairs_pure_python(spark, sf_dir):
+    """Third opinion for the inverted-index all-pairs Jaccard baseline
+    (no LSH, no cap): shingle→docs posting lists, pair intersection
+    counts, distinct-shingle Jaccard ≥ τ — sets and raw quotients."""
+    from itertools import combinations
+
+    from stockmarket_bigdata_project_spark.llmdata.dedup import (
+        JACCARD_THRESHOLD,
+        ngram_jaccard_pairs,
+    )
+
+    shingle_sets = _py_shingle_sets(sf_dir)
+    postings = defaultdict(list)
+    for doc_id, grams in shingle_sets.items():
+        for g in grams:
+            postings[g].append(doc_id)
+    inter = Counter()
+    for docs in postings.values():
+        for a, b in combinations(sorted(docs), 2):
+            inter[(a, b)] += 1
+    expected = {}
+    for (a, b), ni in inter.items():
+        jac = ni / (len(shingle_sets[a]) + len(shingle_sets[b]) - ni)
+        if jac >= JACCARD_THRESHOLD:
+            expected[(a, b)] = jac
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def _lev(a: str, b: str) -> int:
+    """Plain two-row Wagner–Fischer Levenshtein — a third implementation
+    against Spark's Java levenshtein and DuckDB's."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, start=1):
+        cur = [i]
+        for j, cb in enumerate(b, start=1):
+            cur.append(min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (ca != cb),
+            ))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_verified_pairs_pure_python(spark, sf_dir):
+    """Third opinion for the edit-distance verifier: the shared capped-LSH
+    candidate set, a from-scratch Wagner–Fischer Levenshtein over the raw
+    texts, the integer ed·40 ≤ max_len keep rule, and the one binary64
+    ratio division."""
+    from stockmarket_bigdata_project_spark.llmdata.dedup import (
+        ED_RATIO_DEN,
+        edit_distance_verified_pairs,
+    )
+
+    t = pq.read_table(table_path(sf_dir, "documents"),
+                      columns=["doc_id", "text"])
+    texts = dict(zip(t.column("doc_id").to_pylist(),
+                     t.column("text").to_pylist()))
+    shingle_sets = _py_shingle_sets(sf_dir)
+    expected = {}
+    for a, b in _py_lsh_candidates(sf_dir, shingle_sets):
+        ta, tb = texts[a], texts[b]
+        ml = max(len(ta), len(tb))
+        ed = _lev(ta, tb)
+        if ed * ED_RATIO_DEN <= ml:
+            expected[(a, b)] = (ed, ml, ed / ml)
+    got = {
+        (r.doc_a, r.doc_b): (r.edit_distance, r.max_len, r.ed_ratio)
+        for r in edit_distance_verified_pairs(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_matryoshka_recall_pure_python(spark, sf_dir):
+    """Third opinion for the truncation evaluation: exact integer-L2
+    top-k on the full 64 dims vs the first MRL_DIM dims, (dist ASC,
+    id ASC) tie order, integer half-up recall micros — no doubles."""
+    from stockmarket_bigdata_project_spark.llmdata.similarity import (
+        MRL_DIM,
+        N_QUERIES,
+        TOP_K,
+        matryoshka_recall,
+    )
+
+    vecs = _mvecs(sf_dir)
+
+    def topk(prefix):
+        out = {}
+        for qid, qv in vecs.items():
+            if qid >= N_QUERIES:
+                continue
+            scored = sorted(
+                (
+                    sum((x - y) * (x - y)
+                        for x, y in zip(cv[:prefix], qv[:prefix])),
+                    cid,
+                )
+                for cid, cv in vecs.items()
+                if cid != qid
+            )
+            out[qid] = {cid for _d, cid in scored[:TOP_K]}
+        return out
+
+    full, trunc = topk(len(next(iter(vecs.values())))), topk(MRL_DIM)
+    expected = {}
+    for qid, exact in full.items():
+        n_exact, n_hit = len(exact), len(exact & trunc[qid])
+        expected[qid] = (
+            n_exact,
+            n_hit,
+            (2 * n_hit * 1_000_000 + n_exact) // (2 * n_exact),
+        )
+    got = {
+        r.query_id: (r.n_exact, r.n_hit, r.recall_micro)
+        for r in matryoshka_recall(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_embedding_lsh_near_dup_pure_python(spark, sf_dir):
+    """Third opinion for hyperplane LSH near-dup: the ±1 plane matrix
+    re-derived from md5 parity (not imported), sign-bit band signatures,
+    band-collision candidates, exact cosine ≥ τ verification."""
+    import hashlib
+    from itertools import combinations
+
+    from stockmarket_bigdata_project_spark.llmdata.similarity import (
+        BITS_PER_BAND,
+        EMB_DIMS,
+        LSH_BANDS,
+        N_PLANES,
+        embedding_lsh_near_dup,
+    )
+
+    planes = [
+        [
+            1 if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1
+            for d in range(EMB_DIMS)
+        ]
+        for p in range(N_PLANES)
+    ]
+    vecs = _mvecs(sf_dir)
+    buckets = defaultdict(list)
+    for vid, v in vecs.items():
+        bits = [
+            1 if sum(x * s for x, s in zip(v, planes[p])) >= 0 else 0
+            for p in range(N_PLANES)
+        ]
+        for band in range(LSH_BANDS):
+            sig = "".join(
+                str(bits[band * BITS_PER_BAND + j])
+                for j in range(BITS_PER_BAND)
+            )
+            buckets[(band, sig)].append(vid)
+    cands = set()
+    for members in buckets.values():
+        for a, b in combinations(sorted(members), 2):
+            cands.add((a, b))
+    expected = {}
+    for a, b in cands:
+        c = _cos_py(vecs[a], vecs[b])
+        if c >= 0.40:
+            expected[(a, b)] = c
+    got = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in embedding_lsh_near_dup(spark, sf_dir).collect()
+    }
+    assert got == expected
