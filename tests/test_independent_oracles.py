@@ -2361,3 +2361,302 @@ def test_embedding_lsh_near_dup_pure_python(spark, sf_dir):
         for r in embedding_lsh_near_dup(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def _py_pq(vecs):
+    """Pure-Python product quantization: per-subspace codebooks from the
+    first PQ_K vectors, nearest-code assignment with the packed
+    dist·K+code integer argmin (lower-code tie rule), per-query ADC
+    lookup tables. Returns (sub, l2, codebooks, codes)."""
+    from stockmarket_bigdata_project_spark.llmdata.similarity import (
+        PQ_K,
+        PQ_SUB,
+        PQ_SUBDIM,
+    )
+
+    def sub(v, s):
+        return v[s * PQ_SUBDIM: (s + 1) * PQ_SUBDIM]
+
+    def l2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    cb = {
+        s: {int(code): sub(vecs[code], s) for code in vecs if code < PQ_K}
+        for s in range(PQ_SUB)
+    }
+    codes = {}
+    for vid, v in vecs.items():
+        codes[vid] = [
+            min(
+                int(l2(sub(v, s), cv)) * PQ_K + code
+                for code, cv in cb[s].items()
+            )
+            % PQ_K
+            for s in range(PQ_SUB)
+        ]
+    return sub, l2, cb, codes
+
+
+def test_pq_eval_recall_pure_python(spark, sf_dir):
+    """Third opinion for the PQ search path end-to-end: codebook encode,
+    ADC shortlist, exact-L2 re-rank, and the recall of the re-ranked
+    top-k against brute-force integer L2 — all integer arithmetic."""
+    from stockmarket_bigdata_project_spark.llmdata.similarity import (
+        N_QUERIES,
+        PQ_SHORTLIST,
+        PQ_SUB,
+        TOP_K,
+        pq_eval_recall,
+    )
+
+    vecs = _mvecs(sf_dir)
+    sub, l2, cb, codes = _py_pq(vecs)
+    expected = {}
+    for qid, qv in vecs.items():
+        if qid >= N_QUERIES:
+            continue
+        lut = {
+            s: {code: int(l2(sub(qv, s), cv)) for code, cv in cb[s].items()}
+            for s in range(PQ_SUB)
+        }
+        adc = sorted(
+            (sum(lut[s][codes[vid][s]] for s in range(PQ_SUB)), vid)
+            for vid in vecs
+            if vid != qid
+        )
+        short = [vid for _d, vid in adc[:PQ_SHORTLIST]]
+        rerank = sorted((int(l2(vecs[c], qv)), c) for c in short)
+        approx = {c for _d, c in rerank[:TOP_K]}
+        exact = {
+            c
+            for _d, c in sorted(
+                (int(l2(cv, qv)), cid)
+                for cid, cv in vecs.items()
+                if cid != qid
+            )[:TOP_K]
+        }
+        n_exact, n_hit = len(exact), len(exact & approx)
+        expected[qid] = (
+            n_exact,
+            n_hit,
+            (2 * n_hit * 1_000_000 + n_exact) // (2 * n_exact),
+        )
+    got = {
+        r.query_id: (r.n_exact, r.n_hit, r.recall_micro)
+        for r in pq_eval_recall(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_ivf_pq_eval_recall_pure_python(spark, sf_dir):
+    """Third opinion for the composed IVF-PQ path: L2 bucket assignment
+    and probing over the fixed centroid set, ADC ranking restricted to
+    probed buckets, recall vs brute-force L2 — integer micros only."""
+    from stockmarket_bigdata_project_spark.llmdata.similarity import (
+        N_CENTROIDS,
+        N_QUERIES,
+        NPROBE,
+        PQ_SUB,
+        TOP_K,
+        ivf_pq_eval_recall,
+    )
+
+    vecs = _mvecs(sf_dir)
+    sub, l2, cb, codes = _py_pq(vecs)
+    cents = {cid: v for cid, v in vecs.items() if cid < N_CENTROIDS}
+    bucket = {
+        vid: min((int(l2(v, cv)), cid) for cid, cv in cents.items())[1]
+        for vid, v in vecs.items()
+    }
+    expected = {}
+    for qid, qv in vecs.items():
+        if qid >= N_QUERIES:
+            continue
+        probed = {
+            cid
+            for _d, cid in sorted(
+                (int(l2(qv, cv)), cid) for cid, cv in cents.items()
+            )[:NPROBE]
+        }
+        lut = {
+            s: {code: int(l2(sub(qv, s), cv)) for code, cv in cb[s].items()}
+            for s in range(PQ_SUB)
+        }
+        adc = sorted(
+            (sum(lut[s][codes[vid][s]] for s in range(PQ_SUB)), vid)
+            for vid in vecs
+            if vid != qid and bucket[vid] in probed
+        )
+        approx = {vid for _d, vid in adc[:TOP_K]}
+        exact = {
+            c
+            for _d, c in sorted(
+                (int(l2(cv, qv)), cid)
+                for cid, cv in vecs.items()
+                if cid != qid
+            )[:TOP_K]
+        }
+        n_exact, n_hit = len(exact), len(exact & approx)
+        expected[qid] = (
+            n_exact,
+            n_hit,
+            (2 * n_hit * 1_000_000 + n_exact) // (2 * n_exact),
+        )
+    got = {
+        r.query_id: (r.n_exact, r.n_hit, r.recall_micro)
+        for r in ivf_pq_eval_recall(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_lsh_eval_precision_recall_pure_python(spark, sf_dir):
+    """Third opinion for the LSH candidate-quality eval: truth = the
+    recomputed all-pairs Jaccard ≥ τ set, candidates = the recomputed
+    capped band collisions, and the two count÷count binary64 divisions."""
+    from itertools import combinations
+
+    from stockmarket_bigdata_project_spark.llmdata.dedup import (
+        JACCARD_THRESHOLD,
+        lsh_eval_precision_recall,
+    )
+
+    shingle_sets = _py_shingle_sets(sf_dir)
+    postings = defaultdict(list)
+    for doc_id, grams in shingle_sets.items():
+        for g in grams:
+            postings[g].append(doc_id)
+    inter = Counter()
+    for docs in postings.values():
+        for a, b in combinations(sorted(docs), 2):
+            inter[(a, b)] += 1
+    truth = {
+        (a, b)
+        for (a, b), ni in inter.items()
+        if ni / (len(shingle_sets[a]) + len(shingle_sets[b]) - ni)
+        >= JACCARD_THRESHOLD
+    }
+    cands = _py_lsh_candidates(sf_dir, shingle_sets)
+    n_truth, n_cand = len(truth), len(cands)
+    n_hits = len(truth & cands)
+    row = lsh_eval_precision_recall(spark, sf_dir).collect()[0]
+    assert (row.n_truth, row.n_candidates, row.n_hits) == (
+        n_truth, n_cand, n_hits,
+    )
+    assert row.lsh_recall == n_hits / n_truth
+    assert row.candidate_precision == n_hits / n_cand
+
+
+def test_sparse_cosine_pairs_pure_python(spark, sf_dir):
+    """Third opinion for the sparse tf-cosine operator: multiset 3-gram
+    term frequencies, the df ≤ cap pruning, exact integer dots/norms,
+    and the dot/(√ssa·√ssb) binary64 division."""
+    import math
+
+    from stockmarket_bigdata_project_spark.llmdata.similarity import (
+        SC_DF_CAP,
+        SC_DOT_MIN,
+        sparse_cosine_pairs,
+    )
+
+    t = pq.read_table(table_path(sf_dir, "documents"),
+                      columns=["doc_id", "text"])
+    tf = {}
+    for doc_id, text in zip(t.column("doc_id").to_pylist(),
+                            t.column("text").to_pylist()):
+        ws = text.split(" ")
+        grams = [" ".join(ws[i: i + 3]) for i in range(len(ws) - 2)]
+        if grams:
+            tf[doc_id] = Counter(grams)
+    df = Counter()
+    for c in tf.values():
+        df.update(c.keys())
+    post = {
+        d: {g: n for g, n in c.items() if df[g] <= SC_DF_CAP}
+        for d, c in tf.items()
+    }
+    ssq = {d: sum(n * n for n in c.values()) for d, c in post.items()}
+    postings = defaultdict(list)
+    for d, c in post.items():
+        for g, n in c.items():
+            postings[g].append((d, n))
+    dots = Counter()
+    for plist in postings.values():
+        plist.sort()
+        for i, (da, na) in enumerate(plist):
+            for db, nb in plist[i + 1:]:
+                dots[(da, db)] += na * nb
+    expected = {}
+    for (da, db), dot in dots.items():
+        if dot >= SC_DOT_MIN:
+            expected[(da, db)] = (
+                dot,
+                float(dot) / (math.sqrt(float(ssq[da]))
+                              * math.sqrt(float(ssq[db]))),
+            )
+    got = {
+        (r.doc_a, r.doc_b): (r.dot, r.cosine)
+        for r in sparse_cosine_pairs(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_predict_returns_pure_python(spark, sf_dir):
+    """Third opinion for the Arrow-batched linear inference path: OHLCV
+    close doubles rebuilt from the parquet bytes (max-ord-key close),
+    prev-return and rolling-3 momentum in the engine's frame order, the
+    fixed linear model's coefficient algebra, and the floor(x·10^s+0.5)
+    fixed-point quantizer — bit-exact against the pandas_udf output."""
+    import math
+
+    from stockmarket_bigdata_project_spark.ml import (
+        _COEF_MOMENTUM,
+        _COEF_PREV_RET,
+        _INTERCEPT,
+        predict_returns,
+    )
+
+    t = pq.read_table(
+        table_path(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_suppkey", "l_shipdate",
+                 "l_extendedprice"],
+    )
+    closes = {}
+    for ok, ln, sk, sd, px in zip(*[t.column(c).to_pylist() for c in (
+            "l_orderkey", "l_linenumber", "l_suppkey", "l_shipdate",
+            "l_extendedprice")]):
+        day = sd.date() if hasattr(sd, "date") else sd
+        key = (ok * 16 + ln) * 100_000_000 + round(px * 100)
+        cur = closes.get((sk, day))
+        if cur is None or key > cur[0]:
+            closes[(sk, day)] = (key, px)
+    by_supp = defaultdict(list)
+    for (sk, day), (_k, px) in closes.items():
+        by_supp[sk].append((day, px))
+
+    def q(x, scale):
+        return math.floor(x * scale + 0.5) / scale
+
+    expected = {}
+    for sk, rows in by_supp.items():
+        rows.sort()
+        px = [p for _d, p in rows]
+        for i, (d, c) in enumerate(rows):
+            if i == 0:
+                continue  # prev_ret null → dropped
+            prev_ret = c / px[i - 1] - 1
+            acc = 0.0
+            frame = px[max(0, i - 2): i + 1]
+            for v in frame:
+                acc += v
+            momentum = c / (acc / len(frame)) - 1
+            pred = (
+                _COEF_PREV_RET * prev_ret + _COEF_MOMENTUM * momentum
+            ) + _INTERCEPT
+            expected[(sk, d)] = (c, q(pred, 1e6), q(c * (1 + pred), 1e4))
+    got = {
+        (r.l_suppkey, r.trade_date): (
+            r.close_px, r.pred_return, r.predicted_price
+        )
+        for r in predict_returns(spark, sf_dir).collect()
+    }
+    assert got == expected
