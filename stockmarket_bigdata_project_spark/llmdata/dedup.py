@@ -644,10 +644,12 @@ def incremental_minhash_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (band, sig) — written once at index-build time, exchange-free at query
 # time — and the hot-bucket set is a second (tiny) stored table. Per-batch
 # work is then: batch-only signature build (the batch filter pushes below
-# the aggregate to the scan) + broadcast anti-join against the stored hot
-# set + one equi-join against the bucketed index (the index side needs NO
-# exchange and NO sort — Spark plans a shuffle of the batch side only) +
-# candidate-filtered verification. The corpus TEXT pipeline never runs.
+# the aggregate to the scan) + an unhinted anti-join against the stored hot
+# set (r12: strategy left to AQE — broadcast when the stored set is small,
+# shuffle when a dedup-heavy corpus has grown it) + one equi-join against
+# the bucketed index (the index side needs NO exchange and NO sort — Spark
+# plans a shuffle of the batch side only) + candidate-filtered
+# verification. The corpus TEXT pipeline never runs.
 def _ensure_lsh_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Write the corpus-side LSH band index (bucketed on (band, sig)) and
     the corpus hot-bucket table, once per (session, corpus). At 100 TB
