@@ -203,7 +203,11 @@ def _code_fingerprint() -> str:
 
 
 def _raw_band(
-    fingerprint: str, sf: float, total: float, queries_cold: dict | None = None
+    fingerprint: str,
+    sf: float,
+    total: float,
+    queries_cold: dict | None = None,
+    queries_steady: dict | None = None,
 ) -> dict:
     """Append this session's raw headline total to .bench_history.json and
     return the band over all recorded same-code same-SF sessions
@@ -223,6 +227,14 @@ def _raw_band(
         # per-query colds (r12): the cross-round baseline source for the
         # auto-envelope once the driver artifact's tail truncates
         entry["queries_cold"] = queries_cold
+    if queries_steady:
+        # per-query steadies (r13): the warm-run envelope baseline — for
+        # non-staged queries the n=5 envelope repeats are all steady-state
+        # (the query already ran twice in-session), so their band must be
+        # classified against the previous round's STEADY reading, not its
+        # cold (r12 ADVICE: a warm band compared to a cold baseline
+        # dissolves genuine cold-path regressions into "noise")
+        entry["queries_steady"] = queries_steady
     hist.append(entry)
     try:
         with open(hist_path, "w") as fh:
@@ -252,67 +264,149 @@ ENVELOPE_TRIGGER_PCT = 15.0  # cold delta vs previous round that triggers n=5
 ENVELOPE_RUNS = 5
 
 
-def _prev_round_cold(sf: float, fingerprint: str) -> dict[str, float]:
-    """Per-query cold timings the auto-envelope compares against: the
-    previous round's record. Three sources, in order:
-
-    1. the highest-numbered BENCH_r{N}.json's `parsed` dict (the driver
-       wraps the bench JSON line; `parsed` is complete only while the
-       line fit the driver's 2000-char tail — true through r7);
-    2. `queries_cold`/`curation_queries_cold` fragments regex-extracted
-       from that record's truncated `tail` (r8+: the headline block is
-       usually cut off, the curation block usually survives — a partial
-       baseline just means fewer auto-envelopes);
-    3. the most recent .bench_history.json entry with a DIFFERENT code
-       fingerprint at this SF (per-query colds recorded there since r12)
-       — "different code" approximates "previous round" without needing
-       the driver artifact at all."""
-    import glob
-    import re as _re
-
-    root = os.path.dirname(os.path.abspath(__file__))
-    best, best_n = None, -1
-    for p in glob.glob(os.path.join(root, "BENCH_r*.json")):
-        m = _re.search(r"BENCH_r(\d+)\.json$", p)
-        if m and int(m.group(1)) > best_n:
-            best, best_n = p, int(m.group(1))
-    out: dict[str, float] = {}
-    if best is not None:
-        try:
-            with open(best) as fh:
-                rec = json.load(fh)
-        except (OSError, ValueError):
-            rec = {}
-        if rec.get("sf") == sf:
-            parsed = rec.get("parsed")
-            if isinstance(parsed, dict) and parsed.get("queries_cold"):
-                out.update(parsed.get("queries_cold") or {})
-                out.update(parsed.get("curation_queries_cold") or {})
-            else:
-                tail = rec.get("tail") or ""
-                for key in ("queries_cold", "curation_queries_cold"):
-                    m = _re.search(rf'"{key}": (\{{[^{{}}]*\}})', tail)
-                    if m:
-                        try:
-                            out.update(json.loads(m.group(1)))
-                        except ValueError:
-                            pass
-    if out:
-        return out
-    hist_path = os.path.join(root, ".bench_history.json")
+def _history_readings(
+    sf: float, fingerprint: str
+) -> tuple[dict[str, float], dict[str, float]]:
+    """(cold, steady) per-query baselines from the most recent
+    .bench_history.json entry with a DIFFERENT code fingerprint at this SF
+    (per-query colds recorded there since r12, steadies since r13).
+    "Different code" approximates "previous recorded code state" without
+    needing the driver artifact at all — and, unlike the newest
+    BENCH_r{N}.json, can never be THIS round's own record (r12 ADVICE: once
+    the driver writes the current round's BENCH, later same-round sessions
+    would otherwise compare against themselves)."""
+    hist_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_history.json"
+    )
     try:
         with open(hist_path) as fh:
             hist = json.load(fh)
     except (OSError, ValueError):
-        return {}
+        return {}, {}
     for e in reversed(hist):
         if (
             e.get("sf") == sf
             and e.get("code") != fingerprint
             and e.get("queries_cold")
         ):
-            return dict(e["queries_cold"])
-    return {}
+            return dict(e["queries_cold"]), dict(e.get("queries_steady") or {})
+    return {}, {}
+
+
+def _bench_record_readings(
+    sf: float,
+) -> tuple[dict[str, float], dict[str, float]]:
+    """(cold, steady) per-query baselines recovered from the driver's
+    BENCH_r{N}.json records, scanned in DESCENDING round order until one
+    matches this SF (r12 ADVICE: the old reader looked only at the single
+    highest-numbered record and gave up on an SF mismatch). Per record:
+    the `parsed` dict when the driver could parse the line, else
+    `queries_cold`/`curation_queries_cold` (and their steady-policy
+    `queries`/`curation_queries` twins) regex-extracted from the truncated
+    2000-char `tail` — a partial baseline just means fewer auto-envelopes."""
+    import glob
+    import re as _re
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    recs = []
+    for p in glob.glob(os.path.join(root, "BENCH_r*.json")):
+        m = _re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            recs.append((int(m.group(1)), p))
+    for _n, path in sorted(recs, reverse=True):
+        try:
+            with open(path) as fh:
+                rec = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if rec.get("sf") != sf:
+            continue
+        cold: dict[str, float] = {}
+        steady: dict[str, float] = {}
+        parsed = rec.get("parsed")
+        if isinstance(parsed, dict) and parsed.get("queries_cold"):
+            cold.update(parsed.get("queries_cold") or {})
+            cold.update(parsed.get("curation_queries_cold") or {})
+            steady.update(parsed.get("queries") or {})
+            steady.update(parsed.get("curation_queries") or {})
+        else:
+            tail = rec.get("tail") or ""
+            for key, dst in (
+                ("queries_cold", cold),
+                ("curation_queries_cold", cold),
+                ("queries", steady),
+                ("curation_queries", steady),
+            ):
+                m = _re.search(rf'"{key}": (\{{[^{{}}]*\}})', tail)
+                if m:
+                    try:
+                        dst.update(json.loads(m.group(1)))
+                    except ValueError:
+                        pass
+        return cold, steady
+    return {}, {}
+
+
+def _prev_round_readings(
+    sf: float, fingerprint: str
+) -> tuple[dict[str, float], dict[str, float]]:
+    """Per-query (cold, steady) timings the auto-envelope compares against:
+    the previous recorded code state. History source first (complete
+    per-query dicts, code-fingerprinted so it can never be this session's
+    own code), driver BENCH records as the fallback for SFs that predate
+    the r12 history fields."""
+    cold, steady = _history_readings(sf, fingerprint)
+    if cold:
+        return cold, steady
+    return _bench_record_readings(sf)
+
+
+def _prev_round_cold(sf: float, fingerprint: str) -> dict[str, float]:
+    return _prev_round_readings(sf, fingerprint)[0]
+
+
+def _compact_line(
+    total: float,
+    sf: float,
+    raw_cold_total: float,
+    band: dict,
+    norm_r6: float,
+    norm_r10m5: float,
+    spark_cal: float,
+    curation_total: float,
+    envelopes: dict,
+) -> str:
+    """The decision scalars as ONE JSON line guaranteed < 1900 chars, so
+    the driver's 2000-char stdout tail — whitespace-flushed by main() just
+    before this line — is itself a parseable JSON document."""
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "raw_cold_headline_total": raw_cold_total,
+        "raw_band": {
+            "sessions": band["sessions"],
+            "min": band["min"],
+            "max": band["max"],
+        },
+        "headline_normalized_spark_r6": norm_r6,
+        "headline_normalized_spark_r10m5": norm_r10m5,
+        "spark_calibration_sec": spark_cal,
+        "curation_queries_total": curation_total,
+        "envelope_medians": {
+            n: e["median"] for n, e in sorted(envelopes.items())[:12]
+        },
+        "note": (
+            "compact record; full JSON line precedes, per-query data in "
+            ".bench_history.json"
+        ),
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # envelope overflow guard: the scalars always fit
+        compact.pop("envelope_medians", None)
+        line = json.dumps(compact)
+    return line
 
 
 def main() -> None:
@@ -364,16 +458,26 @@ def main() -> None:
         if a == "--envelope" and i + 1 < len(sys.argv):
             forced.update(x for x in sys.argv[i + 1].split(",") if x)
     fingerprint = _code_fingerprint()
-    prev_cold = _prev_round_cold(sf, fingerprint)
+    prev_cold, prev_steady = _prev_round_readings(sf, fingerprint)
     all_cold = dict(cold)
     all_cold.update(cur_cold)
+    all_steady = dict(steady)
+    all_steady.update(cur_steady)
+    # a typo'd / non-HEADLINE / non-CURATION --envelope name would otherwise
+    # be silently ignored and the requested classification never run
+    for name in sorted(forced - set(all_cold)):
+        print(
+            f"  WARNING: --envelope name {name!r} is not a timed "
+            "HEADLINE/CURATION query; ignored",
+            file=sys.stderr,
+        )
     envelopes: dict[str, dict] = {}
     for name, c in all_cold.items():
-        delta = (
-            round(100.0 * (c - prev_cold[name]) / prev_cold[name], 1)
-            if prev_cold.get(name)
-            else None
-        )
+        # explicit, not truthiness: a 0.0 prev-cold (sub-0.5 ms query
+        # rounded to 0.0 at 3 decimals) means "no usable baseline", and
+        # must not silently skip via falsiness (r12 ADVICE)
+        p = prev_cold.get(name)
+        delta = None if p is None or p <= 0.0 else round(100.0 * (c - p) / p, 1)
         if name not in forced and (delta is None or abs(delta) <= ENVELOPE_TRIGGER_PCT):
             continue
         runs = []
@@ -385,17 +489,32 @@ def main() -> None:
             runs.append(round(time.perf_counter() - start, 3))
         import statistics
 
+        # Warm bias (r12 ADVICE): for a NON-staged query every envelope
+        # repeat is steady-state — the query already ran twice in-session —
+        # so the band speaks to the marginal plan cost only; classify it
+        # against the previous round's STEADY reading. Only STAGED queries
+        # (memo cleared per repeat) produce genuinely cold envelope runs
+        # comparable to the cold baseline. A cold-only regression on a
+        # non-staged query (codegen, UDF worker spin-up) will NOT appear
+        # in this band and needs a fresh-session cold reading to confirm.
         envelopes[name] = {
             "cold": c,
-            "prev_round_cold": prev_cold.get(name),
+            "prev_round_cold": p,
             "cold_delta_pct": delta,
+            "steady": all_steady.get(name),
+            "prev_round_steady": prev_steady.get(name),
             "runs": runs,
+            "runs_are_cold": name in STAGED,
             "median": round(statistics.median(runs), 3),
             "band": [min(runs), max(runs)],
             "policy": (
-                "same-session n=%d repeats (staged memo cleared per run "
-                "for staged queries); classify vs prev round using the "
-                "band, not the single cold point" % ENVELOPE_RUNS
+                "same-session n=%d repeats. STAGED queries: memo cleared "
+                "per run, runs are cold — classify vs prev_round_cold "
+                "using the band. Non-staged queries: runs are WARM "
+                "(3rd+ in-session execution) — classify vs "
+                "prev_round_steady; a cold-only delta unconfirmed by the "
+                "steady band needs a fresh-session cold to judge"
+                % ENVELOPE_RUNS
             ),
         }
         print(
@@ -440,7 +559,7 @@ def main() -> None:
     # raw totals for the cross-session band use the COLD policy uniformly
     # (cold for every headline query), matching the verdict's raw series
     raw_cold_total = round(sum(cold.values()), 3)
-    band = _raw_band(fingerprint, sf, raw_cold_total, all_cold)
+    band = _raw_band(fingerprint, sf, raw_cold_total, all_cold, all_steady)
     print(
         json.dumps(
             {
@@ -490,6 +609,29 @@ def main() -> None:
                 "envelopes": envelopes,
                 "sf": sf,
             }
+        )
+    )
+    # Compact decision record (r12 verdict task 1): the driver keeps only
+    # the LAST 2000 chars of stdout, and the full record above has outgrown
+    # that since r8 ("parsed": null every round; judges hand-recover figures
+    # from a truncated string). Emit the decision scalars as one line well
+    # under the window, preceded by a whitespace flush line sized so the
+    # driver's 2000-char tail is leading-whitespace + this object — valid
+    # JSON under BOTH known driver strategies (json.loads of the whole tail,
+    # which skips leading whitespace, and last-line parsing). The full
+    # record above still feeds .bench_history.json / per-query analysis.
+    print(" " * 2000)
+    print(
+        _compact_line(
+            total,
+            sf,
+            raw_cold_total,
+            band,
+            round(total * snorm, 3),
+            round(total * snorm_m5, 3),
+            spark_cal,
+            curation_total,
+            envelopes,
         )
     )
 

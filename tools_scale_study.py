@@ -250,6 +250,114 @@ def run_index_builds() -> None:
     )
 
 
+def run_forced_shuffle_anti() -> None:
+    """Wave 9 (r12 verdict task 2): measure the NON-broadcast hot-set
+    regime. The three r12 de-hinted anti-joins (llmdata/dedup.py — the LSH
+    hot-bucket cap in _build_lsh_candidates, the incremental variant, and
+    the stored-index variant) resolve as BroadcastHashJoin at every bench
+    SF because the hot set is small there; the 100 TB design claim is that
+    when a dedup-heavy corpus makes the hot set corpus-linear, the fallback
+    — a shuffle anti-join on (band, sig), whose exchange the candidate
+    self-join reuses — is the plan you want. This mode FORCES that regime
+    (static planner AND AQE runtime broadcast both disabled) and records,
+    per query per scale, the paired unforced-vs-forced cold/steady cost
+    plus executed-plan evidence: 0 broadcast anti-joins under force, the
+    anti-join executing as shuffle join, and the exchange-reuse claim
+    checked on the minhash_lsh_pairs plan."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from stockmarket_bigdata_project_spark import registry
+    from stockmarket_bigdata_project_spark.llmdata import dedup, indexcache
+    from stockmarket_bigdata_project_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-study-forced-anti")
+    q = dict(registry.all_queries())
+    names = [
+        "minhash_lsh_pairs",
+        "incremental_minhash_new_docs",
+        "incremental_minhash_indexed",
+    ]
+
+    def force(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    def set_broadcast(enabled: bool) -> None:
+        if enabled:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"
+            )
+
+    def plan_evidence(name: str, d: str) -> dict:
+        """Execute once more and read the FINAL adaptive plan."""
+        dedup.clear_staged_memo()
+        df = q[name](spark, d)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        anti_lines = [
+            ln.strip()[:160]
+            for ln in plan.splitlines()
+            if "LeftAnti" in ln or "ReusedExchange" in ln
+        ]
+        return {
+            "broadcast_anti": sum(
+                1 for ln in plan.splitlines()
+                if "BroadcastHashJoin" in ln and "LeftAnti" in ln
+            ),
+            "shuffle_anti": sum(
+                1 for ln in plan.splitlines()
+                if "LeftAnti" in ln and "BroadcastHashJoin" not in ln
+            ),
+            "reused_exchange": plan.count("ReusedExchange"),
+            "anti_plan_lines": anti_lines[:8],
+        }
+
+    scales = SCALES if "--scales" in sys.argv else (1, 8)
+    results = []
+    for name in names:
+        for k in scales:
+            d = os.path.join(ROOT, f"x{k}")
+            # pre-build the stored index OUTSIDE the timed region so the
+            # unforced and forced passes both measure the per-batch query
+            # (the build's own ∝-corpus cost has wave-7 rows)
+            if name == "incremental_minhash_indexed":
+                dedup._ensure_lsh_index(spark, d)
+            row = {"query": name, "scale": k}
+            for label, enabled in (("unforced", True), ("forced", False)):
+                set_broadcast(enabled)
+                dedup.clear_staged_memo()
+                start = time.perf_counter()
+                force(q[name](spark, d))
+                cold = round(time.perf_counter() - start, 3)
+                start = time.perf_counter()
+                force(q[name](spark, d))
+                steady = round(time.perf_counter() - start, 3)
+                row[label] = {"cold": cold, "steady": steady}
+            row["forced_plan"] = plan_evidence(name, d)
+            set_broadcast(True)
+            results.append(row)
+            print(json.dumps(row), flush=True)
+            indexcache.clear_prepared_indexes()
+    print(
+        json.dumps(
+            {
+                "summary": {
+                    f"{r['query']}@x{r['scale']}": {
+                        "cold_ratio": round(
+                            r["forced"]["cold"] / r["unforced"]["cold"], 2
+                        ),
+                        "broadcast_anti": r["forced_plan"]["broadcast_anti"],
+                        "shuffle_anti": r["forced_plan"]["shuffle_anti"],
+                    }
+                    for r in results
+                }
+            }
+        )
+    )
+
+
 def build() -> None:
     import duckdb
 
@@ -397,5 +505,7 @@ if __name__ == "__main__":
     build()
     if "--index-builds" in sys.argv:
         run_index_builds()
+    elif "--forced-shuffle-anti" in sys.argv:
+        run_forced_shuffle_anti()
     elif "--build" not in sys.argv:
         run()
