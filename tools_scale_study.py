@@ -280,6 +280,13 @@ def run_forced_shuffle_anti() -> None:
     def force(df):
         df.write.format("noop").mode("overwrite").save()
 
+    # bench.py-style session warm-up so the FIRST timed row (unforced x1)
+    # doesn't carry JVM/codegen/scheduler spin-up — the first run of this
+    # mode put ~6 s of session startup on minhash_lsh_pairs' unforced x1
+    # cold, making the paired forced/unforced ratio there meaningless
+    force(q[names[0]](spark, os.path.join(ROOT, "x1")).limit(1))
+    dedup.clear_staged_memo()
+
     def set_broadcast(enabled: bool) -> None:
         if enabled:
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
@@ -439,6 +446,9 @@ def build() -> None:
 def run() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from stockmarket_bigdata_project_spark import registry
+    from stockmarket_bigdata_project_spark.llmdata.dedup import (
+        clear_staged_memo,
+    )
     from stockmarket_bigdata_project_spark.session import get_spark
 
     spark = get_spark(app_name="scale-study")
@@ -447,6 +457,11 @@ def run() -> None:
 
     def force(df):
         df.write.format("noop").mode("overwrite").save()
+
+    # bench.py-style warm-up: the first timed cold otherwise carries JVM/
+    # codegen/scheduler session spin-up (the standing first-query caveat,
+    # previously handled by noting it in the wave prose)
+    force(q["gold_daily_features"](spark, os.path.join(ROOT, "x1")).limit(1))
 
     def fit(secs):
         xs = [math.log2(k) for k in SCALES]
@@ -470,6 +485,13 @@ def run() -> None:
         cold, steady = {}, {}
         for k in SCALES:
             d = os.path.join(ROOT, f"x{k}")
+            # clear the dedup staged memo so a staged query's cold pays the
+            # FULL pipeline even when another staged consumer (e.g.
+            # corpus_clean before minhash_lsh_pairs) already ran for this
+            # sf_dir — the bench.py r8 protocol; without it row honesty
+            # depended on the run set's ordering (r13: an x16 extension run
+            # that included corpus_clean read minhash colds of 0.1 s)
+            clear_staged_memo()
             start = time.perf_counter()
             force(q[name](spark, d))  # cold: fills caches/staged relations
             cold[k] = round(time.perf_counter() - start, 3)
