@@ -1316,19 +1316,16 @@ GOPHER_MIN_MEAN_TOK = 3  # mean token length bounds (chars)
 GOPHER_MAX_MEAN_TOK = 10
 
 
-def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The Gopher rule bundle as one map-side pass: per doc, each rule's
-    boolean flag plus the keep decision — the canonical heuristic filter
-    set (doc length bounds, mean-token-length band, symbol and digit
-    ratios, stopword floor) that real curation stacks run before any
-    model-based scoring.
+def _gopher_flag_cols() -> dict[str, "F.Column"]:
+    """The Gopher rule bundle's column expressions over a `text` column —
+    the single source of truth shared by gopher_quality_flags and
+    quality_calibration_buckets (same non-divergence rule as
+    quality_exprs).
 
     Every ratio rule is an INTEGER CROSS-MULTIPLICATION, never a
     division: symbol_ratio > 1/10 is `10·n_sym > n_chars`, the mean-token
     band is `3·n ≤ c ≤ 10·n` — zero floats anywhere, so the oracle is
-    trivially bit-portable (playbook rules 1/11 by construction). Zero
-    shuffle: pure per-row expressions folded into the scan stage."""
-    docs = load_table(spark, sf_dir, "documents")
+    trivially bit-portable (playbook rules 1/11 by construction)."""
     toks = _tok()
     n = F.size(toks).cast("long")
     n_chars = F.length("text").cast("long")
@@ -1358,16 +1355,37 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         too_short + too_long + bad_mean_tok + symbol_heavy + digit_heavy
         + no_stopword
     )
+    return {
+        "n_tokens": n,
+        "too_short": too_short,
+        "too_long": too_long,
+        "bad_mean_tok_len": bad_mean_tok,
+        "symbol_heavy": symbol_heavy,
+        "digit_heavy": digit_heavy,
+        "no_stopword": no_stopword,
+        "keep": (flags_sum == 0).cast("int"),
+    }
+
+
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule bundle as one map-side pass: per doc, each rule's
+    boolean flag plus the keep decision — the canonical heuristic filter
+    set (doc length bounds, mean-token-length band, symbol and digit
+    ratios, stopword floor) that real curation stacks run before any
+    model-based scoring. Zero shuffle: pure per-row expressions
+    (_gopher_flag_cols) folded into the scan stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = _gopher_flag_cols()
     return docs.select(
         "doc_id",
-        n.alias("n_tokens"),
-        too_short.alias("too_short"),
-        too_long.alias("too_long"),
-        bad_mean_tok.alias("bad_mean_tok_len"),
-        symbol_heavy.alias("symbol_heavy"),
-        digit_heavy.alias("digit_heavy"),
-        no_stopword.alias("no_stopword"),
-        (flags_sum == 0).cast("int").alias("keep"),
+        g["n_tokens"].alias("n_tokens"),
+        g["too_short"].alias("too_short"),
+        g["too_long"].alias("too_long"),
+        g["bad_mean_tok_len"].alias("bad_mean_tok_len"),
+        g["symbol_heavy"].alias("symbol_heavy"),
+        g["digit_heavy"].alias("digit_heavy"),
+        g["no_stopword"].alias("no_stopword"),
+        g["keep"].alias("keep"),
     )
 
 
@@ -1406,6 +1424,110 @@ SELECT doc_id, n AS n_tokens,
        CAST(too_short + too_long + bad_mean_tok_len + symbol_heavy
             + digit_heavy + no_stopword = 0 AS INTEGER) AS keep
 FROM f
+"""
+
+
+# --- quality-score calibration (reliability buckets / ECE shape) -------------
+CALIB_BUCKETS = 10
+
+
+def quality_calibration_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram / expected-calibration-error buckets for the
+    heuristic quality score, scored against the Gopher keep decision —
+    the evaluation every model- or heuristic-based quality filter needs
+    before its threshold is trusted on a full crawl: bucket documents by
+    predicted quality (deciles of the micro score), then compare each
+    bucket's mean prediction with its empirical keep rate. |gap| per
+    bucket is the reliability-diagram deviation; the n-weighted sum over
+    buckets is ECE.
+
+    All arithmetic is integer-rational (micro units, round-half-up via
+    the shared cross-multiplication idiom), reusing quality_exprs() and
+    _gopher_flag_cols() verbatim so this query cannot diverge from the
+    proven scorer/filter pair.
+
+    Scale shape: one map-side pass computing both expression bundles in
+    the scan stage, then a single ≤CALIB_BUCKETS-group hash aggregate —
+    the partial aggregates collapse each partition to ≤10 rows before the
+    one exchange. At 100 TB this is scan-bound, exactly like
+    gopher_quality_flags. [extension]"""
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_exprs()
+    g = _gopher_flag_cols()
+    base = docs.select(
+        q["quality_micro"].alias("micro"),
+        g["keep"].cast("long").alias("keep"),
+    )
+    bucket = F.least(
+        F.lit(CALIB_BUCKETS - 1),
+        F.expr(f"micro DIV {1_000_000 // CALIB_BUCKETS}"),
+    ).cast("int")
+    agg = (
+        base.select(bucket.alias("bucket"), "micro", "keep")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("micro").alias("sum_micro"),
+            F.sum("keep").alias("n_keep"),
+        )
+    )
+    avg_pred = F.expr("(2 * sum_micro + n_docs) DIV (2 * n_docs)")
+    keep_rate = F.expr("(2 * 1000000 * n_keep + n_docs) DIV (2 * n_docs)")
+    return agg.select(
+        "bucket",
+        "n_docs",
+        avg_pred.alias("avg_pred_micro"),
+        keep_rate.alias("keep_rate_micro"),
+        F.abs(avg_pred - keep_rate).alias("gap_micro"),
+    )
+
+
+QUERIES["quality_calibration_buckets"] = quality_calibration_buckets
+
+ORACLE["quality_calibration_buckets"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(text) - (len(string_split(text, ' ')) - 1) AS BIGINT)
+           AS c,
+         CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS BIGINT)
+           AS n_sym,
+         CAST(length(text)
+              - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT)
+           AS n_digit,
+         CAST(len(list_filter(string_split(text, ' '),
+                  tok -> tok IN ('{_STOP_SQL}'))) AS BIGINT) AS stop
+  FROM documents
+), scored AS (
+  SELECT CASE WHEN n < 10 THEN 0 ELSE {QUALITY_MICRO_SQL} END AS micro,
+         CAST(n < {GOPHER_MIN_TOKENS} AS BIGINT)
+           + CAST(n > {GOPHER_MAX_TOKENS} AS BIGINT)
+           + CAST(c < {GOPHER_MIN_MEAN_TOK} * n
+                  OR c > {GOPHER_MAX_MEAN_TOK} * n AS BIGINT)
+           + CAST(10 * n_sym > n_chars AS BIGINT)
+           + CAST(5 * n_digit > n_chars AS BIGINT)
+           + CAST(stop = 0 AS BIGINT) AS flags
+  FROM t
+), b AS (
+  SELECT CAST(least({CALIB_BUCKETS - 1},
+                    micro // {1_000_000 // CALIB_BUCKETS}) AS INTEGER)
+           AS bucket,
+         micro,
+         CAST(flags = 0 AS BIGINT) AS keep
+  FROM scored
+), agg AS (
+  SELECT bucket, count(*) AS n_docs,
+         CAST(sum(micro) AS BIGINT) AS sum_micro,
+         CAST(sum(keep) AS BIGINT) AS n_keep
+  FROM b GROUP BY bucket
+)
+SELECT bucket, n_docs,
+       (2 * sum_micro + n_docs) // (2 * n_docs) AS avg_pred_micro,
+       (2 * 1000000 * n_keep + n_docs) // (2 * n_docs) AS keep_rate_micro,
+       abs((2 * sum_micro + n_docs) // (2 * n_docs)
+           - (2 * 1000000 * n_keep + n_docs) // (2 * n_docs)) AS gap_micro
+FROM agg
 """
 
 

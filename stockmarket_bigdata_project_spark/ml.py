@@ -539,3 +539,117 @@ SELECT event_id, e.event_type, value,
        END AS loo_mean_value
 FROM events e JOIN stats s USING (event_type)
 """
+
+
+# --- M6 extension: exact ROC AUC of the model score -------------------------
+def direction_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ticker ROC AUC (Mann-Whitney U with midrank tie handling) of
+    the fixed linear model's predicted return as a score for the next
+    observed day's up-move — the threshold-free companion to
+    eval_metrics' direction_accuracy (reference app.py:410-416 reports
+    only the thresholded form; AUC is what a model comparison needs).
+
+    Exactness: the score is the proven _q-quantized prediction (identical
+    binary64 on both engines, so tie GROUPS are identical), and the AUC
+    itself never touches a float — with per-score-group counts pos_g and
+    neg_g and cum_neg_g = Σ neg over strictly-lower scores, the tie-aware
+    numerator is 2U = Σ_g pos_g·(2·cum_neg_g + neg_g) (ties count half in
+    U units), an integer, and AUC_micro = round-half-up(10⁶·2U / (2·n⁺n⁻))
+    by cross-multiplication. Labels on the feature-filtered series (first
+    row per key dropped by prev_ret, last by the lead) — both engines see
+    the same series.
+
+    Scale shape: the label lead reuses the per-key window partitioning the
+    feature build already shuffled for; then one (key, score) hash
+    aggregate, one window over the per-SCORE-GROUP relation (|groups| ≤
+    |rows|, partition-local sort only), one per-key aggregate. No joins,
+    no global sort. [extension]"""
+    f = _features(spark, sf_dir)
+    pred = _linear_predict_udf()(F.col("prev_ret"), F.col("momentum"))
+    w = _W()
+    scored = f.select(
+        "l_suppkey",
+        "trade_date",
+        "close_px",
+        _q(pred, 1e6).alias("score"),
+    )
+    nxt = F.lead("close_px", 1).over(w)
+    labeled = scored.select(
+        "l_suppkey",
+        "score",
+        (nxt > F.col("close_px")).cast("long").alias("label"),
+    ).filter(F.col("label").isNotNull())
+    grp = labeled.groupBy("l_suppkey", "score").agg(
+        F.sum("label").alias("pos"),
+        (F.count("*") - F.sum("label")).alias("neg"),
+    )
+    wsc = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = grp.select(
+        "l_suppkey",
+        "pos",
+        "neg",
+        F.coalesce(F.sum("neg").over(wsc), F.lit(0)).alias("cum_neg"),
+    )
+    per = cum.groupBy("l_suppkey").agg(
+        F.sum(F.col("pos") * (2 * F.col("cum_neg") + F.col("neg"))).alias(
+            "num2"
+        ),
+        F.sum("pos").alias("n_pos"),
+        F.sum("neg").alias("n_neg"),
+    )
+    return per.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0)).select(
+        "l_suppkey",
+        "n_pos",
+        "n_neg",
+        F.expr(
+            "(2 * 1000000 * num2 + 2 * n_pos * n_neg)"
+            " DIV (4 * n_pos * n_neg)"
+        ).alias("auc_micro"),
+    )
+
+
+QUERIES["direction_auc"] = direction_auc
+
+ORACLE["direction_auc"] = f"""
+WITH p AS ({_PRED_SQL}),
+scored AS (
+  SELECT l_suppkey, trade_date, close_px,
+         floor(pred * 1000000.0 + 0.5) / 1000000.0 AS score
+  FROM p
+), led AS (
+  SELECT l_suppkey, score,
+         lead(close_px, 1) OVER (PARTITION BY l_suppkey
+                                 ORDER BY trade_date) AS nxt,
+         close_px
+  FROM scored
+), lab AS (
+  SELECT l_suppkey, score, CAST(nxt > close_px AS BIGINT) AS label
+  FROM led WHERE nxt IS NOT NULL
+), grp AS (
+  SELECT l_suppkey, score,
+         CAST(sum(label) AS BIGINT) AS pos,
+         CAST(count(*) - sum(label) AS BIGINT) AS neg
+  FROM lab GROUP BY l_suppkey, score
+), cum AS (
+  SELECT l_suppkey, pos, neg,
+         COALESCE(CAST(sum(neg) OVER (
+             PARTITION BY l_suppkey ORDER BY score
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS BIGINT), 0) AS cum_neg
+  FROM grp
+), per AS (
+  SELECT l_suppkey,
+         CAST(sum(pos * (2 * cum_neg + neg)) AS BIGINT) AS num2,
+         CAST(sum(pos) AS BIGINT) AS n_pos,
+         CAST(sum(neg) AS BIGINT) AS n_neg
+  FROM cum GROUP BY l_suppkey
+)
+SELECT l_suppkey, n_pos, n_neg,
+       (2 * 1000000 * num2 + 2 * n_pos * n_neg)
+         // (4 * n_pos * n_neg) AS auc_micro
+FROM per WHERE n_pos > 0 AND n_neg > 0
+"""

@@ -162,6 +162,14 @@ _INTRODUCED_R9: frozenset[str] = frozenset({
     "incremental_dedup_indexed",
 })
 
+# Queries introduced during round 13 (tier-0 unproven: they front the
+# window and earn their proof immediately; the registry entered round 13
+# fully proven otherwise).
+_INTRODUCED_R13: frozenset[str] = frozenset({
+    "quality_calibration_buckets",
+    "direction_auc",
+})
+
 # Round-8 re-proof priority (r7 verdict task 8): with every query proven,
 # the gate window re-proves old queries — spend the spare slots on the
 # FLOAT-BEARING families first (raw binary64 outputs whose cross-engine
@@ -197,6 +205,8 @@ _REPROOF_PRIORITY = (
 
 
 def _introduced_rank(name: str) -> int:
+    if name in _INTRODUCED_R13:
+        return 6
     if name in _INTRODUCED_R9:
         return 5
     if name in _INTRODUCED_R8:

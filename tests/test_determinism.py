@@ -184,6 +184,10 @@ _SENSITIVE = [
     # per-group, partitioning-independent; pinned anyway
     "suppression_window_dedup",
     "asof_join_merge_pandas",
+    # round-13 introductions (_INTRODUCED_R13), pinned before their gate
+    # window lands them
+    "quality_calibration_buckets",  # micro-score deciles vs keep-rate gaps
+    "direction_auc",  # midrank Mann-Whitney from per-score-group counts
 ]
 
 

@@ -1946,3 +1946,44 @@ def test_semdedup_and_decontam_indexed_bloom_ineligible_by_shape(spark, sf_dir):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+# --- round-13 introductions: the scale claims in their docstrings -------------
+def test_quality_calibration_single_bucket_exchange(spark, sf_dir):
+    """quality_calibration_buckets claims one map-side expression pass and
+    a single ≤10-group hash aggregate: exactly one exchange (on bucket),
+    no join, no Python stage, no global sort — the whole query must stay
+    scan-bound at 100 TB."""
+    from stockmarket_bigdata_project_spark.llmdata.textstats import (
+        quality_calibration_buckets,
+    )
+
+    plan = _plan(quality_calibration_buckets(spark, sf_dir))
+    assert plan.count("Exchange") == 2, plan  # tree line + detail block
+    assert "hashpartitioning(bucket" in plan, plan
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_direction_auc_no_joins_no_global_sort(spark, sf_dir):
+    """direction_auc claims a join-free, global-sort-free shape: every
+    exchange hashpartitions the DAILY (per-key aggregated) relation on
+    l_suppkey-led keys — never the fact table a second time, never a
+    range partitioning (which would serialize a global sort). Three
+    exchanges today: the OHLCV aggregate's (key, day), the feature
+    window's (key), and one (key) re-shuffle after the Arrow inference
+    stage (ArrowEvalPython does not propagate child partitioning); if
+    Spark learns to propagate it, this pin's count drops — tighten it."""
+    from stockmarket_bigdata_project_spark.ml import direction_auc
+
+    plan = _plan(direction_auc(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert plan.count("Exchange") == 6, plan  # 3 exchanges × (tree+detail)
+    import re
+
+    for args in re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
+        assert args.startswith("l_suppkey"), plan

@@ -143,6 +143,9 @@ QUERIES = [
     # substring_dedup_rewrite re-runs from wave 1 post-fix; softdedup_weights
     # is newly measured (its membership join is now unhinted/AQE)
     "softdedup_weights",
+    # round-13 introductions: scan-bound claims in their docstrings
+    "quality_calibration_buckets",
+    "direction_auc",
 ]
 
 
