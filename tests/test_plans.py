@@ -1987,3 +1987,56 @@ def test_direction_auc_no_joins_no_global_sort(spark, sf_dir):
 
     for args in re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
         assert args.startswith("l_suppkey"), plan
+
+
+def test_stored_hot_set_shuffle_anti_executes_when_nonempty(
+    spark, sf_dir, monkeypatch
+):
+    """Wave-9b closure (PERFORMANCE.md r13): at every bench SF the STORED
+    hot set is empty, so under forced no-broadcast AQE empty-relation-
+    propagates the de-hinted anti-join away before it can demonstrate the
+    fallback. Shrink the cap so the stored hot set is NON-empty (sf0.001
+    corpus side has 7 buckets above cap=2), then prove the fallback on
+    the real stored-index path: with broadcast disabled at BOTH planner
+    and AQE level, the hot-set anti-join EXECUTES as a non-broadcast
+    LeftAnti against the stored table, and the candidate rows are
+    IDENTICAL to the default-regime run (strategy invariance)."""
+    from stockmarket_bigdata_project_spark.llmdata import dedup, indexcache
+
+    monkeypatch.setattr(dedup, "LSH_BUCKET_CAP", 2)
+    indexcache.clear_prepared_indexes()
+    dedup.clear_staged_memo()
+    try:
+        _bt, ht = dedup._ensure_lsh_index(spark, sf_dir)
+        assert spark.table(ht).count() > 0, "cap=2 must mint hot buckets"
+
+        def rows(df):
+            return sorted(tuple(r) for r in df.collect())
+
+        base = rows(dedup._indexed_candidates(spark, sf_dir))
+        assert base, "candidates must survive the cap for a non-trivial pin"
+        confs = {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        }
+        prev = {k: spark.conf.get(k, None) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            forced_df = dedup._indexed_candidates(spark, sf_dir)
+            forced = rows(forced_df)
+            plan = forced_df._jdf.queryExecution().executedPlan().toString()
+            anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+            assert anti, f"anti-join eliminated despite non-empty hot set\n{plan}"
+            assert not any("BroadcastHashJoin" in ln for ln in anti), plan
+        finally:
+            for k, v in prev.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+        assert forced == base, "anti-join strategy changed the rows"
+    finally:
+        # drop the cap=2 memo so any later caller rebuilds the real index
+        indexcache.clear_prepared_indexes()
+        dedup.clear_staged_memo()
