@@ -2660,3 +2660,144 @@ def test_predict_returns_pure_python(spark, sf_dir):
         for r in predict_returns(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_direction_auc_pure_python_pairwise(spark, sf_dir):
+    """Third opinion for the r13 AUC query via a DIFFERENT ALGORITHM:
+    the engine computes Mann-Whitney from per-score-group counts and a
+    strictly-below cumulative; this recompute walks every (positive,
+    negative) PAIR naively — 2 per win, 1 per tie — from the parquet
+    bytes (features/score rebuilt exactly as the proven predict_returns
+    third opinion), and the integer micro quantization must agree
+    bit-for-bit."""
+    import math
+
+    from stockmarket_bigdata_project_spark.ml import (
+        _COEF_MOMENTUM,
+        _COEF_PREV_RET,
+        _INTERCEPT,
+        direction_auc,
+    )
+
+    t = pq.read_table(
+        table_path(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_suppkey", "l_shipdate",
+                 "l_extendedprice"],
+    )
+    closes = {}
+    for ok, ln, sk, sd, px in zip(*[t.column(c).to_pylist() for c in (
+            "l_orderkey", "l_linenumber", "l_suppkey", "l_shipdate",
+            "l_extendedprice")]):
+        day = sd.date() if hasattr(sd, "date") else sd
+        key = (ok * 16 + ln) * 100_000_000 + round(px * 100)
+        cur = closes.get((sk, day))
+        if cur is None or key > cur[0]:
+            closes[(sk, day)] = (key, px)
+    by_supp = defaultdict(list)
+    for (sk, day), (_k, px) in closes.items():
+        by_supp[sk].append((day, px))
+
+    expected = {}
+    for sk, rows in by_supp.items():
+        rows.sort()
+        px = [p for _d, p in rows]
+        series = []  # (score, label) over the feature-filtered rows
+        for i, (d, c) in enumerate(rows):
+            if i == 0:
+                continue  # prev_ret null → dropped by _features
+            prev_ret = c / px[i - 1] - 1
+            acc = 0.0
+            frame = px[max(0, i - 2): i + 1]
+            for v in frame:
+                acc += v
+            momentum = c / (acc / len(frame)) - 1
+            pred = (
+                _COEF_PREV_RET * prev_ret + _COEF_MOMENTUM * momentum
+            ) + _INTERCEPT
+            score = math.floor(pred * 1e6 + 0.5) / 1e6
+            series.append((score, c))
+        # label = next row's close > this row's close (lead over the
+        # SAME filtered series); last row has no lead → dropped
+        labeled = [
+            (s, 1 if series[i + 1][1] > c else 0)
+            for i, (s, c) in enumerate(series[:-1])
+        ]
+        pos = [s for s, y in labeled if y == 1]
+        neg = [s for s, y in labeled if y == 0]
+        if not pos or not neg:
+            continue
+        u2 = 0  # 2·U: 2 per strict win, 1 per tie — the naive O(n²) walk
+        for sp in pos:
+            for sn in neg:
+                if sp > sn:
+                    u2 += 2
+                elif sp == sn:
+                    u2 += 1
+        np_, nn = len(pos), len(neg)
+        micro = (2 * 1_000_000 * u2 + 2 * np_ * nn) // (4 * np_ * nn)
+        expected[sk] = (np_, nn, micro)
+
+    got = {
+        r.l_suppkey: (r.n_pos, r.n_neg, r.auc_micro)
+        for r in direction_auc(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_quality_calibration_buckets_pure_python(spark, sf_dir):
+    """Third opinion for the r13 calibration query: quality micro score,
+    Gopher keep decision, decile bucketing and the per-bucket integer
+    rationals all recomputed from the parquet bytes with Python's re/str
+    — a third regex/split engine against Spark's and DuckDB's."""
+    from stockmarket_bigdata_project_spark.llmdata.textstats import (
+        CALIB_BUCKETS,
+        GOPHER_MAX_MEAN_TOK,
+        GOPHER_MAX_TOKENS,
+        GOPHER_MIN_MEAN_TOK,
+        GOPHER_MIN_TOKENS,
+        STOPWORDS,
+        quality_calibration_buckets,
+    )
+
+    stop_set = set(STOPWORDS)
+    agg = defaultdict(lambda: [0, 0, 0])  # bucket -> [n, sum_micro, n_keep]
+    for _doc_id, _source, text in _docs(sf_dir):
+        toks = text.split(" ")
+        n = len(toks)
+        chars = len(text)
+        c = chars - (n - 1)
+        stop = sum(1 for tk in toks if tk in stop_set)
+        if n < 10:
+            micro = 0
+        else:
+            t1 = min(500000, 2500 * n) * (8 * n)
+            t2 = 2400000 * (n - stop)
+            t3 = min(1600000 * n, 200000 * c)
+            micro = (2 * (t1 + t2 + t3) + 8 * n) // (16 * n)
+        n_sym = len(re.sub(r"[a-z0-9 ]", "", text))
+        n_digit = chars - len(re.sub(r"[0-9]", "", text))
+        keep = not (
+            n < GOPHER_MIN_TOKENS
+            or n > GOPHER_MAX_TOKENS
+            or c < GOPHER_MIN_MEAN_TOK * n
+            or c > GOPHER_MAX_MEAN_TOK * n
+            or 10 * n_sym > chars
+            or 5 * n_digit > chars
+            or stop == 0
+        )
+        b = min(CALIB_BUCKETS - 1, micro // (1_000_000 // CALIB_BUCKETS))
+        agg[b][0] += 1
+        agg[b][1] += micro
+        agg[b][2] += 1 if keep else 0
+
+    expected = {}
+    for b, (n_docs, sum_micro, n_keep) in agg.items():
+        avg_pred = (2 * sum_micro + n_docs) // (2 * n_docs)
+        keep_rate = (2 * 1_000_000 * n_keep + n_docs) // (2 * n_docs)
+        expected[b] = (n_docs, avg_pred, keep_rate, abs(avg_pred - keep_rate))
+
+    got = {
+        r.bucket: (r.n_docs, r.avg_pred_micro, r.keep_rate_micro, r.gap_micro)
+        for r in quality_calibration_buckets(spark, sf_dir).collect()
+    }
+    assert got == expected
