@@ -118,6 +118,16 @@ _R6_REFERENCE_SPARK_CALIBRATION = 0.0847
 # protocol-consistent `headline_normalized_spark_r10m5` series from r11 on.
 _R10_REFERENCE_SPARK_CALIBRATION_MEDIAN5 = 0.0828
 
+# Quiet-box host canary anchor (r13 verdict task 3): the md5 med5 reading
+# of this box during its known-quiet hours (r12/r13 quiet sessions read
+# 0.083-0.085; the r13 slow session read 0.1067, +27%). A session whose
+# PRE-RUN canary is more than NOISY_SESSION_PCT slower than this anchor is
+# recorded `noisy: true` in .bench_history.json, and raw_band reports the
+# band both pooled and quiet-only — so one slow evening can no longer
+# widen the judged band without being labeled as box noise at record time.
+_QUIET_HOST_CANARY_ANCHOR = 0.0841
+NOISY_SESSION_PCT = 15.0
+
 
 def _median5(sample) -> float:
     """Median of 5 runs (r9 verdict task 6: the two canaries disagreed in
@@ -208,6 +218,8 @@ def _raw_band(
     total: float,
     queries_cold: dict | None = None,
     queries_steady: dict | None = None,
+    host_canary: float | None = None,
+    noisy: bool = False,
 ) -> dict:
     """Append this session's raw headline total to .bench_history.json and
     return the band over all recorded same-code same-SF sessions
@@ -223,6 +235,12 @@ def _raw_band(
     except (OSError, ValueError):
         hist = []
     entry = {"code": fingerprint, "sf": sf, "raw_headline_total": total}
+    if host_canary is not None:
+        # pre-session canary gate (r13 verdict task 3): the reading and the
+        # classification travel with the entry so the band can be re-pooled
+        # quiet-only by any later reader
+        entry["host_canary"] = host_canary
+        entry["noisy"] = noisy
     if queries_cold:
         # per-query colds (r12): the cross-round baseline source for the
         # auto-envelope once the driver artifact's tail truncates
@@ -241,23 +259,36 @@ def _raw_band(
             json.dump(hist, fh, indent=1)
     except OSError:
         pass
-    same = [
-        e["raw_headline_total"]
+    pool = [
+        e
         for e in hist
         if e.get("code") == fingerprint and e.get("sf") == sf
     ]
-    return {
+    same = [e["raw_headline_total"] for e in pool]
+    quiet = [
+        e["raw_headline_total"] for e in pool if not e.get("noisy", False)
+    ]
+    out = {
         "sessions": len(same),
         "min": min(same),
         "max": max(same),
+        "quiet_sessions": len(quiet),
+        "quiet_min": min(quiet) if quiet else None,
+        "quiet_max": max(quiet) if quiet else None,
+        "noisy_this_session": noisy,
         "policy": (
             "raw cold-policy headline totals across bench sessions on "
             "IDENTICAL code (md5 of engine+bench source) at this SF; judge "
             "raw + this band over any single normalized scalar "
             "(PERFORMANCE.md r10 finding: even median-of-5 canaries "
-            "disagree in direction across sessions on this box)"
+            "disagree in direction across sessions on this box). quiet_* "
+            "pools only sessions whose pre-run host canary was within "
+            f"{NOISY_SESSION_PCT:.0f}%% of the quiet-box anchor "
+            f"{_QUIET_HOST_CANARY_ANCHOR} — the r13 band's slow end was a "
+            "known-bad host hour absorbed unlabeled (r13 verdict task 3)"
         ),
     }
+    return out
 
 
 ENVELOPE_TRIGGER_PCT = 15.0  # cold delta vs previous round that triggers n=5
@@ -343,7 +374,12 @@ def _bench_record_readings(
                         dst.update(json.loads(m.group(1)))
                     except ValueError:
                         pass
-        return cold, steady
+        if cold or steady:
+            return cold, steady
+        # r13 ADVICE: from r13 on the driver tail is the compact line,
+        # which carries NO per-query blocks — an SF-matching record that
+        # yields nothing must keep scanning older records that do, not
+        # return empty and mask them
     return {}, {}
 
 
@@ -389,6 +425,10 @@ def _compact_line(
             "sessions": band["sessions"],
             "min": band["min"],
             "max": band["max"],
+            "quiet_sessions": band["quiet_sessions"],
+            "quiet_min": band["quiet_min"],
+            "quiet_max": band["quiet_max"],
+            "noisy_this_session": band["noisy_this_session"],
         },
         "headline_normalized_spark_r6": norm_r6,
         "headline_normalized_spark_r10m5": norm_r10m5,
@@ -416,6 +456,21 @@ def main() -> None:
 
     queries = registry.all_queries()
     names = [n for n in HEADLINE if n in queries]
+
+    # PRE-SESSION canary gate (r13 verdict task 3): read the host canary
+    # before any query runs; if the box is >NOISY_SESSION_PCT slower than
+    # the quiet anchor, this session still runs and records, but is labeled
+    # noisy and excluded from the quiet-only band.
+    calibration = _host_calibration()
+    noisy = calibration > _QUIET_HOST_CANARY_ANCHOR * (
+        1.0 + NOISY_SESSION_PCT / 100.0
+    )
+    print(
+        f"  pre-session host canary: {calibration:.4f}s vs quiet anchor "
+        f"{_QUIET_HOST_CANARY_ANCHOR} -> "
+        f"{'NOISY (excluded from quiet band)' if noisy else 'quiet'}",
+        file=sys.stderr,
+    )
 
     # warm the JVM + parquet footer cache once so q1 doesn't pay session startup
     _force(queries[names[0]](spark, sf_dir).limit(1))
@@ -535,7 +590,8 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     curation_total = round(sum(cur_timings.values()), 3)
-    calibration = _host_calibration()
+    # calibration measured PRE-session (the canary gate above); the spark
+    # canary stays post-run as before (it needs the warm session)
     spark_cal, spark_cal_best3 = _spark_calibration(spark)
     # Two normalizations, both reported (r8 verdict task 7: the two canaries
     # moved in OPPOSITE directions r7→r8, so a single scalar is unreliable):
@@ -559,7 +615,15 @@ def main() -> None:
     # raw totals for the cross-session band use the COLD policy uniformly
     # (cold for every headline query), matching the verdict's raw series
     raw_cold_total = round(sum(cold.values()), 3)
-    band = _raw_band(fingerprint, sf, raw_cold_total, all_cold, all_steady)
+    band = _raw_band(
+        fingerprint,
+        sf,
+        raw_cold_total,
+        all_cold,
+        all_steady,
+        host_canary=calibration,
+        noisy=noisy,
+    )
     print(
         json.dumps(
             {

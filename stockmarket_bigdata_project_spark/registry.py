@@ -170,6 +170,14 @@ _INTRODUCED_R13: frozenset[str] = frozenset({
     "direction_auc",
 })
 
+# Queries introduced during round 14 (tier-0 unproven: they front the
+# window and earn their proof immediately; the registry entered round 14
+# fully proven otherwise).
+_INTRODUCED_R14: frozenset[str] = frozenset({
+    "hot_key_rollup",
+    "hot_key_rollup_salted",
+})
+
 # Round-8 re-proof priority (r7 verdict task 8): with every query proven,
 # the gate window re-proves old queries — spend the spare slots on the
 # FLOAT-BEARING families first (raw binary64 outputs whose cross-engine
@@ -205,6 +213,8 @@ _REPROOF_PRIORITY = (
 
 
 def _introduced_rank(name: str) -> int:
+    if name in _INTRODUCED_R14:
+        return 7
     if name in _INTRODUCED_R13:
         return 6
     if name in _INTRODUCED_R9:

@@ -82,6 +82,53 @@ def test_bench_record_scan_descends_past_sf_mismatch(tmp_path, monkeypatch):
     assert cold2 == {"q_other": 9.9}
 
 
+def test_bench_record_scan_continues_past_empty_sf_match(tmp_path, monkeypatch):
+    """r13 ADVICE: an SF-matching record that yields ZERO per-query data
+    (the compact-line tail carries no queries_cold/queries blocks) must
+    keep scanning older records instead of returning empty — from r13 on
+    every driver tail is the compact line, so an unconditional return
+    would permanently mask the older data-bearing records."""
+    r97 = {
+        "sf": 0.1,
+        "parsed": {
+            "queries_cold": {"q_old": 2.5},
+            "queries": {"q_old": 2.0},
+        },
+    }
+    # r13+-style record: compact-line tail, "parsed" has no per-query blocks
+    r99 = {
+        "sf": 0.1,
+        "parsed": {"metric": "headline_queries_total", "value": 25.1},
+        "tail": " " * 80 + '{"metric": "headline_queries_total"}',
+    }
+    (tmp_path / "BENCH_r97.json").write_text(json.dumps(r97))
+    (tmp_path / "BENCH_r99.json").write_text(json.dumps(r99))
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    cold, steady = bench._bench_record_readings(0.1)
+    assert cold == {"q_old": 2.5}
+    assert steady == {"q_old": 2.0}
+
+
+def test_raw_band_quiet_pool_excludes_noisy_sessions(tmp_path, monkeypatch):
+    """r13 verdict task 3: sessions recorded noisy (pre-run host canary
+    >15% over the quiet anchor) stay in the pooled band but drop out of
+    the quiet-only band."""
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    b1 = bench._raw_band("fp", 0.1, 32.0, host_canary=0.084, noisy=False)
+    assert (b1["sessions"], b1["quiet_sessions"]) == (1, 1)
+    b2 = bench._raw_band("fp", 0.1, 40.0, host_canary=0.107, noisy=True)
+    assert (b2["sessions"], b2["quiet_sessions"]) == (2, 1)
+    assert (b2["min"], b2["max"]) == (32.0, 40.0)
+    assert (b2["quiet_min"], b2["quiet_max"]) == (32.0, 32.0)
+    assert b2["noisy_this_session"] is True
+    b3 = bench._raw_band("fp", 0.1, 31.5, host_canary=0.085, noisy=False)
+    assert (b3["quiet_min"], b3["quiet_max"]) == (31.5, 32.0)
+    # entries persisted with the canary + classification for later re-pooling
+    hist = json.loads((tmp_path / ".bench_history.json").read_text())
+    assert [e.get("noisy") for e in hist] == [False, True, False]
+    assert all(e.get("host_canary") for e in hist)
+
+
 def test_prev_round_readings_prefer_history_over_bench_record():
     """The history source is code-fingerprinted, so — unlike the newest
     BENCH record once the driver has written THIS round's artifact — it can
@@ -142,7 +189,16 @@ def test_compact_line_fits_driver_tail_and_parses():
     """The whitespace-flush + compact-line protocol: the last 2000 chars of
     a stdout ending in (2000 spaces, newline, compact line, newline) must
     be a parseable JSON document carrying the decision scalars."""
-    band = {"sessions": 3, "min": 31.0, "max": 33.0, "policy": "x" * 500}
+    band = {
+        "sessions": 3,
+        "min": 31.0,
+        "max": 33.0,
+        "quiet_sessions": 2,
+        "quiet_min": 31.0,
+        "quiet_max": 32.0,
+        "noisy_this_session": True,
+        "policy": "x" * 500,
+    }
     envelopes = {
         f"query_with_a_long_name_{i}": {"median": 1.234} for i in range(20)
     }
@@ -155,7 +211,15 @@ def test_compact_line_fits_driver_tail_and_parses():
     obj = json.loads(tail)
     assert obj["metric"] == "headline_queries_total"
     assert obj["value"] == 24.5
-    assert obj["raw_band"] == {"sessions": 3, "min": 31.0, "max": 33.0}
+    assert obj["raw_band"] == {
+        "sessions": 3,
+        "min": 31.0,
+        "max": 33.0,
+        "quiet_sessions": 2,
+        "quiet_min": 31.0,
+        "quiet_max": 32.0,
+        "noisy_this_session": True,
+    }
     assert obj["headline_normalized_spark_r10m5"] == 24.8
     # last-line parsing (the other plausible driver strategy) also works
     assert json.loads(stdout.strip().splitlines()[-1]) == obj

@@ -188,6 +188,10 @@ _SENSITIVE = [
     # window lands them
     "quality_calibration_buckets",  # micro-score deciles vs keep-rate gaps
     "direction_auc",  # midrank Mann-Whitney from per-score-group counts
+    # round-14 introductions (_INTRODUCED_R14): the constructed-skew join
+    # twins — the salt (and any AQE skew split) must be invisible in values
+    "hot_key_rollup",
+    "hot_key_rollup_salted",
 ]
 
 

@@ -2801,3 +2801,44 @@ def test_quality_calibration_buckets_pure_python(spark, sf_dir):
         for r in quality_calibration_buckets(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_hot_key_rollup_pure_python(spark, sf_dir):
+    """Third opinion for the r14 constructed-skew twins: the hot-key
+    mapping (even user_id → custkey 1), the customer join and the
+    per-event-type integer rollup recomputed from the parquet bytes with
+    plain dicts — and BOTH twins (plain/AQE and 16-way salted) must equal
+    it, so the salt and any runtime skew split are invisible in values."""
+    from stockmarket_bigdata_project_spark.operators.skew import (
+        hot_key_rollup,
+        hot_key_rollup_salted,
+    )
+
+    ev = pq.read_table(
+        table_path(sf_dir, "events"), columns=["user_id", "event_type"]
+    )
+    cust = pq.read_table(
+        table_path(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+    )
+    nation = dict(
+        zip(cust.column("c_custkey").to_pylist(),
+            cust.column("c_nationkey").to_pylist())
+    )
+    agg = defaultdict(lambda: [0, 0])  # event_type -> [n_events, weight]
+    for uid, et in zip(
+        ev.column("user_id").to_pylist(), ev.column("event_type").to_pylist()
+    ):
+        k = 1 if uid % 2 == 0 else uid
+        nk = nation.get(k)
+        if nk is None:
+            continue  # inner join: unmatched keys drop
+        agg[et][0] += 1
+        agg[et][1] += nk
+    expected = {et: tuple(v) for et, v in agg.items()}
+
+    for fn in (hot_key_rollup, hot_key_rollup_salted):
+        got = {
+            r.event_type: (r.n_events, r.nation_weight)
+            for r in fn(spark, sf_dir).collect()
+        }
+        assert got == expected, fn.__name__

@@ -2040,3 +2040,105 @@ def test_stored_hot_set_shuffle_anti_executes_when_nonempty(
         # drop the cap=2 memo so any later caller rebuilds the real index
         indexcache.clear_prepared_indexes()
         dedup.clear_staged_memo()
+
+
+def _with_confs(spark, confs):
+    """(set, restore) runtime confs around a block — returns the restore
+    closure so callers can try/finally without repeating the dance."""
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+
+    def restore():
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    return restore
+
+
+def test_hot_key_rollup_aqe_skew_split_executes(spark, tmp_path):
+    """Wave-10 pin (r13 verdict task 1): the AQE skew-join split EXECUTES
+    on hot_key_rollup's constructed input, and splitting does not change
+    the values. AQE splits a skewed reduce partition by MAPPER ranges, so
+    the fact side must arrive through >1 scan split — the testdata
+    parquet is one row group (hence one mapper, unsplittable no matter
+    the thresholds; measured in tools_scale_study.py --skew-join); this
+    pin rewrites sf0.01 events into 500-row row groups to give the
+    shuffle the mapper structure a production scan has, then forces the
+    thresholds low enough that the ~50%-hot cell qualifies."""
+    import pyarrow.parquet as pq
+
+    from stockmarket_bigdata_project_spark.operators.skew import (
+        hot_key_rollup,
+    )
+
+    d = str(tmp_path)
+    for t, rg in (("events", 500), ("customer", 1 << 20)):
+        pq.write_table(
+            pq.read_table(f"/root/testdata/sf0.01/{t}.parquet"),
+            f"{d}/{t}.parquet",
+            row_group_size=rg,
+        )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    base = rows(hot_key_rollup(spark, d))  # default regime: no forcing
+    assert base, "constructed input must produce a non-empty rollup"
+    restore = _with_confs(
+        spark,
+        {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.files.maxPartitionBytes": "32k",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+                "16k",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16k",
+        },
+    )
+    try:
+        df = hot_key_rollup(spark, d)
+        split = rows(df)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "SortMergeJoin(skew=true)" in final, final
+        assert any(
+            "AQEShuffleRead" in ln and "skewed" in ln
+            for ln in final.splitlines()
+        ), final
+    finally:
+        restore()
+    assert split == base, "skew split changed the rollup values"
+
+
+def test_hot_key_rollup_salted_joins_on_salt(spark, sf_dir):
+    """The salted twin's whole point is the shuffle key: under forced
+    no-broadcast the join must be a SortMergeJoin whose keys include the
+    salt (so the hot key's rows spread over HOT_SALT reducers), and no
+    hint-forced broadcast may appear anywhere (the dim side is corpus-∝;
+    tests/test_broadcast_budget.py lints the same statically)."""
+    from stockmarket_bigdata_project_spark.operators.skew import (
+        hot_key_rollup_salted,
+    )
+
+    restore = _with_confs(
+        spark,
+        {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        },
+    )
+    try:
+        plan = _plan_simple(hot_key_rollup_salted(spark, sf_dir))
+        join_lines = [
+            ln for ln in plan.splitlines() if "SortMergeJoin" in ln
+        ]
+        assert join_lines, plan
+        assert all("salt" in ln for ln in join_lines), plan
+        assert "BroadcastExchange" not in plan, plan
+    finally:
+        restore()

@@ -170,6 +170,7 @@ def test_introduced_r6_members_are_registered():
         | registry._INTRODUCED_R8
         | registry._INTRODUCED_R9
         | registry._INTRODUCED_R13
+        | registry._INTRODUCED_R14
     ) - names
     assert not ghost, f"late-introduction sets name unknown queries: {ghost}"
     missing_priority = set(registry._REPROOF_PRIORITY) - names

@@ -28,6 +28,9 @@ Usage:
     python tools_scale_study.py --build    # only build the data
     python tools_scale_study.py --only a,b # run only the named queries
     python tools_scale_study.py --scales 1,2,4,8  # 4-point fit
+    python tools_scale_study.py --skew-join       # wave 10: executed AQE
+        skew-join split on the constructed-hot-key join twins (defaults /
+        forced-low on / forced-low off / salted), with plan evidence
     python tools_scale_study.py --index-builds    # wave 7: time the nightly
         index BUILD itself per stored-index family (clear_prepared_indexes
         before every measurement, so each number is a true cold build of the
@@ -146,6 +149,10 @@ QUERIES = [
     # round-13 introductions: scan-bound claims in their docstrings
     "quality_calibration_buckets",
     "direction_auc",
+    # round-14 introductions: the constructed-skew join twins (the
+    # dedicated skew regimes live in run_skew_study / --skew-join)
+    "hot_key_rollup",
+    "hot_key_rollup_salted",
 ]
 
 
@@ -311,14 +318,23 @@ def run_forced_shuffle_anti() -> None:
             for ln in plan.splitlines()
             if "LeftAnti" in ln or "ReusedExchange" in ln
         ]
+        # r13 ADVICE: count the ACTUAL join operators, not "LeftAnti minus
+        # BroadcastHashJoin" — a BroadcastNestedLoopJoin LeftAnti (or a
+        # ReusedExchange line mentioning LeftAnti) must not read as evidence
+        # that the shuffle fallback executed
         return {
             "broadcast_anti": sum(
                 1 for ln in plan.splitlines()
-                if "BroadcastHashJoin" in ln and "LeftAnti" in ln
+                if "LeftAnti" in ln
+                and (
+                    "BroadcastHashJoin" in ln
+                    or "BroadcastNestedLoopJoin" in ln
+                )
             ),
             "shuffle_anti": sum(
                 1 for ln in plan.splitlines()
-                if "LeftAnti" in ln and "BroadcastHashJoin" not in ln
+                if "LeftAnti" in ln
+                and ("SortMergeJoin" in ln or "ShuffledHashJoin" in ln)
             ),
             "reused_exchange": plan.count("ReusedExchange"),
             "anti_plan_lines": anti_lines[:8],
@@ -360,6 +376,166 @@ def run_forced_shuffle_anti() -> None:
                         ),
                         "broadcast_anti": r["forced_plan"]["broadcast_anti"],
                         "shuffle_anti": r["forced_plan"]["shuffle_anti"],
+                    }
+                    for r in results
+                }
+            }
+        )
+    )
+
+
+def _build_skew_dir(k: int) -> str:
+    """Study dir for the skew-join wave: x{K} blow-up with events rewritten
+    into 64 Ki-row parquet row groups, other tables symlinked. AQE splits a
+    skewed reduce partition by MAPPER ranges (PartialReducerPartitionSpec
+    holds [startMapIndex, endMapIndex)), so a shuffle fed by a single scan
+    split — one small parquet row group, the bench-SF shape — can never be
+    split no matter how low the thresholds go; a production 100 TB scan has
+    thousands of mappers. The rewrite gives the study that mapper
+    structure honestly, paired with files.maxPartitionBytes=1m in the
+    session."""
+    import pyarrow.parquet as pq
+
+    src = os.path.join(ROOT, f"x{k}")
+    d = os.path.join(ROOT, f"skewx{k}")
+    os.makedirs(d, exist_ok=True)
+    ev = os.path.join(d, "events.parquet")
+    if not os.path.exists(ev):
+        pq.write_table(
+            pq.read_table(os.path.join(src, "events.parquet")),
+            ev,
+            row_group_size=65536,
+        )
+    for t in DIMS + ("orders", "lineitem", "documents", "embeddings"):
+        dst = os.path.join(d, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(src, f"{t}.parquet"), dst)
+    return d
+
+
+def run_skew_study() -> None:
+    """Wave 10 (r13 verdict task 1): record an EXECUTED AQE skew-join
+    split. hot_key_rollup (operators/skew.py) joins a ~50%-hot-key fact
+    side against customer through two plain shuffles — the exact shape
+    OptimizeSkewedJoin handles. Per scale, four regimes, all with
+    broadcast disabled (at 100 TB the dim side does not broadcast; forcing
+    SMJ here is the honest stand-in):
+
+      defaults   — AQE skew thresholds at stock values (256m/5.0): at
+                   study volume the hot cell is ~MBs, far below threshold,
+                   so NO split is expected — recorded, not assumed;
+      skew_on    — thresholds forced low (1m/2.0, advisory 1m): the split
+                   must execute (plan `SortMergeJoin(skew=true)`);
+      skew_off   — same thresholds, splitter disabled: the paired cost of
+                   NOT splitting (one reducer owns ~50% of the fact side);
+      salted     — hot_key_rollup_salted, stock thresholds: the explicit
+                   16-way salt twin for plan shapes AQE cannot split.
+
+    Each regime records cold/steady wall times and executed-plan evidence
+    (skew=true SMJ count, skewed AQEShuffleRead count)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from stockmarket_bigdata_project_spark import registry
+    from stockmarket_bigdata_project_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-study-skew-join")
+    q = dict(registry.all_queries())
+
+    def force(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    def set_regime(label: str) -> None:
+        c = spark.conf
+        c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        c.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        c.set("spark.sql.files.maxPartitionBytes", "1m")
+        if label in ("skew_on", "skew_off"):
+            c.set(
+                "spark.sql.adaptive.skewJoin."
+                "skewedPartitionThresholdInBytes",
+                "1m",
+            )
+            c.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+            c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+        else:
+            for key in (
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+                "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            ):
+                c.unset(key)
+        c.set(
+            "spark.sql.adaptive.skewJoin.enabled",
+            "false" if label == "skew_off" else "true",
+        )
+
+    def clear_regime() -> None:
+        for key in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.files.maxPartitionBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        ):
+            spark.conf.unset(key)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+
+    def plan_evidence(name: str, d: str) -> dict:
+        df = q[name](spark, d)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        return {
+            "smj_skew_true": final.count("SortMergeJoin(skew=true)"),
+            "skewed_reads": sum(
+                1
+                for ln in final.splitlines()
+                if "AQEShuffleRead" in ln and "skewed" in ln
+            ),
+            "smj_lines": [
+                ln.strip()[:120]
+                for ln in final.splitlines()
+                if "SortMergeJoin" in ln
+            ][:4],
+        }
+
+    scales = SCALES if "--scales" in sys.argv else (8, 16)
+    # session warm-up (standing first-query caveat)
+    force(q["hot_key_rollup"](spark, os.path.join(ROOT, "x1")).limit(1))
+    results = []
+    for k in scales:
+        d = _build_skew_dir(k)
+        for label, name in (
+            ("defaults", "hot_key_rollup"),
+            ("skew_on", "hot_key_rollup"),
+            ("skew_off", "hot_key_rollup"),
+            ("salted", "hot_key_rollup_salted"),
+        ):
+            set_regime("defaults" if label == "salted" else label)
+            start = time.perf_counter()
+            force(q[name](spark, d))
+            cold = round(time.perf_counter() - start, 3)
+            start = time.perf_counter()
+            force(q[name](spark, d))
+            steady = round(time.perf_counter() - start, 3)
+            row = {
+                "query": name,
+                "scale": k,
+                "regime": label,
+                "cold": cold,
+                "steady": steady,
+                "plan": plan_evidence(name, d),
+            }
+            clear_regime()
+            results.append(row)
+            print(json.dumps(row), flush=True)
+    print(
+        json.dumps(
+            {
+                "summary": {
+                    f"{r['regime']}@x{r['scale']}": {
+                        "steady": r["steady"],
+                        "skew_true": r["plan"]["smj_skew_true"],
                     }
                     for r in results
                 }
@@ -532,5 +708,7 @@ if __name__ == "__main__":
         run_index_builds()
     elif "--forced-shuffle-anti" in sys.argv:
         run_forced_shuffle_anti()
+    elif "--skew-join" in sys.argv:
+        run_skew_study()
     elif "--build" not in sys.argv:
         run()
