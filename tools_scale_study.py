@@ -394,22 +394,29 @@ def _build_skew_dir(k: int) -> str:
     thousands of mappers. The rewrite gives the study that mapper
     structure honestly, paired with files.maxPartitionBytes=1m in the
     session."""
-    import pyarrow.parquet as pq
+    import duckdb
 
-    src = os.path.join(ROOT, f"x{k}")
     d = os.path.join(ROOT, f"skewx{k}")
     os.makedirs(d, exist_ok=True)
     ev = os.path.join(d, "events.parquet")
     if not os.path.exists(ev):
-        pq.write_table(
-            pq.read_table(os.path.join(src, "events.parquet")),
-            ev,
-            row_group_size=65536,
+        # events-only blow-up straight from BASE (the twins read only
+        # events at fact volume — no need for the full x{K} build, so the
+        # skew wave can reach scales the all-table blow-up never built);
+        # 64 Ki-row row groups give the multi-mapper structure
+        reps = ", ".join(f"CAST({r} AS BIGINT)" for r in range(k))
+        duckdb.connect().execute(
+            f"""COPY (
+              SELECT event_id + r * {KEY_OFFSET} AS event_id, ts, user_id,
+                     event_type, value, props
+              FROM read_parquet('{BASE}/events.parquet'),
+                   (SELECT unnest([{reps}]) AS r)
+            ) TO '{ev}' (FORMAT PARQUET, ROW_GROUP_SIZE 65536)"""
         )
     for t in DIMS + ("orders", "lineitem", "documents", "embeddings"):
         dst = os.path.join(d, f"{t}.parquet")
         if not os.path.exists(dst):
-            os.symlink(os.path.join(src, f"{t}.parquet"), dst)
+            os.symlink(os.path.join(BASE, f"{t}.parquet"), dst)
     return d
 
 
@@ -500,8 +507,9 @@ def run_skew_study() -> None:
         }
 
     scales = SCALES if "--scales" in sys.argv else (8, 16)
-    # session warm-up (standing first-query caveat)
-    force(q["hot_key_rollup"](spark, os.path.join(ROOT, "x1")).limit(1))
+    # session warm-up (standing first-query caveat) — on the first study
+    # dir itself, mirroring bench.py's same-dir limit(1) warm-up
+    force(q["hot_key_rollup"](spark, _build_skew_dir(scales[0])).limit(1))
     results = []
     for k in scales:
         d = _build_skew_dir(k)
@@ -703,12 +711,15 @@ def run() -> None:
 
 
 if __name__ == "__main__":
-    build()
-    if "--index-builds" in sys.argv:
-        run_index_builds()
-    elif "--forced-shuffle-anti" in sys.argv:
-        run_forced_shuffle_anti()
-    elif "--skew-join" in sys.argv:
+    if "--skew-join" in sys.argv:
+        # events-only dirs; skip the full all-table blow-up build so the
+        # skew wave can use --scales beyond what x{K} ever built
         run_skew_study()
-    elif "--build" not in sys.argv:
-        run()
+    else:
+        build()
+        if "--index-builds" in sys.argv:
+            run_index_builds()
+        elif "--forced-shuffle-anti" in sys.argv:
+            run_forced_shuffle_anti()
+        elif "--build" not in sys.argv:
+            run()
