@@ -1011,13 +1011,21 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
     )
-    dup = (
-        grams.groupBy("gram")
-        .agg(F.count("*").alias("cnt"))
+    # Duplicated positions via ONE pass over the gram table (r14): a
+    # count window keyed on the gram replaces the former
+    # groupBy(gram)-count + equi-join-back pair. The agg+join form
+    # computed the gram explode TWICE (once per subplan side) and
+    # shuffled the gram strings twice at scale (partial counts barely
+    # collapse — corpus grams are mostly unique — and the join-back
+    # re-shuffles the full gram table); the window form explodes once and
+    # shuffles once, with (doc_id, pos) riding along. Same rows out:
+    # positions whose gram occurs ≥ 2 times corpus-wide.
+    wg = Window.partitionBy("gram")
+    hits = (
+        grams.withColumn("cnt", F.count("*").over(wg))
         .filter(F.col("cnt") >= 2)
-        .select("gram")
+        .select("doc_id", "pos")
     )
-    hits = grams.join(dup, "gram").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     islands = hits.withColumn(
         "grp", F.col("pos") - F.row_number().over(w)
