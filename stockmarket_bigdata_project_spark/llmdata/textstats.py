@@ -728,13 +728,19 @@ def winnowing_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "fp_hash")
         .distinct()
     )
-    rare = (
-        fps.groupBy("fp_hash")
-        .agg(F.count("*").alias("df"))
+    # df cap via ONE count window keyed on the print (r14): the former
+    # groupBy(fp_hash)-count + join-back pair computed the winnowing
+    # pipeline once per subplan side and shuffled the posting list twice;
+    # the window form computes it once, and its (fp_hash) exchange is
+    # exactly the partitioning the candidate self-join below needs, so the
+    # cap costs no extra pass at any scale. Same rows out: postings whose
+    # print appears in ≤ WIN_DF_CAP docs.
+    wdf = Window.partitionBy("fp_hash")
+    posts = (
+        fps.withColumn("df", F.count("*").over(wdf))
         .filter(F.col("df") <= WIN_DF_CAP)
-        .select("fp_hash")
+        .select("doc_id", "fp_hash")
     )
-    posts = fps.join(rare, "fp_hash")
     a, b = posts.alias("a"), posts.alias("b")
     return (
         a.join(
