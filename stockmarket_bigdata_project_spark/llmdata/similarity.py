@@ -230,10 +230,22 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall-scored against in tests/test_properties.py. Do NOT run it on a
     production corpus; run embedding_lsh_near_dup. Threshold tuned to
     testdata's max inter-vector cosine ~0.51 so the query has signal."""
-    e = _emb(spark, sf_dir)
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("mvec").alias("va"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("mvec").alias("vb"))
-    cos = _cosine(F.col("va"), F.col("vb"))
+    # norms fold ONCE per input row, not once per pair (the semdedup
+    # precedent, r14): the theta join then pays a single HOF dot per pair
+    # instead of three folds. dot/(na·nb) is the same binary64 algebra as
+    # _cosine — bit-identical results.
+    e = _emb(spark, sf_dir).withColumn("nrm", _norm(F.col("mvec")))
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("mvec").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("mvec").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", cos.alias("cosine"))
@@ -398,19 +410,38 @@ def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         for p in range(N_PLANES)
     ]
     sigs = e.select("vec_id", *bits)
-    bands = []
-    for band in range(LSH_BANDS):
-        cols = [f"b{band * BITS_PER_BAND + j}" for j in range(BITS_PER_BAND)]
-        bands.append(
-            sigs.select(
-                "vec_id",
+    # All bands in ONE pass via an exploded (band, sig) struct array —
+    # the dedup-side _build_lsh_candidates shape (r14; the prior 8-way
+    # unionByName recomputed the 32 interpreted plane dots once per band
+    # per self-join side, 16 evaluations of the signature projection;
+    # measured 7.5 s → ~1 s steady). The lazy localCheckpoint materializes
+    # the band table once for both join sides (eager=False keeps plan
+    # construction job-free, the pinned repo contract). Same rows: union
+    # of 8 per-band selects ≡ explode of the 8 structs.
+    band_structs = F.array(
+        *[
+            F.struct(
                 F.lit(band).alias("band"),
-                F.concat_ws("", *cols).alias("sig"),
+                F.concat_ws(
+                    "",
+                    *[
+                        f"b{band * BITS_PER_BAND + j}"
+                        for j in range(BITS_PER_BAND)
+                    ],
+                ).alias("sig"),
             )
+            for band in range(LSH_BANDS)
+        ]
+    )
+    all_bands = (
+        sigs.select("vec_id", F.explode(band_structs).alias("bs"))
+        .select(
+            "vec_id",
+            F.col("bs.band").alias("band"),
+            F.col("bs.sig").alias("sig"),
         )
-    all_bands = bands[0]
-    for b in bands[1:]:
-        all_bands = all_bands.unionByName(b)
+        .localCheckpoint(eager=False)
+    )
     l, r = all_bands.alias("l"), all_bands.alias("r")
     cands = (
         l.join(
@@ -422,15 +453,30 @@ def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l.vec_id").alias("vec_a"), F.col("r.vec_id").alias("vec_b"))
         .distinct()
     )
-    va = e.select(F.col("vec_id").alias("vec_a"), F.col("mvec").alias("va"))
-    vb = e.select(F.col("vec_id").alias("vec_b"), F.col("mvec").alias("vb"))
+    # verification: norms fold once per vector row (semdedup precedent,
+    # r14) — one HOF dot per candidate pair instead of three folds;
+    # dot/(na·nb) is _cosine's algebra bit-for-bit.
+    with_nrm = e.withColumn("nrm", _norm(F.col("mvec")))
+    va = with_nrm.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("mvec").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    vb = with_nrm.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("mvec").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
     return (
         cands.join(va, "vec_a")
         .join(vb, "vec_b")
         .select(
             "vec_a",
             "vec_b",
-            _cosine(F.col("va"), F.col("vb")).alias("cosine"),
+            (
+                _dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb"))
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= 0.40)
     )

