@@ -212,6 +212,12 @@ def _code_fingerprint() -> str:
     return h.hexdigest()[:12]
 
 
+"""All bench history entries recorded before the cpus field existed (r14)
+ran on the driver-contract default master local[32]; pooling treats a
+missing cpus as 32 so the historical band is preserved, not orphaned."""
+_LEGACY_RECORDED_CPUS = 32
+
+
 def _raw_band(
     fingerprint: str,
     sf: float,
@@ -220,12 +226,20 @@ def _raw_band(
     queries_steady: dict | None = None,
     host_canary: float | None = None,
     noisy: bool = False,
+    cpus: int | None = None,
 ) -> dict:
     """Append this session's raw headline total to .bench_history.json and
-    return the band over all recorded same-code same-SF sessions
-    (including this one). The r10 verdict asked for the cross-session raw
-    variance — which the canaries cannot normalize away — as a
-    first-class bench field instead of PERFORMANCE.md prose."""
+    return the band over all recorded same-code same-SF SAME-CORE-COUNT
+    sessions (including this one). The r10 verdict asked for the
+    cross-session raw variance — which the canaries cannot normalize away —
+    as a first-class bench field instead of PERFORMANCE.md prose.
+
+    Same-core-count (r14 measurement fix): the driver also runs the bench
+    at a LOWER core count to measure per-query core scaling — a
+    local[8] session's totals are slower by design, and pooling them with
+    local[32] sessions would widen the band with a number that measures the
+    core count, not the box or the code. Entries now record cpus; entries
+    predating the field were all local[32] (_LEGACY_RECORDED_CPUS)."""
     hist_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".bench_history.json"
     )
@@ -235,6 +249,8 @@ def _raw_band(
     except (OSError, ValueError):
         hist = []
     entry = {"code": fingerprint, "sf": sf, "raw_headline_total": total}
+    if cpus is not None:
+        entry["cpus"] = cpus
     if host_canary is not None:
         # pre-session canary gate (r13 verdict task 3): the reading and the
         # classification travel with the entry so the band can be re-pooled
@@ -259,10 +275,13 @@ def _raw_band(
             json.dump(hist, fh, indent=1)
     except OSError:
         pass
+    want_cpus = cpus if cpus is not None else _LEGACY_RECORDED_CPUS
     pool = [
         e
         for e in hist
-        if e.get("code") == fingerprint and e.get("sf") == sf
+        if e.get("code") == fingerprint
+        and e.get("sf") == sf
+        and e.get("cpus", _LEGACY_RECORDED_CPUS) == want_cpus
     ]
     same = [e["raw_headline_total"] for e in pool]
     quiet = [
@@ -278,7 +297,10 @@ def _raw_band(
         "noisy_this_session": noisy,
         "policy": (
             "raw cold-policy headline totals across bench sessions on "
-            "IDENTICAL code (md5 of engine+bench source) at this SF; judge "
+            "IDENTICAL code (md5 of engine+bench source) at this SF and "
+            "core count (a lower-core driver scaling run must not widen "
+            "the band; entries predating the cpus field were local[32]); "
+            "judge "
             "raw + this band over any single normalized scalar "
             "(PERFORMANCE.md r10 finding: even median-of-5 canaries "
             "disagree in direction across sessions on this box). quiet_* "
@@ -296,10 +318,13 @@ ENVELOPE_RUNS = 5
 
 
 def _history_readings(
-    sf: float, fingerprint: str
+    sf: float, fingerprint: str, cpus: int | None = None
 ) -> tuple[dict[str, float], dict[str, float]]:
     """(cold, steady) per-query baselines from the most recent
     .bench_history.json entry with a DIFFERENT code fingerprint at this SF
+    and the SAME core count — a local[8] scaling session's per-query
+    timings are not a baseline for a local[32] envelope (r14, with the
+    band fix; missing cpus on old entries means local[32])
     (per-query colds recorded there since r12, steadies since r13).
     "Different code" approximates "previous recorded code state" without
     needing the driver artifact at all — and, unlike the newest
@@ -314,10 +339,12 @@ def _history_readings(
             hist = json.load(fh)
     except (OSError, ValueError):
         return {}, {}
+    want_cpus = cpus if cpus is not None else _LEGACY_RECORDED_CPUS
     for e in reversed(hist):
         if (
             e.get("sf") == sf
             and e.get("code") != fingerprint
+            and e.get("cpus", _LEGACY_RECORDED_CPUS) == want_cpus
             and e.get("queries_cold")
         ):
             return dict(e["queries_cold"]), dict(e.get("queries_steady") or {})
@@ -325,7 +352,7 @@ def _history_readings(
 
 
 def _bench_record_readings(
-    sf: float,
+    sf: float, cpus: int | None = None
 ) -> tuple[dict[str, float], dict[str, float]]:
     """(cold, steady) per-query baselines recovered from the driver's
     BENCH_r{N}.json records, scanned in DESCENDING round order until one
@@ -351,6 +378,15 @@ def _bench_record_readings(
         except (OSError, ValueError):
             continue
         if rec.get("sf") != sf:
+            continue
+        # the driver wrapper stamps its run's core count on the record;
+        # a lower-core scaling record is not a baseline for this count
+        rec_cpus = rec.get("cpus")
+        if (
+            rec_cpus is not None
+            and cpus is not None
+            and rec_cpus != cpus
+        ):
             continue
         cold: dict[str, float] = {}
         steady: dict[str, float] = {}
@@ -384,21 +420,23 @@ def _bench_record_readings(
 
 
 def _prev_round_readings(
-    sf: float, fingerprint: str
+    sf: float, fingerprint: str, cpus: int | None = None
 ) -> tuple[dict[str, float], dict[str, float]]:
     """Per-query (cold, steady) timings the auto-envelope compares against:
     the previous recorded code state. History source first (complete
     per-query dicts, code-fingerprinted so it can never be this session's
     own code), driver BENCH records as the fallback for SFs that predate
     the r12 history fields."""
-    cold, steady = _history_readings(sf, fingerprint)
+    cold, steady = _history_readings(sf, fingerprint, cpus)
     if cold:
         return cold, steady
-    return _bench_record_readings(sf)
+    return _bench_record_readings(sf, cpus)
 
 
-def _prev_round_cold(sf: float, fingerprint: str) -> dict[str, float]:
-    return _prev_round_readings(sf, fingerprint)[0]
+def _prev_round_cold(
+    sf: float, fingerprint: str, cpus: int | None = None
+) -> dict[str, float]:
+    return _prev_round_readings(sf, fingerprint, cpus)[0]
 
 
 def _compact_line(
@@ -411,6 +449,7 @@ def _compact_line(
     spark_cal: float,
     curation_total: float,
     envelopes: dict,
+    cpus: int | None = None,
 ) -> str:
     """The decision scalars as ONE JSON line guaranteed < 1900 chars, so
     the driver's 2000-char stdout tail — whitespace-flushed by main() just
@@ -420,6 +459,7 @@ def _compact_line(
         "value": total,
         "unit": "sec",
         "sf": sf,
+        "cpus": cpus,
         "raw_cold_headline_total": raw_cold_total,
         "raw_band": {
             "sessions": band["sessions"],
@@ -513,7 +553,12 @@ def main() -> None:
         if a == "--envelope" and i + 1 < len(sys.argv):
             forced.update(x for x in sys.argv[i + 1].split(",") if x)
     fingerprint = _code_fingerprint()
-    prev_cold, prev_steady = _prev_round_readings(sf, fingerprint)
+    # the session's core count (same derivation as session.get_spark's
+    # master): bands and envelope baselines pool same-core sessions only —
+    # the driver's lower-core scaling run measures the core count, not the
+    # code, and must not widen the band or feed the envelopes
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    prev_cold, prev_steady = _prev_round_readings(sf, fingerprint, cpus)
     all_cold = dict(cold)
     all_cold.update(cur_cold)
     all_steady = dict(steady)
@@ -623,6 +668,7 @@ def main() -> None:
         all_steady,
         host_canary=calibration,
         noisy=noisy,
+        cpus=cpus,
     )
     print(
         json.dumps(
@@ -630,6 +676,7 @@ def main() -> None:
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
+                "cpus": cpus,
                 "queries": timings,
                 "queries_cold": cold,
                 "queries_memo_hit": memo_hit,
@@ -696,6 +743,7 @@ def main() -> None:
             spark_cal,
             curation_total,
             envelopes,
+            cpus=cpus,
         )
     )
 

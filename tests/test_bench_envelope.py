@@ -225,3 +225,80 @@ def test_compact_line_fits_driver_tail_and_parses():
     assert json.loads(stdout.strip().splitlines()[-1]) == obj
     # envelope cap: at most 12 medians make the line, never an overflow
     assert len(obj["envelope_medians"]) == 12
+
+
+def test_raw_band_pools_same_core_count_only(tmp_path, monkeypatch):
+    """r14 measurement fix: the driver also runs the bench at a LOWER core
+    count to measure scaling — that session's total measures the core
+    count, not the code or the box, and must not widen the local[32] band
+    (and vice versa). Entries predating the cpus field were all local[32]
+    and keep pooling there."""
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    b32 = bench._raw_band("fp", 0.1, 32.0, host_canary=0.084, cpus=32)
+    assert (b32["sessions"], b32["min"], b32["max"]) == (1, 32.0, 32.0)
+    # a local[8] session on the same code+SF: its own band sees only itself
+    b8 = bench._raw_band("fp", 0.1, 90.0, host_canary=0.084, cpus=8)
+    assert (b8["sessions"], b8["min"], b8["max"]) == (1, 90.0, 90.0)
+    # and the next local[32] session's band is untouched by the 8-core total
+    b32b = bench._raw_band("fp", 0.1, 33.0, host_canary=0.084, cpus=32)
+    assert (b32b["sessions"], b32b["min"], b32b["max"]) == (2, 32.0, 33.0)
+    # a legacy entry with no cpus field pools as local[32]
+    hist = json.loads((tmp_path / ".bench_history.json").read_text())
+    hist.append({"code": "fp", "sf": 0.1, "raw_headline_total": 31.0})
+    (tmp_path / ".bench_history.json").write_text(json.dumps(hist))
+    b32c = bench._raw_band("fp", 0.1, 34.0, host_canary=0.084, cpus=32)
+    assert (b32c["sessions"], b32c["min"], b32c["max"]) == (4, 31.0, 34.0)
+    # the persisted entries carry the core count for later re-pooling
+    hist = json.loads((tmp_path / ".bench_history.json").read_text())
+    assert [e.get("cpus") for e in hist] == [32, 8, 32, None, 32]
+
+
+def test_history_baselines_skip_other_core_counts(tmp_path, monkeypatch):
+    """The auto-envelope's per-query baselines must come from a same-core
+    session: a local[8] entry's colds would mis-classify every local[32]
+    query as regressed."""
+    hist = [
+        {
+            "code": "old32",
+            "sf": 0.1,
+            "raw_headline_total": 32.0,
+            "queries_cold": {"q": 1.0},
+            "queries_steady": {"q": 0.8},
+        },
+        {
+            "code": "old8",
+            "sf": 0.1,
+            "cpus": 8,
+            "raw_headline_total": 90.0,
+            "queries_cold": {"q": 3.0},
+            "queries_steady": {"q": 2.5},
+        },
+    ]
+    (tmp_path / ".bench_history.json").write_text(json.dumps(hist))
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    # at cpus=32 the newest same-core entry is the legacy (no-cpus) one
+    cold, steady = bench._history_readings(0.1, "current", cpus=32)
+    assert (cold, steady) == ({"q": 1.0}, {"q": 0.8})
+    # at cpus=8 only the 8-core entry qualifies
+    cold8, steady8 = bench._history_readings(0.1, "current", cpus=8)
+    assert (cold8, steady8) == ({"q": 3.0}, {"q": 2.5})
+
+
+def test_bench_record_readings_skip_other_core_records(tmp_path, monkeypatch):
+    """The BENCH-record fallback likewise skips a record stamped with a
+    different core count (the driver wrapper writes `cpus` at top level)."""
+    r98 = {
+        "sf": 0.1,
+        "cpus": 8,
+        "parsed": {"queries_cold": {"q": 3.0}, "queries": {"q": 2.5}},
+    }
+    r97 = {
+        "sf": 0.1,
+        "cpus": 32,
+        "parsed": {"queries_cold": {"q": 1.0}, "queries": {"q": 0.8}},
+    }
+    (tmp_path / "BENCH_r98.json").write_text(json.dumps(r98))
+    (tmp_path / "BENCH_r97.json").write_text(json.dumps(r97))
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    cold, steady = bench._bench_record_readings(0.1, cpus=32)
+    assert (cold, steady) == ({"q": 1.0}, {"q": 0.8})
