@@ -380,13 +380,13 @@ def _bench_record_readings(
         if rec.get("sf") != sf:
             continue
         # the driver wrapper stamps its run's core count on the record;
-        # a lower-core scaling record is not a baseline for this count
-        rec_cpus = rec.get("cpus")
-        if (
-            rec_cpus is not None
-            and cpus is not None
-            and rec_cpus != cpus
-        ):
+        # a lower-core scaling record is not a baseline for this count.
+        # Records predating the field were all local[32] (the same
+        # legacy-as-32 policy _raw_band/_history_readings apply) — without
+        # the default, a cpus=8 run would baseline against local[32] colds
+        # and mis-classify every query as regressed (r14 ADVICE).
+        rec_cpus = rec.get("cpus", _LEGACY_RECORDED_CPUS)
+        if cpus is not None and rec_cpus != cpus:
             continue
         cold: dict[str, float] = {}
         steady: dict[str, float] = {}
@@ -450,10 +450,21 @@ def _compact_line(
     curation_total: float,
     envelopes: dict,
     cpus: int | None = None,
+    queries_cold: dict | None = None,
 ) -> str:
     """The decision scalars as ONE JSON line guaranteed < 1900 chars, so
     the driver's 2000-char stdout tail — whitespace-flushed by main() just
-    before this line — is itself a parseable JSON document."""
+    before this line — is itself a parseable JSON document.
+
+    Since r15 the line carries `queries_cold` for every HEADLINE+CURATION
+    query (r14 verdict task 1b: the compact line held no per-query data, so
+    PERF_r14 could not attribute a single regression or compute core-scaling
+    ratios — `per_query={}` two rounds running). Cold is the uniform raw-band
+    policy, so the series is comparable across rounds and core counts. On
+    overflow the derivable blocks drop first (envelope_medians, note — both
+    recoverable from .bench_history.json); queries_cold is the driver's only
+    per-query channel and is truncated last, tail-first, with the count
+    declared."""
     compact = {
         "metric": "headline_queries_total",
         "value": total,
@@ -474,17 +485,28 @@ def _compact_line(
         "headline_normalized_spark_r10m5": norm_r10m5,
         "spark_calibration_sec": spark_cal,
         "curation_queries_total": curation_total,
+        "queries_cold": dict(queries_cold or {}),
         "envelope_medians": {
             n: e["median"] for n, e in sorted(envelopes.items())[:12]
         },
         "note": (
-            "compact record; full JSON line precedes, per-query data in "
-            ".bench_history.json"
+            "compact record; full JSON line precedes, steady per-query "
+            "data in .bench_history.json"
         ),
     }
     line = json.dumps(compact)
-    if len(line) > 1900:  # envelope overflow guard: the scalars always fit
+    if len(line) > 1900:  # derivable blocks drop first
         compact.pop("envelope_medians", None)
+        line = json.dumps(compact)
+    if len(line) > 1900:
+        compact.pop("note", None)
+        line = json.dumps(compact)
+    while len(line) > 1900 and compact["queries_cold"]:
+        # last resort, never expected at 28 queries (~800 chars): shed
+        # CURATION-tail entries one at a time and declare the truncation
+        last = list(compact["queries_cold"])[-1]
+        del compact["queries_cold"][last]
+        compact["queries_cold_truncated"] = True
         line = json.dumps(compact)
     return line
 
@@ -744,6 +766,7 @@ def main() -> None:
             curation_total,
             envelopes,
             cpus=cpus,
+            queries_cold=all_cold,
         )
     )
 

@@ -178,6 +178,22 @@ _INTRODUCED_R14: frozenset[str] = frozenset({
     "hot_key_rollup_salted",
 })
 
+# Introduction round → set, for the one-extra-round window hold below
+# (r14 verdict task 2): rotating a query out of the window the round after
+# it earns its proof is indistinguishable, in the driver's PERF diff, from
+# deleting it — so queries introduced in the latest RECORDED round stay in
+# the window one more round (ranked after every pending proof, before the
+# proven-rotation tier), and `queries_dropped` stays empty in steady state.
+_INTRODUCED_BY_ROUND: dict[int, frozenset[str]] = {
+    5: _INTRODUCED_R5,
+    6: _INTRODUCED_R6,
+    7: _INTRODUCED_R7,
+    8: _INTRODUCED_R8,
+    9: _INTRODUCED_R9,
+    13: _INTRODUCED_R13,
+    14: _INTRODUCED_R14,
+}
+
 # Round-8 re-proof priority (r7 verdict task 8): with every query proven,
 # the gate window re-proves old queries — spend the spare slots on the
 # FLOAT-BEARING families first (raw binary64 outputs whose cross-engine
@@ -234,8 +250,8 @@ def _introduced_rank(name: str) -> int:
 # rotation self-updates when the driver writes new results — no manual
 # re-transcription per round. Red rows from the LATEST recorded round are
 # re-fronted automatically.
-def _recorded_rounds() -> list[dict]:
-    """CORRECTNESS_r{N}.json contents in round order (repo root)."""
+def _recorded_rounds() -> list[tuple[int, dict]]:
+    """(round, contents) for every CORRECTNESS_r{N}.json, in round order."""
     import glob
     import json
     import os
@@ -251,10 +267,16 @@ def _recorded_rounds() -> list[dict]:
             with open(path) as f:
                 data = json.load(f)
             if isinstance(data, dict):
-                out.append(data)
+                out.append((int(re.search(r"_r(\d+)", path).group(1)), data))
         except (OSError, ValueError):
             continue  # a malformed record must not break the harness
     return out
+
+
+def _latest_recorded_round() -> int:
+    """Highest recorded round number on disk (0 when none exist)."""
+    rounds = _recorded_rounds()
+    return rounds[-1][0] if rounds else 0
 
 
 def _dynamic_proof_state() -> tuple[frozenset[str], frozenset[str]]:
@@ -265,7 +287,7 @@ def _dynamic_proof_state() -> tuple[frozenset[str], frozenset[str]]:
     as a hash-failed one (r3: embedding_int8_quantization)."""
     proven: set[str] = set()
     red: set[str] = set()
-    for data in _recorded_rounds():
+    for _round, data in _recorded_rounds():
         for name, row in data.items():
             if not isinstance(row, dict):
                 continue
@@ -284,8 +306,13 @@ def _rotate(items: dict, oracle_names: frozenset[str], origin: dict) -> dict:
     gate's 50-query window; _FRONT_MODULE_ORDER ranks the modules, newly
     introduced queries queue last), then rows-only queries (their weaker
     check costs a window slot that a hash-checkable query could use), then
-    queries already hash-proven in a recorded round."""
+    queries already hash-proven in a recorded round. Exception (r14 verdict
+    task 2): queries introduced in the LATEST recorded round that just
+    earned their proof are held in the window one extra round (tier 1.5 —
+    after every pending proof so no slot is displaced, before the proven
+    rotation) so the driver's PERF diff sees them present, not "dropped"."""
     proven, red_fixes = _dynamic_proof_state()
+    hold = _INTRODUCED_BY_ROUND.get(_latest_recorded_round(), frozenset())
 
     def key(name: str):
         if name in red_fixes:
@@ -294,7 +321,7 @@ def _rotate(items: dict, oracle_names: frozenset[str], origin: dict) -> dict:
             # fix could use — it fronts the rows-only tier instead
             tier = -1 if name in oracle_names else 1
         elif name in proven:
-            tier = 2
+            tier = 1.5 if name in hold else 2
         elif name in oracle_names:
             tier = 0
         else:

@@ -140,7 +140,16 @@ def test_prev_round_readings_prefer_history_over_bench_record():
         hist = json.load(fh)
     expect = None
     for e in reversed(hist):
-        if e.get("sf") == 0.1 and e.get("queries_cold"):
+        # mirror the reader's same-core policy (r14 fix): a cpus=None call
+        # reads local[32] baselines, and entries predating the cpus field
+        # were all local[32] — the driver's post-round local[8] scaling
+        # session appends a cpus=8 entry that must NOT be the expectation
+        if (
+            e.get("sf") == 0.1
+            and e.get("queries_cold")
+            and e.get("cpus", bench._LEGACY_RECORDED_CPUS)
+            == bench._LEGACY_RECORDED_CPUS
+        ):
             expect = e
             break
     if expect is None:
@@ -202,8 +211,13 @@ def test_compact_line_fits_driver_tail_and_parses():
     envelopes = {
         f"query_with_a_long_name_{i}": {"median": 1.234} for i in range(20)
     }
+    queries_cold = {
+        f"{n}_cold_named_query": round(0.123 + i, 3)
+        for i, n in enumerate(bench.HEADLINE + bench.CURATION)
+    }
     line = bench._compact_line(
-        24.5, 0.1, 32.1, band, 25.0, 24.8, 0.085, 12.3, envelopes
+        24.5, 0.1, 32.1, band, 25.0, 24.8, 0.085, 12.3, envelopes,
+        queries_cold=queries_cold,
     )
     assert len(line) <= 1900
     stdout = '{"full": "record"}' * 400 + "\n" + " " * 2000 + "\n" + line + "\n"
@@ -221,10 +235,47 @@ def test_compact_line_fits_driver_tail_and_parses():
         "noisy_this_session": True,
     }
     assert obj["headline_normalized_spark_r10m5"] == 24.8
+    # r14 verdict task 1b: the per-query cold channel survives the tail —
+    # all 28 HEADLINE+CURATION entries, untruncated, at 3 decimals
+    assert obj["queries_cold"] == queries_cold
+    assert "queries_cold_truncated" not in obj
     # last-line parsing (the other plausible driver strategy) also works
     assert json.loads(stdout.strip().splitlines()[-1]) == obj
-    # envelope cap: at most 12 medians make the line, never an overflow
-    assert len(obj["envelope_medians"]) == 12
+
+
+def test_compact_line_sheds_derivable_blocks_before_per_query_colds():
+    """Overflow order: envelope_medians and note (both derivable from
+    .bench_history.json) drop before a single queries_cold entry; a
+    pathological per-query dict is truncated tail-first and declared."""
+    band = {
+        "sessions": 1, "min": 31.0, "max": 31.0, "quiet_sessions": 1,
+        "quiet_min": 31.0, "quiet_max": 31.0, "noisy_this_session": False,
+    }
+    envelopes = {f"envelope_query_{i}": {"median": 1.0} for i in range(12)}
+    # 28 realistic names + envelopes exceeds 1900 only via the derivable
+    # blocks; colds must survive intact
+    queries_cold = {f"query_name_padded_out_{i:02d}": 1.234 for i in range(28)}
+    big_env = {f"very_long_envelope_query_name_{i:03d}": {"median": 1.234}
+               for i in range(40)}
+    line = bench._compact_line(
+        24.5, 0.1, 32.1, band, 25.0, 24.8, 0.085, 12.3, big_env,
+        queries_cold=queries_cold,
+    )
+    obj = json.loads(line)
+    assert len(line) <= 1900
+    assert obj["queries_cold"] == queries_cold
+    # pathological: a dict that cannot fit even alone is truncated
+    # tail-first with the flag set, and the line still parses under 1900
+    huge = {f"q_{'x' * 60}_{i:03d}": 1.234 for i in range(60)}
+    line2 = bench._compact_line(
+        24.5, 0.1, 32.1, band, 25.0, 24.8, 0.085, 12.3, envelopes,
+        queries_cold=huge,
+    )
+    obj2 = json.loads(line2)
+    assert len(line2) <= 1900
+    assert obj2.get("queries_cold_truncated") is True
+    kept = list(obj2["queries_cold"])
+    assert kept == list(huge)[: len(kept)], "truncation is tail-first"
 
 
 def test_raw_band_pools_same_core_count_only(tmp_path, monkeypatch):
@@ -302,3 +353,15 @@ def test_bench_record_readings_skip_other_core_records(tmp_path, monkeypatch):
     monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
     cold, steady = bench._bench_record_readings(0.1, cpus=32)
     assert (cold, steady) == ({"q": 1.0}, {"q": 0.8})
+    # a legacy record with NO cpus field was a local[32] run (r14 ADVICE):
+    # it must baseline a cpus=32 read and be skipped by a cpus=8 read —
+    # the other two readers already apply this legacy-as-32 policy
+    r99 = {
+        "sf": 0.1,
+        "parsed": {"queries_cold": {"q": 1.5}, "queries": {"q": 1.2}},
+    }
+    (tmp_path / "BENCH_r99.json").write_text(json.dumps(r99))
+    cold32, steady32 = bench._bench_record_readings(0.1, cpus=32)
+    assert (cold32, steady32) == ({"q": 1.5}, {"q": 1.2})
+    cold8, steady8 = bench._bench_record_readings(0.1, cpus=8)
+    assert (cold8, steady8) == ({"q": 3.0}, {"q": 2.5})

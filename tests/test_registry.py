@@ -179,6 +179,30 @@ def test_introduced_r6_members_are_registered():
     )
 
 
+def test_newly_proven_introductions_held_one_extra_round():
+    """r14 verdict task 2: queries introduced in the latest RECORDED round
+    that just earned their proof must stay inside the 50-query gate window
+    for one more round — rotating them out immediately reads as "dropped"
+    in the driver's PERF diff. They rank after every pending proof (no
+    displaced slot) and before the proven-rotation tier."""
+    latest = registry._latest_recorded_round()
+    hold = registry._INTRODUCED_BY_ROUND.get(latest, frozenset())
+    proven, red = _effective_sets()
+    held = [n for n in hold if n in proven and n not in red]
+    if not held:
+        pytest.skip(f"no newly-proven introductions from round {latest}")
+    names = list(registry.all_queries())
+    pos = {n: i for i, n in enumerate(names)}
+    pending = [n for n in names if n not in proven or n in red]
+    for n in held:
+        assert pos[n] < 50, f"{n} rotated out of the window too early"
+        # held queries may not displace a pending proof slot
+        assert all(pos[p] < pos[n] for p in pending), n
+    # with the r14 record as latest, the skew twins are concretely held
+    if latest == 14:
+        assert {"hot_key_rollup", "hot_key_rollup_salted"} <= set(names[:50])
+
+
 def test_every_query_name_is_unique_and_resolvable():
     qs = registry.all_queries()
     assert len(qs) == len(set(qs))
