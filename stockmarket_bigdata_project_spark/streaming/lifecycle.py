@@ -41,7 +41,7 @@ from pyspark.sql.types import (
 )
 
 from ..catalog import load_table
-from .pipelines import _events_stream, _run_to_memory, replay_dir
+from .pipelines import _events_stream, _run_to_memory, _stream_conf, replay_dir
 
 
 class ProgressCollector(StreamingQueryListener):
@@ -80,34 +80,35 @@ def run_concurrent_bronze_silver(
     spark.streams.addListener(listener)
     try:
         bronze_dir = tempfile.mkdtemp(prefix="spark_graft_bronze_")
-        bronze_q = (
-            _events_stream(spark, sf_dir)
-            .select("event_id", "ts", "user_id", "event_type", "value")
-            .writeStream.format("parquet")
-            .option("path", bronze_dir)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="spark_graft_chk_"))
-            .queryName("bronze_raw")
-            .trigger(availableNow=True)
-            .start()
-        )
-        silver_agg = (
-            _events_stream(spark, sf_dir)
-            .withWatermark("ts", "10 minutes")
-            .groupBy(F.window("ts", "15 minutes"), "event_type")
-            .agg(F.count("*").alias("n_events"))
-        )
-        silver_q = (
-            silver_agg.writeStream.outputMode("append")
-            .format("memory")
-            .queryName("silver_agg_t9")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="spark_graft_chk_"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        # reference: spark.streams.awaitAnyTermination() in a loop; both
-        # queries are availableNow so awaiting each is equivalent and exact
-        bronze_q.awaitTermination()
-        silver_q.awaitTermination()
+        with _stream_conf(spark, sf_dir):
+            bronze_q = (
+                _events_stream(spark, sf_dir)
+                .select("event_id", "ts", "user_id", "event_type", "value")
+                .writeStream.format("parquet")
+                .option("path", bronze_dir)
+                .option("checkpointLocation", tempfile.mkdtemp(prefix="spark_graft_chk_"))
+                .queryName("bronze_raw")
+                .trigger(availableNow=True)
+                .start()
+            )
+            silver_agg = (
+                _events_stream(spark, sf_dir)
+                .withWatermark("ts", "10 minutes")
+                .groupBy(F.window("ts", "15 minutes"), "event_type")
+                .agg(F.count("*").alias("n_events"))
+            )
+            silver_q = (
+                silver_agg.writeStream.outputMode("append")
+                .format("memory")
+                .queryName("silver_agg_t9")
+                .option("checkpointLocation", tempfile.mkdtemp(prefix="spark_graft_chk_"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            # reference: spark.streams.awaitAnyTermination() in a loop; both
+            # queries are availableNow so awaiting each is equivalent and exact
+            bronze_q.awaitTermination()
+            silver_q.awaitTermination()
         # listener events are delivered asynchronously; drain before detach
         deadline = time.time() + 10
         while len(listener.terminated) < 2 and time.time() < deadline:
@@ -194,7 +195,7 @@ def stateful_running_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = stream.groupBy("user_id").applyInPandasWithState(
         upd, _VWAP_OUT, _VWAP_STATE, "update", GroupStateTimeout.NoTimeout
     )
-    return _run_to_memory(out, "update")
+    return _run_to_memory(out, "update", sf_dir, python_stateful=True)
 
 
 # transformWithStateInPandas speaks protobuf to the JVM state server; the
@@ -281,7 +282,7 @@ def transform_with_state_type_counts(spark: SparkSession, sf_dir: str) -> DataFr
         out = stream.groupBy("user_id").transformWithStateInPandas(
             TypeCounts(), _TWS_OUT, "update", "none"
         )
-        return _run_to_memory(out, "update")
+        return _run_to_memory(out, "update", sf_dir, python_stateful=True)
     finally:
         if prev is None:
             spark.conf.unset(conf_key)

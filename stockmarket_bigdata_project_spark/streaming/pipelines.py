@@ -36,10 +36,12 @@ partitioned writes, one file per executor task, no driver collect.
 
 from __future__ import annotations
 
+import math
 import os
 import tempfile
 import threading
 import time
+from contextlib import contextmanager
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -60,10 +62,13 @@ _uniq = iter(range(10**9))
 
 def replay_dir(spark: SparkSession, sf_dir: str, n_slices: int = N_SLICES) -> str:
     """Write `events` as n_slices time-ordered parquet files (T11 replay
-    source). Slices are written sequentially so file modification times — the
-    file source's processing order — follow event time, like the reference's
-    paced Kafka replay. Cached per sf_dir: every streaming query replays the
-    same corpus."""
+    source). File modification times — the file source's processing order —
+    are stamped explicitly in event-time order (strictly increasing, 1 s
+    apart), like the reference's paced Kafka replay. The slice writes
+    themselves are independent jobs and run concurrently (guide §2.6);
+    arrival order comes from the stamped mtimes, not from write timing, so
+    the replay is deterministic without the former per-slice mtime sleeps.
+    Cached per sf_dir: every streaming query replays the same corpus."""
     with _lock:
         key = (sf_dir, n_slices)
         if key in _replay_cache:
@@ -72,16 +77,111 @@ def replay_dir(spark: SparkSession, sf_dir: str, n_slices: int = N_SLICES) -> st
         lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
         span = (hi - lo) / n_slices
         out = tempfile.mkdtemp(prefix="spark_graft_replay_")
-        for i in range(n_slices):
+
+        def write_slice(i: int) -> str:
             start = lo + span * i
             end = hi if i == n_slices - 1 else lo + span * (i + 1)
             cond = (F.col("ts") >= F.lit(start)) & (
                 (F.col("ts") <= F.lit(end)) if i == n_slices - 1 else (F.col("ts") < F.lit(end))
             )
-            ev.filter(cond).coalesce(1).write.mode("append").parquet(out)
-            time.sleep(1.05)  # distinct mtimes → deterministic arrival order
+            # own staging dir per slice: concurrent appends into ONE dir
+            # would race on the shared _temporary commit dir
+            stage = tempfile.mkdtemp(prefix="spark_graft_replay_slice_")
+            ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(stage)
+            return next(
+                os.path.join(stage, f)
+                for f in os.listdir(stage)
+                if f.endswith(".parquet")
+            )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=n_slices) as pool:
+            parts = list(pool.map(write_slice, range(n_slices)))
+        now = time.time()
+        for i, src in enumerate(parts):
+            dst = os.path.join(out, f"slice_{i:02d}.parquet")
+            os.replace(src, dst)
+            mtime = now - (n_slices - i)  # strictly increasing, all past
+            os.utime(dst, (mtime, mtime))
         _replay_cache[key] = out
         return out
+
+
+# Scale-adaptive streaming shuffle/state partitioning (guide §2.2 "fewer,
+# larger partitions"). Streaming state has a FIXED per-partition per-batch
+# cost — every state store commits a delta file per partition per
+# micro-batch (a stream-stream join runs 4 stores/partition) — and AQE
+# cannot coalesce a streaming plan, so the session's batch-sized
+# shuffle.partitions over-partitions small per-batch state by orders of
+# magnitude. Measured (r15, sf0.1 replay, local[32]):
+# streaming_stream_stream_join wall 16-20 s at 32 partitions vs 4.8 s at 4,
+# identical 371 rows; per-batch summed state commitTimeMs ~50 s across
+# 32x4 store-partitions. The count is derived from bytes per micro-batch
+# and clamps UP to the session value, so a cluster-scale stream keeps the
+# cluster-sized count and only tiny replays shrink.
+_STREAM_STATE_PARTITION_BYTES = 64 << 20  # advisory per-partition batch input
+_STREAM_MIN_PARTITIONS = 4  # parallelism floor for state ops
+
+
+def _stream_shuffle_partitions(
+    spark: SparkSession, sf_dir: str, python_stateful: bool = False
+) -> int:
+    """Streaming shuffle-partition (= state-partition) count for the replay
+    streams: ceil(bytes-per-micro-batch / 64 MiB), clamped to
+    [_STREAM_MIN_PARTITIONS, session shuffle.partitions]. Overridable via
+    SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS (parameterised per the
+    optimization brief; production keeps the session/cluster value because
+    the byte-derived count exceeds it).
+
+    python_stateful: applyInPandasWithState/transformWithStateInPandas runs
+    are CPU-bound at the Python boundary (per-group pandas calls), so their
+    parallelism floor scales with the session's cores, not with bytes —
+    measured (sf0.1, local[32]): stateful_running_vwap 10-14.6 s at 4
+    partitions, 6.6-6.8 s at 16 (= cores/2), 9.3-14.2 s at 32 (state-commit
+    fixed cost re-dominates past the boundary's useful parallelism)."""
+    env = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS")
+    if env:
+        return max(1, int(env))
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        rd = replay_dir(spark, sf_dir)
+        total = sum(
+            e.stat().st_size
+            for e in os.scandir(rd)
+            if e.name.endswith(".parquet")
+        )
+    except OSError:
+        return session_parts
+    per_batch = max(1, total // N_SLICES)
+    derived = math.ceil(per_batch / _STREAM_STATE_PARTITION_BYTES)
+    floor = _STREAM_MIN_PARTITIONS
+    if python_stateful:
+        # never above the session's configured count (the cluster ceiling)
+        cores = spark.sparkContext.defaultParallelism
+        floor = max(floor, min(cores // 2, session_parts))
+    return max(floor, min(session_parts, derived))
+
+
+@contextmanager
+def _stream_conf(
+    spark: SparkSession, sf_dir: str, python_stateful: bool = False
+):
+    """Scope spark.sql.shuffle.partitions to a streaming run (the value is
+    captured per query start; every query here uses a fresh checkpoint, so
+    no stored state pins an older count). Restored afterwards so batch
+    queries keep the session's cluster-sized value. Results are partition-
+    count independent (exact decimal sums; the determinism suite sweeps
+    partitionings), so only the state-store commit overhead changes."""
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(
+        key, str(_stream_shuffle_partitions(spark, sf_dir, python_stateful))
+    )
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -93,21 +193,36 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
+def _run_to_memory(
+    stream_df: DataFrame,
+    mode: str,
+    sf_dir: str | None = None,
+    python_stateful: bool = False,
+) -> DataFrame:
     """Run a streaming DF to completion into a memory sink; return the result
-    as a batch DF. Fresh checkpoint + query name per invocation (T5)."""
+    as a batch DF. Fresh checkpoint + query name per invocation (T5). With
+    sf_dir, the run executes under the scale-adaptive streaming partition
+    count (_stream_conf)."""
     spark = stream_df.sparkSession
     name = f"q{next(_uniq)}_{os.getpid()}"
     chk = tempfile.mkdtemp(prefix="spark_graft_chk_")
-    q = (
-        stream_df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", chk)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+
+    def run() -> None:
+        q = (
+            stream_df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    if sf_dir is None:
+        run()
+    else:
+        with _stream_conf(spark, sf_dir, python_stateful):
+            run()
     return spark.table(name)
 
 
@@ -134,7 +249,7 @@ def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("max_value"),
         )
     )
-    out = _run_to_memory(agg, "append")
+    out = _run_to_memory(agg, "append", sf_dir)
     return out.select(
         F.col("window.start").alias("window_start"),
         F.col("window.end").alias("window_end"),
@@ -160,7 +275,7 @@ def streaming_window_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    out = _run_to_memory(agg, "complete")
+    out = _run_to_memory(agg, "complete", sf_dir)
     return out.select(
         F.col("window.start").alias("window_start"),
         F.col("window.end").alias("window_end"),
@@ -179,7 +294,7 @@ def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", SLIDE_WINDOW, WINDOW), "event_type")
         .agg(F.count("*").alias("n_events"))
     )
-    out = _run_to_memory(agg, "complete")
+    out = _run_to_memory(agg, "complete", sf_dir)
     return out.select(
         F.col("window.start").alias("window_start"),
         F.col("window.end").alias("window_end"),
@@ -207,7 +322,7 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    out = _run_to_memory(agg, "append")
+    out = _run_to_memory(agg, "append", sf_dir)
     return out.select(
         "user_id",
         F.col("session_window.start").alias("session_start"),
@@ -245,13 +360,14 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not batch_df.isEmpty():
             batch_df.write.mode("append").parquet(sink)
 
-    q = (
-        joined.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", chk)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_conf(spark, sf_dir):
+        q = (
+            joined.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(sink).select(
         "event_id", "user_id", "ts", "event_type", "value", "c_name", "c_mktsegment"
     )
@@ -299,14 +415,15 @@ def streaming_upsert_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             keep.unionByName(batch_df).write.mode("overwrite").parquet(new_dir)
         state["dir"] = new_dir
 
-    q = (
-        agg.writeStream.outputMode("update")
-        .foreachBatch(merge_batch)
-        .option("checkpointLocation", chk)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_conf(spark, sf_dir):
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(merge_batch)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     assert state["dir"] is not None, "replay produced no batches"
     return spark.read.parquet(state["dir"])
 
@@ -348,7 +465,7 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
         "inner",
     ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts", "purchase_value")
-    return _run_to_memory(joined, "append")
+    return _run_to_memory(joined, "append", sf_dir)
 
 
 def _click_purchase_sides(spark: SparkSession, sf_dir: str):
@@ -396,7 +513,7 @@ def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataF
     ).select(
         "click_id", "purchase_id", "user_id", "click_ts", "purchase_ts", "purchase_value"
     )
-    return _run_to_memory(joined, "append")
+    return _run_to_memory(joined, "append", sf_dir)
 
 
 # --- extension: streaming dedup within watermark -----------------------------
@@ -411,7 +528,7 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "user_id", "event_type", "value")
     )
-    return _run_to_memory(dedup, "append")
+    return _run_to_memory(dedup, "append", sf_dir)
 
 
 # --- T8: RocksDB state store — same agg, different state backend -------------
@@ -436,7 +553,7 @@ def streaming_rocksdb_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dec_sum("value").alias("total_value"),
             )
         )
-        out = _run_to_memory(agg, "complete")
+        out = _run_to_memory(agg, "complete", sf_dir)
         # materialize while the provider conf is still in force: the memory
         # table is lazily backed by the streaming result, already final here
         return out.select(
@@ -658,13 +775,14 @@ def streaming_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         partial = occ.groupBy("j", "bucket").agg(F.count("*").alias("cnt"))
         partial.write.mode("append").parquet(sink)
 
-    q = (
-        stream.writeStream.foreachBatch(write_partial)
-        .option("checkpointLocation", chk)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_conf(spark, sf_dir):
+        q = (
+            stream.writeStream.foreachBatch(write_partial)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     grid = (
         spark.read.parquet(sink)
         .groupBy("j", "bucket")
