@@ -269,48 +269,61 @@ def asof_join_merge_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same as-of semantics via applyInPandas(merge_asof) per customer group —
     the Arrow-batched escape hatch for operators Spark lacks natively. Slower
     than the union-asof window form (per-group pandas overhead) but kept as
-    the template for genuinely non-window-expressible per-group logic."""
+    the template for genuinely non-window-expressible per-group logic.
+
+    Boundary discipline (guide §4 / §2.3 "narrower types"): days cross the
+    Python boundary as int32 day numbers, not DateType — a date column
+    arrives in pandas as python-object cells that every group must
+    pd.to_datetime() before merge_asof can use them, and the object→
+    datetime64 conversion was the dominant per-group cost (r15 A/B: 6.3 s
+    shipped vs 4.4 s int-days vs the 2.9 s identity-function floor at this
+    group cardinality; the remaining gap over the floor is merge_asof
+    itself). The left/right discriminator is o_orderkey's nullness — the
+    former 'side' string column shipped ~300 k constant strings through
+    Arrow for one bit. day_num converts back to DateType on the JVM side,
+    so the declared schema is unchanged."""
     left, right = _asof_sides(spark, sf_dir)
 
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        l = pdf[pdf["side"] == "L"][["o_orderkey", "o_custkey", "day"]].copy()
-        r = pdf[pdf["side"] == "R"][["day", "day_total"]].copy()
-        # merge_asof needs a sortable datetime64 'on' column (DateType arrives
-        # as python date objects)
-        l["day"] = pd.to_datetime(l["day"])
-        r["day"] = pd.to_datetime(r["day"])
-        l = l.sort_values("day", kind="mergesort")
-        r = r.sort_values("day", kind="mergesort")
+        l = pdf[pdf["o_orderkey"].notna()][["o_orderkey", "o_custkey", "day_num"]]
+        r = pdf[pdf["o_orderkey"].isna()][["day_num", "day_total"]]
+        l = l.sort_values("day_num", kind="mergesort")
+        r = r.sort_values("day_num", kind="mergesort")
         m = pd.merge_asof(
-            l, r, on="day", direction="backward", allow_exact_matches=False
+            l, r, on="day_num", direction="backward", allow_exact_matches=False
         )
-        m["prev_day_total"] = m["day_total"]
-        m["day"] = m["day"].dt.date
-        return m[["o_orderkey", "o_custkey", "day", "prev_day_total"]]
+        m = m.rename(columns={"day_total": "prev_day_total"})
+        return m[["o_orderkey", "o_custkey", "day_num", "prev_day_total"]]
 
-    lu = left.withColumn("side", F.lit("L")).withColumn(
-        "day_total", F.lit(None).cast("double")
+    lu = left.select(
+        "o_orderkey",
+        "o_custkey",
+        F.unix_date("day").alias("day_num"),
+        F.lit(None).cast("double").alias("day_total"),
     )
     ru = right.select(
         F.lit(None).cast("long").alias("o_orderkey"),
         F.col("r_custkey").alias("o_custkey"),
-        F.col("r_day").alias("day"),
-        F.lit("R").alias("side"),
+        F.unix_date("r_day").alias("day_num"),
         "day_total",
     )
-    both = lu.select("o_orderkey", "o_custkey", "day", "side", "day_total").unionByName(
-        ru
-    )
-    out_schema = "o_orderkey long, o_custkey long, day date, prev_day_total double"
+    both = lu.unionByName(ru)
+    out_schema = "o_orderkey long, o_custkey long, day_num int, prev_day_total double"
     # Pin Arrow-UDF parallelism (same rationale as suppression_window_dedup):
     # AQE coalesces by byte size and serializes the CPU-bound per-group
     # Python pass; an explicit repartition(N, key) is the exact partitioning
     # applyInPandas needs and is exempt from AQE coalescing.
     n = spark.sparkContext.defaultParallelism
-    return (
+    merged = (
         both.repartition(n, "o_custkey")
         .groupBy("o_custkey")
         .applyInPandas(merge_group, out_schema)
+    )
+    return merged.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_from_unix_date("day_num").alias("day"),
+        "prev_day_total",
     )
 
 
