@@ -18,9 +18,6 @@ test_oracle_portability for the HUGEINT class.
 
 from __future__ import annotations
 
-import io
-from contextlib import redirect_stdout
-
 from tests.broadcast_budget import classify_plan
 
 
@@ -102,41 +99,26 @@ def test_lint_skyline_exception_is_gone():
     assert verdict is None, verdict
 
 
-def test_every_registered_query_broadcast_is_bounded(spark, sf_dir):
+def test_every_registered_query_broadcast_is_bounded(registry_surfaces):
+    """Walks the shared one-pass construction sweep (conftest
+    registry_surfaces: every registered query's static plan captured under
+    autoBroadcastJoinThreshold=-1 + AQE disabled, staged memo cleared
+    around the pass) and asserts every broadcast input subtree classifies
+    as bounded. The self-executing streaming queries contribute their
+    post-run scan plans — no broadcast surface, linted for completeness."""
     from stockmarket_bigdata_project_spark import registry
-    from stockmarket_bigdata_project_spark.llmdata.dedup import (
-        clear_staged_memo,
-    )
 
-    # fresh plans: a staged relation cached under broadcast-enabled confs
-    # would splice a frozen AQE final plan (with legitimate runtime
-    # broadcasts) into the explain text and fail the lint spuriously
-    clear_staged_memo()
-
-    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
     failures: list[str] = []
-    try:
-        for name, fn in registry.all_queries().items():
-            try:
-                buf = io.StringIO()
-                with redirect_stdout(buf):
-                    fn(spark, sf_dir).explain()
-                plan = buf.getvalue()
-            except Exception as e:  # noqa: BLE001
-                failures.append(f"{name}: plan construction failed: {e!r}")
-                continue
-            for subtree, verdict in classify_plan(name, plan):
-                if verdict is None:
-                    failures.append(
-                        f"{name}: unclassified broadcast payload\n{subtree}"
-                    )
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
-        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
-        clear_staged_memo()  # relations staged under lint confs: rebuild
+    assert set(registry_surfaces) == set(registry.all_queries())
+    for name, rec in registry_surfaces.items():
+        if "error" in rec:
+            failures.append(f"{name}: {rec['error']}")
+            continue
+        for subtree, verdict in classify_plan(name, rec["lint_plan"]):
+            if verdict is None:
+                failures.append(
+                    f"{name}: unclassified broadcast payload\n{subtree}"
+                )
     assert not failures, "\n\n".join(failures[:10]) + (
         f"\n... {len(failures)} total" if len(failures) > 10 else ""
     )

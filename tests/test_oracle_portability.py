@@ -91,13 +91,18 @@ def test_no_oracle_emits_a_nonportable_duckdb_type(duck_types):
 
 
 def test_oracle_checked_spark_schemas_match_and_canonicalize(
-    spark, sf_dir, duck_types
+    registry_surfaces, duck_types
 ):
-    qs = registry.all_queries()
+    """Schemas come from the shared one-pass construction sweep (conftest
+    registry_surfaces) — DataFrame analysis is conf-independent, so the
+    lint-conf pass serves both this sweep and the broadcast lint."""
     problems = []
     for name, dcols in duck_types.items():
-        df = qs[name](spark, sf_dir)
-        scols = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        rec = registry_surfaces[name]
+        if "error" in rec:
+            problems.append((name, "construction failed", rec["error"]))
+            continue
+        scols = rec["schema"]
         if set(scols) != set(dcols):
             problems.append((name, "column-name mismatch",
                              sorted(set(scols) ^ set(dcols))))

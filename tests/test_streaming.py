@@ -22,12 +22,22 @@ import pyspark.sql.functions as F
 
 def test_watermark_drops_late_rows(spark, tmp_path):
     base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    replay = tmp_path / "replay"
+    slice_no = iter(range(100))
 
     def write_slice(rows):
+        # explicit strictly-increasing mtimes (the r15 replay_dir mechanism)
+        # instead of 1.05 s sleeps: arrival order is the stamped order
+        import os
+
+        before = set(os.listdir(replay)) if replay.exists() else set()
         spark.createDataFrame(
             [(ts, float(v)) for ts, v in rows], "ts timestamp, value double"
-        ).coalesce(1).write.mode("append").parquet(str(tmp_path / "replay"))
-        time.sleep(1.05)  # distinct mtimes → one slice per micro-batch
+        ).coalesce(1).write.mode("append").parquet(str(replay))
+        stamp = time.time() - 100 + next(slice_no)
+        for f in set(os.listdir(replay)) - before:
+            if f.endswith(".parquet"):
+                os.utime(str(replay / f), (stamp, stamp))
 
     # batch 0: window [10:00,10:15) gets 2 rows; 10:59 row → wm 10:49 next
     write_slice(
@@ -42,20 +52,26 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     agg = (
         spark.readStream.schema("ts timestamp, value double")
         .option("maxFilesPerTrigger", 1)
-        .parquet(str(tmp_path / "replay"))
+        .parquet(str(replay))
         .withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "15 minutes"))
         .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
     )
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName("late_test")
-        .option("checkpointLocation", str(tmp_path / "chk"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "4")  # 3-row slices: state-commit cost/partition
+    try:
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("late_test")
+            .option("checkpointLocation", str(tmp_path / "chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(key, prev)
     got = {
         r["window"]["start"].minute: (r["n"], r["total"])
         for r in spark.table("late_test").collect()
@@ -81,7 +97,7 @@ def test_windowed_agg_state_bounded_by_key_space(spark, tmp_path):
 
     from stockmarket_bigdata_project_spark.catalog import load_table
     from stockmarket_bigdata_project_spark.streaming.pipelines import (
-        WATERMARK, WINDOW, replay_dir,
+        WATERMARK, WINDOW, _stream_conf, replay_dir,
     )
     from tests.conftest import SF_DIR_CORRECTNESS as SF
 
@@ -100,15 +116,16 @@ def test_windowed_agg_state_bounded_by_key_space(spark, tmp_path):
         .groupBy(F.window("ts", WINDOW), "event_type")
         .agg(F.count("*").alias("n_events"))
     )
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName("state_bound_test")
-        .option("checkpointLocation", str(tmp_path / "chk"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_conf(spark, SF):  # the engine's own state-partition count
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("state_bound_test")
+            .option("checkpointLocation", str(tmp_path / "chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     peaks = [
         op["numRowsTotal"]
         for p in q.recentProgress
@@ -150,7 +167,7 @@ def test_stream_stream_join_state_bounded_by_watermark(spark, tmp_path):
 
     from stockmarket_bigdata_project_spark.catalog import load_table
     from stockmarket_bigdata_project_spark.streaming.pipelines import (
-        WATERMARK, _click_purchase_sides,
+        WATERMARK, _click_purchase_sides, _stream_conf,
     )
     from tests.conftest import SF_DIR_CORRECTNESS as SF
 
@@ -174,15 +191,16 @@ def test_stream_stream_join_state_bounded_by_watermark(spark, tmp_path):
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
         "inner",
     ).select("click_id", "purchase_id", "user_id")
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName("ss_join_state_bound_test")
-        .option("checkpointLocation", str(tmp_path / "chk"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_conf(spark, SF):  # the engine's own state-partition count
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("ss_join_state_bound_test")
+            .option("checkpointLocation", str(tmp_path / "chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     assert WATERMARK == "10 minutes"  # the docstring's derivation assumes it
 
     def parse_wm(p):
@@ -245,7 +263,7 @@ def test_streaming_dedup_state_bounded_by_watermark(spark, tmp_path):
 
     from stockmarket_bigdata_project_spark.catalog import load_table
     from stockmarket_bigdata_project_spark.streaming.pipelines import (
-        WATERMARK, _events_stream,
+        WATERMARK, _events_stream, _stream_conf,
     )
     from tests.conftest import SF_DIR_CORRECTNESS as SF
 
@@ -261,15 +279,16 @@ def test_streaming_dedup_state_bounded_by_watermark(spark, tmp_path):
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id")
     )
-    q = (
-        dedup.writeStream.outputMode("append")
-        .format("memory")
-        .queryName("dedup_state_bound_test")
-        .option("checkpointLocation", str(tmp_path / "chk"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_conf(spark, SF):  # the engine's own state-partition count
+        q = (
+            dedup.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("dedup_state_bound_test")
+            .option("checkpointLocation", str(tmp_path / "chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
     def parse_wm(p):
         w = (p["eventTime"] or {}).get("watermark")
