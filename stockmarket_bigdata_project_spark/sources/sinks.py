@@ -156,10 +156,15 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         monthly.repartition(8).write.mode("overwrite").partitionBy("month").parquet(
             frag
         )
-        # compaction: cluster rows by partition key → one file per partition
-        spark.read.parquet(frag).repartition("month").write.mode(
-            "overwrite"
-        ).partitionBy("month").parquet(compacted)
+        # compaction: cluster rows by partition key → one file per partition.
+        # Explicit count (r15, same fix as partitioned_gold_write): a
+        # keyless-count repartition is REPARTITION_BY_COL and AQE coalesces
+        # the tiny shuffle to ONE task, serializing the per-month file
+        # creates; (N, key) is exempt and each month still lands in exactly
+        # one task.
+        spark.read.parquet(frag).repartition(
+            spark.sparkContext.defaultParallelism, "month"
+        ).write.mode("overwrite").partitionBy("month").parquet(compacted)
     back = spark.read.parquet(compacted)
     return back.groupBy("month").agg(
         F.count("*").alias("n_days"),
